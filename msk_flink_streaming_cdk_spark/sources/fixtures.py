@@ -1,0 +1,72 @@
+"""Driver-fixture parquet loaders (TESTDATA.md).
+
+All batch inputs come from ``/root/testdata/sf*/<table>.parquet``. The
+``sensor_readings`` adapter maps the generic ``events`` fixture onto the
+reference's input_table shape (FIXTURES.md §1 mapping: ``user_id`` →
+``sensor_id`` string, ``value`` → ``temperature`` BIGINT via floor,
+``ts`` → ``event_time``), matching the producer record shape at
+``/root/reference/LambdaFunctions/kfpLambdaStreamProducer.py:50-54``.
+
+``floor`` (not cast) is used for the double→BIGINT mapping so Spark and
+the DuckDB oracle agree (Spark cast truncates, DuckDB cast rounds).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros,
+        # matching DuckDB's nanos→TIMESTAMP truncation.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each fixture as a temp view for the SQL front door."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sensor_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture → reference input_table shape (main.py:14-19)."""
+    return load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("sensor_id"),
+        F.floor("value").cast("long").alias("temperature"),
+        F.col("ts").alias("event_time"),
+    )
+
+
+# DuckDB CTE equivalent of sensor_readings, reused by oracle SQL.
+SENSOR_READINGS_SQL = (
+    "SELECT CAST(user_id AS VARCHAR) AS sensor_id, "
+    "CAST(floor(value) AS BIGINT) AS temperature, "
+    "ts AS event_time FROM events"
+)
