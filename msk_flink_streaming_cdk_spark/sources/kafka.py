@@ -1,0 +1,98 @@
+"""Kafka source/sink builders — parity with the reference connector
+config (``/root/reference/PythonKafkaSink/main.py:21-31`` source props,
+``main.py:44-55`` sink props).
+
+No broker exists in the test container, so these builders are exercised
+for option-construction only; on a cluster they produce standard
+Structured Streaming Kafka scans/sinks. IAM/SASL options mirror the
+reference's ``aws-msk-iam-auth`` setup (``pom.xml:33-38``) and are
+plain pass-through ``kafka.*`` options — same jar on the classpath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def msk_iam_options(bootstrap: str) -> dict[str, str]:
+    """SASL_SSL/AWS_MSK_IAM client options (main.py:28-31, 52-55)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "AWS_MSK_IAM",
+        "kafka.sasl.jaas.config": (
+            "software.amazon.msk.auth.iam.IAMLoginModule required;"
+        ),
+        "kafka.sasl.client.callback.handler.class": (
+            "software.amazon.msk.auth.iam.IAMClientCallbackHandler"
+        ),
+    }
+
+
+def source_options(
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    group_id: str = "testGroup",
+    iam: bool = False,
+) -> dict[str, str]:
+    """Kafka source options — reference source DDL props main.py:21-27
+    (``scan.startup.mode = earliest-offset``, consumer group
+    ``testGroup``)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "kafka.group.id": group_id,
+    }
+    if iam:
+        opts.update(msk_iam_options(bootstrap))
+    return opts
+
+
+def sink_options(bootstrap: str, topic: str, iam: bool = False) -> dict[str, str]:
+    opts = {"kafka.bootstrap.servers": bootstrap, "topic": topic}
+    if iam:
+        opts.update(msk_iam_options(bootstrap))
+    return opts
+
+
+def read_kafka_json(
+    spark: SparkSession,
+    schema: StructType,
+    options: dict[str, str],
+    streaming: bool = True,
+) -> DataFrame:
+    """Kafka topic → typed DataFrame: JSON value decode with ISO-8601
+    timestamps (reference format props main.py:25-26 → ``from_json``
+    defaults)."""
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load().select(
+        F.from_json(F.col("value").cast("string"), schema).alias("j")
+    ).select("j.*")
+
+
+def to_kafka_json(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Typed DataFrame → Kafka-writable frame (JSON value, optional
+    key) — sink format parity with main.py:49-50."""
+    value = F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    if key_col is None:
+        return df.select(value)
+    return df.select(F.col(key_col).cast("string").alias("key"), value)
+
+
+def write_kafka_json(
+    df: DataFrame,
+    options: dict[str, str],
+    checkpoint: str,
+    key_col: str | None = None,
+):
+    """Start a streaming Kafka sink (returns the StreamingQuery)."""
+    writer = to_kafka_json(df, key_col).writeStream.format("kafka")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    return writer.option("checkpointLocation", checkpoint).start()

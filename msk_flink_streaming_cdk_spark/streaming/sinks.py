@@ -1,0 +1,105 @@
+"""Streaming sinks.
+
+Parity targets:
+- Partitioned filesystem sink with per-partition success files and
+  JSON format (``/root/reference/PythonKafkaSink/main.py:59-76`` —
+  ``PARTITIONED BY (year, month, day, hour)``, ``'format'='json'``,
+  ``'sink.partition-commit.policy.kind'='success-file'``).
+- Per-record external publisher (the reference's consumer Lambda →
+  SNS, ``kfpLambdaConsumerSNS.py:12-23``) as a ``foreachBatch``
+  adapter that publishes from executors, never the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned_files(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "json",
+    partition_cols: tuple[str, ...] = ("year", "month", "day", "hour"),
+    success_file_per_partition: bool = True,
+    trigger: dict | None = None,
+):
+    """Start a partitioned file sink (returns StreamingQuery).
+
+    With ``success_file_per_partition`` a ``foreachBatch`` writer
+    appends the micro-batch under Hive-style partition dirs and then
+    marks each touched partition with a ``_SUCCESS`` file — the
+    reference's partition-commit policy (main.py:74-75). The partition
+    list per batch is tiny (distinct partition tuples, not rows), so
+    the driver-side marker loop is O(#partitions), not O(rows).
+    """
+    trigger = trigger or {"availableNow": True}
+
+    if not success_file_per_partition:
+        writer = (
+            df.writeStream.format(fmt)
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .partitionBy(*partition_cols)
+            .outputMode("append")
+        )
+        return writer.trigger(**trigger).start()
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Cluster rows by partition key before the write: without this
+        # every shuffle partition emits a file into every partition dir
+        # (tiny-files explosion at scale — observed 19 files for 200
+        # rows). One shuffle, ~one file per partition dir per batch.
+        batch_df.repartition(*[batch_df[c] for c in partition_cols]).write.mode(
+            "append"
+        ).partitionBy(*partition_cols).format(fmt).save(path)
+        parts = (
+            batch_df.select(*partition_cols).distinct().collect()
+        )
+        for row in parts:
+            part_dir = os.path.join(
+                path, *[f"{c}={row[c]}" for c in partition_cols]
+            )
+            if os.path.isdir(part_dir):
+                open(os.path.join(part_dir, "_SUCCESS"), "a").close()
+
+    return (
+        df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(**trigger)
+        .start()
+    )
+
+
+def foreach_batch_publisher(
+    publish: Callable[[dict], None],
+) -> Callable[[DataFrame, int], None]:
+    """Per-record external publisher (SNS-shaped, consumer Lambda
+    parity). ``publish`` must be picklable; it runs on executors via
+    ``foreachPartition`` — one client per partition, no driver collect.
+    """
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        def publish_partition(rows) -> None:
+            for row in rows:
+                publish(row.asDict())
+
+        batch_df.foreachPartition(publish_partition)
+
+    return handler
+
+
+def memory_sink(df: DataFrame, name: str, trigger: dict | None = None):
+    """Append-mode memory sink for deterministic streaming tests."""
+    trigger = trigger or {"availableNow": True}
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(**trigger)
+        .start()
+    )

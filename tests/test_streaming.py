@@ -1,0 +1,157 @@
+"""Streaming semantics tests (SURVEY §5.2).
+
+Deterministic replay: reference-shaped rows written as one parquet file
+per intended micro-batch (``maxFilesPerTrigger=1`` + staggered mtimes),
+run with availableNow. Asserts window finalization under the watermark,
+append-mode emission, late-row drop, and the partitioned-sink layout
+(year=/month=/day=/hour= + per-partition _SUCCESS).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from datetime import datetime, timedelta
+
+import pytest
+
+from msk_flink_streaming_cdk_spark.schemas import SENSOR_READING
+from msk_flink_streaming_cdk_spark.sources.files import stream_parquet_dir
+from msk_flink_streaming_cdk_spark.streaming.pipelines import (
+    q1_stream,
+    q2_stream,
+    run_single_scan_fanout,
+)
+from msk_flink_streaming_cdk_spark.streaming.sinks import (
+    memory_sink,
+    write_partitioned_files,
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write_batches(spark, tmpdir, batches):
+    """Write each list of (sensor_id, temp, offset_s) as one parquet
+    file with increasing mtime so the file source replays in order."""
+    path = os.path.join(str(tmpdir), "stream_src")
+    os.makedirs(path, exist_ok=True)
+    for i, rows in enumerate(batches):
+        data = [
+            (s, t, T0 + timedelta(seconds=off)) for (s, t, off) in rows
+        ]
+        df = spark.createDataFrame(data, SENSOR_READING).coalesce(1)
+        part = os.path.join(str(tmpdir), f"part_{i}")
+        df.write.mode("overwrite").parquet(part)
+        (src,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(path, f"batch_{i:03d}.parquet")
+        os.rename(src, dst)
+        mtime = time.time() - 1000 + i * 10
+        os.utime(dst, (mtime, mtime))
+    return path
+
+
+def _run_to_memory(spark, src_path, transform, name):
+    readings = stream_parquet_dir(
+        spark, src_path, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = memory_sink(transform(readings), name)
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_q1_append_emits_only_finalized_windows_and_drops_late(spark, tmp_path):
+    # batch 0: 5 hot rows in window [0,30) + a row at t=40 that pushes
+    #          the watermark to 35 (>30) for the next batch
+    # batch 1: watermark 35 → window [0,30) is finalized and evicted
+    # batch 2: a LATE hot row at t=5 → dropped (state evicted)
+    #
+    # Note the Spark/Flink delta: Flink's per-record watermark drops a
+    # late row as soon as the watermark passed the window end; Spark's
+    # micro-batch watermark only guarantees drops after state eviction
+    # (a late row arriving in the SAME batch as the eviction still
+    # merges — Structured Streaming's documented one-directional
+    # guarantee). The reference's 5s-watermark semantics are preserved
+    # modulo that batch-granularity difference.
+    batches = [
+        [("1", 31, 0), ("1", 32, 2), ("1", 31, 4), ("1", 32, 6),
+         ("1", 31, 8), ("1", 31, 40)],
+        [("1", 31, 50)],
+        [("1", 32, 5), ("1", 31, 100)],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    out = _run_to_memory(spark, src, q1_stream, "q1_late_test")
+    rows = {(r.sensor_id, r.start_event_time): r.count_temp for r in out.collect()}
+    # window [0,30): count 5 from batch 0 only; late row at t=5 dropped.
+    assert rows == {("1", T0): 5}
+
+
+def test_q1_window_below_having_threshold_suppressed(spark, tmp_path):
+    batches = [
+        [("2", 31, 0), ("2", 32, 2), ("2", 31, 40)],  # only 2 hot rows in [0,30)
+        [("2", 31, 100)],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    out = _run_to_memory(spark, src, q1_stream, "q1_having_test")
+    assert out.count() == 0
+
+
+def test_q2_avg_bigint_parity_and_final_emission(spark, tmp_path):
+    # window [0,60): temps 27,28,32 → avg 29.0 → BIGINT 29
+    # window [60,120): temps 30,31 → avg 30.5 → BIGINT 30 (floor parity
+    # with Flink AVG(BIGINT)); emitted because batch 1 pushes the
+    # watermark past 120.
+    batches = [
+        [("1", 27, 0), ("1", 28, 10), ("1", 32, 20), ("1", 30, 60),
+         ("1", 31, 70)],
+        [("1", 27, 200)],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    out = _run_to_memory(spark, src, q2_stream, "q2_avg_test")
+    rows = {r.start_event_time: r.avg_temp for r in out.collect()}
+    assert rows[T0] == 29
+    assert rows[T0 + timedelta(seconds=60)] == 30
+    # time-part columns (main.py:92 parity)
+    r = out.filter("start_event_time = timestamp'2024-01-01 00:00:00'").first()
+    assert (r.year, r.month, r.day, r.hour) == (2024, 1, 1, 0)
+
+
+def test_partitioned_file_sink_layout_and_success_files(spark, tmp_path):
+    batches = [
+        [("1", 27, 0), ("1", 29, 10), ("2", 32, 30)],
+        [("1", 28, 7200)],  # hour 2 → watermark passes hour-0 windows
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    out_dir = os.path.join(str(tmp_path), "s3_sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt_sink")
+    q = write_partitioned_files(
+        q2_stream(readings), out_dir, ckpt, fmt="json"
+    )
+    q.awaitTermination(120)
+    part_dir = os.path.join(out_dir, "year=2024", "month=1", "day=1", "hour=0")
+    assert os.path.isdir(part_dir), os.listdir(out_dir)
+    assert os.path.exists(os.path.join(part_dir, "_SUCCESS"))
+    data = spark.read.json(os.path.join(out_dir, "year=*", "month=*", "day=*", "hour=*"))
+    assert data.count() >= 2  # both sensors' hour-0 windows committed
+
+
+def test_single_scan_fanout_runs_both_sinks(spark, tmp_path):
+    batches = [[("1", 31, i) for i in range(0, 25, 5)] + [("1", 27, 50)]]
+    src = _write_batches(spark, tmp_path, batches)
+    readings = stream_parquet_dir(spark, src, SENSOR_READING)
+    captured: dict[str, int] = {}
+
+    def q1_sink(df, batch_id):
+        captured["q1"] = captured.get("q1", 0) + df.count()
+
+    def q2_sink(df, batch_id):
+        captured["q2"] = captured.get("q2", 0) + df.count()
+
+    ckpt = os.path.join(str(tmp_path), "ckpt_fanout")
+    q = run_single_scan_fanout(readings, q1_sink, q2_sink, ckpt)
+    q.awaitTermination(120)
+    assert captured["q1"] >= 1  # 5 hot rows in [0,30) → count>3 alert
+    assert captured["q2"] >= 1
