@@ -1,0 +1,107 @@
+"""Reusable relational operators beyond plain DataFrame calls.
+
+The reference contains no joins/sorts/OVER windows (SURVEY §2.3, §2.5,
+§2.6) — this module supplies the general library the engine needs,
+each expressed as a composition of built-in Catalyst-optimizable ops
+(no Python in the row path).
+
+Scale notes are per-operator; all of them avoid driver-side collects
+and keep shuffles to the minimum Catalyst needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-k rows per group via row_number.
+
+    Scale: one shuffle on the partition key; Spark plans a partial
+    top-k (WindowGroupLimit) below the shuffle since 3.5, so only k
+    rows per group per mapper move — safe for skewed groups.
+    Pass a unique tie-break column in ``order_cols`` for determinism.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+    return out if keep_rank else out.drop(rank_col)
+
+
+def global_top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """ORDER BY ... LIMIT k. Spark executes TakeOrderedAndProject:
+    per-partition heap of k rows + driver merge of #partitions * k —
+    no global sort, safe at any scale for small k."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Sliding (hopping) event-time window aggregation — the reference
+    only uses tumbling (SURVEY §2.7); built-in ``window(ts, size,
+    slide)`` generalizes it. Works batch and streaming."""
+    return (
+        df.groupBy(F.window(ts_col, size, slide), *group_cols)
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            *group_cols,
+            *[F.col(c) for c in _agg_names(aggs)],
+        )
+    )
+
+
+def _agg_names(aggs: list[Column]) -> list[str]:
+    # Column metadata isn't exposed pre-analysis; require aliases.
+    names = []
+    for c in aggs:
+        s = c._jc.toString()
+        assert " AS " in s, f"aggregate must be aliased: {s}"
+        names.append(s.rsplit(" AS ", 1)[1].strip("`"))
+    return names
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str,
+    aggs: list[Column],
+) -> DataFrame:
+    """Session-window aggregation (gap-merged) via built-in
+    ``session_window`` — batch and streaming. Emits the session bounds
+    (end = last event + gap, Spark/Flink-identical semantics)."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap), *key_cols)
+        .agg(*aggs)
+        .select(
+            *key_cols,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *[F.col(c) for c in _agg_names(aggs)],
+        )
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """Keep one deterministic row per key (min by order_cols) — exact
+    dedup primitive. One shuffle on the key; partial aggregation
+    (max_by/min_by) combines map-side, unlike a window+filter."""
+    return top_k_per_group(df, key_cols, order_cols, k=1)

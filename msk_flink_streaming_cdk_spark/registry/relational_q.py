@@ -1,0 +1,660 @@
+"""Relational operator breadth — oracle-checked (SURVEY §2.3-§2.6, §2.8).
+
+The reference has no joins, OVER windows, sorts, or set ops (its two
+queries are single-table windowed aggregations), so this inventory is
+what makes the engine a general analytics engine. Every query is plain
+DataFrame API (Catalyst plans the join strategies; dims get explicit
+``broadcast()`` where we know they're small).
+
+Determinism conventions for the DuckDB value-hash:
+- money sums go through ``decimal(18,2)`` on BOTH sides (double sums
+  are order-dependent in the last bits);
+- averages/doubles are ``round(x, 4)``;
+- every computed column is aliased identically on both sides;
+- int-typed Spark outputs are cast to long where DuckDB yields BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import (
+    global_top_k,
+    sessionize,
+    top_k_per_group,
+)
+from ..sources.fixtures import load_table, register_views
+from ._core import register
+
+_DEC = "decimal(18,2)"
+
+
+def _disc_price_spark():
+    """l_extendedprice*(1-l_discount) in exact decimal arithmetic.
+
+    The fixture stores intended-2-decimal doubles; the double product
+    lands on exact half-cents, which Spark (HALF_UP on the binary
+    expansion) and DuckDB (scaled-double rounding) round differently.
+    Casting each factor to decimal first makes the product exact and
+    engine-independent.
+    """
+    return F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- aggregations -----------------------------------------------------------
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           sum({_DISC_PRICE_SQL}) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: multi-aggregate hash agg with
+    map-side partial aggregation; scan-level predicate pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("sum_base_price"),
+            F.sum(_disc_price_spark()).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "distinct_suppliers_per_brand",
+    oracle="""
+    SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           count(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def distinct_suppliers_per_brand(spark, sf_dir):
+    """DISTINCT aggregate + join (expand+two-phase agg under Catalyst)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark, sf_dir):
+    """ROLLUP hierarchy totals (NULL-filled supergroups)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf_dir):
+    """CUBE over two dims (all grouping-set combinations)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "case_when_price_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_price_buckets(spark, sf_dir):
+    """CASE WHEN bucketing + aggregation."""
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+        .alias("bucket")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(bucket)
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+@register(
+    "join_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_orders_per_segment(spark, sf_dir):
+    """Inner equi-join fact-to-dim + aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           sum({_DISC_PRICE_SQL}) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style 3-way join + top-k (TakeOrderedAndProject — no
+    global sort; deterministic via the l_orderkey tie-break)."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(
+        li, o.o_orderkey == li.l_orderkey
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(_disc_price_spark()).alias("revenue")
+    )
+    return global_top_k(
+        agg.select("l_orderkey", "revenue", "o_orderdate"),
+        [F.col("revenue").desc(), F.col("l_orderkey")],
+        10,
+    )
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_order_counts(spark, sf_dir):
+    """Left outer join preserving order-less customers (count = 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi_open_order_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def join_semi_open_order_customers(spark, sf_dir):
+    """Left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark, sf_dir):
+    """Left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "join_broadcast_region_suppliers",
+    oracle="""
+    SELECT r_name, count(*) AS n_suppliers,
+           round(avg(s_acctbal), 4) AS avg_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast_region_suppliers(spark, sf_dir):
+    """Star-join with explicit broadcast of the tiny dims (25-row
+    nation, 5-row region) — no shuffle of the fact side for the join."""
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+# --- OVER windows -----------------------------------------------------------
+
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark, sf_dir):
+    """row_number ranking, top-3 per group (WindowGroupLimit pushdown)."""
+    o = _t(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+        keep_rank=True,
+    )
+    return out.withColumn("rn", F.col("rn").cast("long"))
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_total
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    """Cumulative windowed sum (explicit ROWS frame both sides)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_days_between_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+)
+def window_lag_days_between_orders(spark, sf_dir):
+    """lag() analytic — days since the customer's previous order."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+# --- sorts / limits / set ops -----------------------------------------------
+
+@register(
+    "top20_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def top20_orders_by_price(spark, sf_dir):
+    """Global ORDER BY + LIMIT (TakeOrderedAndProject)."""
+    return global_top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        20,
+    )
+
+
+@register(
+    "setop_union_active_or_rich",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def setop_union_active_or_rich(spark, sf_dir):
+    """UNION (distinct) of two key sets."""
+    a = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_intersect_active_and_rich",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def setop_intersect_active_and_rich(spark, sf_dir):
+    a = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.intersect(b)
+
+
+@register(
+    "setop_except_rich_without_open_orders",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_except_rich_without_open_orders(spark, sf_dir):
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.exceptAll(b).distinct()
+
+
+# --- scalar function surface --------------------------------------------------
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+    SELECT p_partkey, upper(p_name) AS name_upper,
+           substr(p_type, 1, 5) AS type_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           p_brand || '/' || p_type AS brand_type
+    FROM part WHERE p_size >= 40
+    """,
+)
+def scalar_string_functions(spark, sf_dir):
+    """String scalar surface: upper/substr/length/concat + filter."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 40)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        )
+    )
+
+
+@register(
+    "scalar_date_math",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           abs(o_totalprice - 100000) / 1000.0 AS kprice_dist
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def scalar_date_math(spark, sf_dir):
+    """Date/math scalar surface: year/quarter/datediff/date_add/abs."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            )
+            .cast("long")
+            .alias("days_since_epoch_start"),
+            F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+            # No round(): the 2-dec inputs make x.xxxx5 halfway points
+            # that HALF_UP (Spark) and half-even (DuckDB) split on; the
+            # unrounded IEEE result is bit-identical in both engines.
+            (F.abs(F.col("o_totalprice") - 100000) / 1000.0).alias(
+                "kprice_dist"
+            ),
+        )
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """JSON field extraction (reference format layer F7, main.py:25) —
+    get_json_object stays JVM-side."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.get_json_object("props", "$.k").cast("long").alias("k_value")
+        )
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "pivot_event_type_counts",
+    oracle="""
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_type_counts(spark, sf_dir):
+    """Pivot-style conditional aggregation (single pass, no join)."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "error", "signup")
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+# --- generalized streaming windows (batch-checked) ---------------------------
+
+@register(
+    "sliding_window_event_counts",
+    oracle="""
+    SELECT make_timestamp(CAST(wstart AS BIGINT)*1000000) AS window_start,
+           event_type, count(*) AS n_events
+    FROM (SELECT event_type,
+                 floor(epoch(ts)/1800)*1800 - 1800*g.k AS wstart
+          FROM events, (VALUES (0),(1)) g(k))
+    GROUP BY wstart, event_type
+    """,
+)
+def sliding_window_event_counts(spark, sf_dir):
+    """Sliding 1h/30min event-time window (SURVEY §2.7 extension —
+    every event lands in exactly two hops)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "session_window_user_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_window_user_sessions(spark, sf_dir):
+    """Gap-based session windows (session_window, 30min gap) — batch
+    form of the streaming sessionization operator."""
+    return sessionize(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        ["user_id"],
+        "30 minutes",
+        [F.count("*").alias("n_events")],
+    )
+
+
+# --- SQL front door -----------------------------------------------------------
+
+_SQL_EXISTS = """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    GROUP BY n_name
+"""
+
+
+@register("sql_front_door_exists", oracle=_SQL_EXISTS)
+def sql_front_door_exists(spark, sf_dir):
+    """The SQL front door: identical ANSI text through spark.sql over
+    registered fixture views (correlated EXISTS → left-semi plan)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_EXISTS)
