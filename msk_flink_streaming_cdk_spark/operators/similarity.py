@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk_bruteforce``: exact top-k — broadcast the (small)
+  query set against the corpus; cosine is JVM-side higher-order
+  functions; per-query top-k via row_number (WindowGroupLimit keeps
+  only k rows per mapper). The baseline and the oracle-checked path.
+- ``lsh_ann_topk``: the scale path — random-hyperplane LSH buckets
+  (seeded, deterministic), multi-probe on Hamming<=1 neighbors, exact
+  cosine re-rank inside candidate buckets. Corpus side is hashed once
+  (one projection), probed buckets form an equi-join; no all-pairs
+  product at any size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from ..functions.vectors import cosine_similarity_col
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k of corpus rows per query row.
+
+    The query side is broadcast (top-k search has few queries); the
+    corpus is scanned once, partition-parallel. 100 TB shape: cost is
+    one corpus scan per query batch — batch queries, don't loop.
+    """
+    scored = corpus.join(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        cosine_similarity_col(
+            F.col(vec_col), F.col(query_vec_col)
+        ).alias("cosine"),
+    )
+    return _topk_per_query(scored, k)
+
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def _bucket_udf(all_planes: list[list[list[float]]]):
+    """Vectorized multi-table sign-LSH bucketing: one Arrow batch
+    matmul computes every table's bucket for every row.
+
+    (The all-Catalyst alternative — one zip_with/aggregate per plane —
+    is 16 tables x 6 planes = 96 array-literal expressions per row and
+    blows up codegen; measured 46s vs ~2s on the sf0.01 fixture. This
+    is the documented 'Python only when built-ins genuinely can't
+    express it efficiently' case.)"""
+    H = np.asarray(all_planes)  # (tables, bits, dim)
+    tables, bits, dim = H.shape
+    flat = H.reshape(tables * bits, dim).T  # (dim, tables*bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (X @ flat) >= 0  # (n, tables*bits)
+        b = signs.reshape(len(X), tables, bits) @ weights  # (n, tables)
+        return pd.Series(list(b.astype(np.int32)))
+
+    return buckets
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 6,
+    n_tables: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k with multi-table sign-LSH.
+
+    ``n_tables`` independent hash tables (seeded hyperplane sets);
+    candidates = corpus rows sharing a (table, bucket) — plus Hamming-1
+    multi-probe buckets — with the query in ANY table, re-ranked by
+    exact cosine. Recall/cost dial: tables x probes x bucket size.
+    Corpus is hashed in one projection (n_tables ints per row); the
+    candidate step is an equi-join on (table_id, bucket) — no
+    all-pairs product at any corpus size.
+    """
+    all_planes = [
+        hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)
+    ]
+    bucket_udf = _bucket_udf(all_planes)
+    hashed = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.posexplode(bucket_udf(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vec"),
+        F.posexplode(bucket_udf(F.col(query_vec_col))).alias(
+            "table_id", "qbucket"
+        ),
+    )
+    probes = qb.select(
+        "query_id",
+        "query_vec",
+        "table_id",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(n_bits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = hashed.join(
+        F.broadcast(probes), ["table_id", "bucket"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity_col(
+            F.col("embedding"), F.col("query_vec")
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    return _topk_per_query(scored, k)

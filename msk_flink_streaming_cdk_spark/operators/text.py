@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines.
+
+All column builders are pure ``pyspark.sql.functions`` expressions —
+JVM-side, codegen'd, no UDFs — so they run at scan speed over 100 TB
+of documents. Each has an exact DuckDB-SQL twin in
+``registry/llm_q.py`` for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenization: word runs or single non-space symbols (ASCII
+# \w in both Java regex and RE2, so Spark and DuckDB agree).
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+
+# Minimal per-language stopword evidence for the n-gram/stopword
+# language-ID heuristic. Scores are plain token-match counts.
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+CJK_RANGE_RE = r"[\x{4e00}-\x{9fff}]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast(
+        "long"
+    )
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def _stopword_count(text: Column, words: tuple[str, ...]) -> Column:
+    pat = r"(?:^|\s)(?:" + "|".join(words) + r")(?:\s|$)"
+    # Non-overlapping matches undercount adjacent stopwords the same
+    # way in both engines (same regex, same semantics) — fine for a
+    # heuristic score.
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Heuristic quality signals: length, word stats, punctuation /
+    stopword / alpha ratios. Deterministic doubles (single IEEE
+    expression per value — no engine-dependent rounding)."""
+    n_chars = char_count(text)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words).cast("long")
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    n_alpha = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]"), 0))
+    n_stop = _stopword_count(text, LANG_STOPWORDS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": (n_chars - (n_words - 1)) / n_words.cast("double"),
+        "punct_ratio": n_punct.cast("double") / n_chars.cast("double"),
+        "alpha_ratio": n_alpha.cast("double") / n_chars.cast("double"),
+        "stopword_ratio": n_stop.cast("double") / n_words.cast("double"),
+    }
+
+
+def language_id_col(text: Column) -> Column:
+    """Stopword/charset language guess over {en,fr,es,de,zh}.
+
+    CJK character presence dominates; otherwise the max stopword count
+    wins with a fixed preference order for ties (deterministic)."""
+    scores = {
+        lang: _stopword_count(text, words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    n_cjk = F.size(F.regexp_extract_all(text, F.lit(CJK_RANGE_RE), 0))
+    best = F.greatest(*scores.values())
+    guess = F.lit("unknown")
+    # reversed so earlier langs win ties (chained when(): first match)
+    for lang in reversed(list(LANG_STOPWORDS)):
+        guess = F.when(
+            (best > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(guess)
+    return F.when(n_cjk * 4 > char_count(text), F.lit("zh")).otherwise(guess)
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of the lowercased,
+    whitespace-collapsed text — the exact-dedup / caching key."""
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(F.encode(canon, "UTF-8"))
+
+
+def rolling_hash_col(text: Column, window: int = 8) -> Column:
+    """Per-document set of rolling (Rabin-Karp-style) window hashes
+    over words — content-defined chunk keys for shift-robust
+    fingerprinting. Built from higher-order functions (no UDF):
+    hash(window_i) = xxhash64(words[i..i+w))."""
+    w = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(w)
+    return F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - (window - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, window), " ")),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.array_join(w, " "))))

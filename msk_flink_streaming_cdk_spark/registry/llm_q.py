@@ -1,0 +1,287 @@
+"""LLM-training-data pipeline queries (SURVEY §7 M5) — dedup,
+similarity search, text analysis, multimodal plumbing.
+
+Oracle-checked where DuckDB can express the same computation; the
+hash-based ops (MinHash-LSH, SimHash, LSH-ANN, rolling fingerprints)
+are rows-only for the driver and quality-gated in
+``tests/test_llm_ops.py`` (recall against the exact methods).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_hamming_pairs,
+)
+from ..operators.multimodal import extract_features, synth_assets_from_documents
+from ..operators.similarity import cosine_topk_bruteforce, lsh_ann_topk
+from ..operators.text import (
+    BPE_TOKEN_RE,
+    bpe_token_count,
+    char_count,
+    fingerprint_md5,
+    language_id_col,
+    quality_score_cols,
+    rolling_hash_col,
+    whitespace_token_count,
+)
+from ..sources.fixtures import load_table
+from ._core import register
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- text analysis ------------------------------------------------------------
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex — scan-speed
+    (regexp inside codegen, no UDF)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        char_count(F.col("text")).alias("n_chars_computed"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(regexp_extract_all(lower(text),
+                 '(?:^|\s)(?:the|and|of|to|is)(?:\s|$)')) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars, n_words,
+           (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) AS avg_word_len,
+           n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           n_alpha / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+           n_stop / CAST(n_words AS DOUBLE) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Heuristic quality signals (length/punct/stopword/alpha ratios)."""
+    cols = quality_score_cols(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '(?:^|\s)(?:the|and|of|to|is)(?:\s|$)')) AS s_en,
+        len(regexp_extract_all(lower(text), '(?:^|\s)(?:le|la|les|et|est)(?:\s|$)')) AS s_fr,
+        len(regexp_extract_all(lower(text), '(?:^|\s)(?:el|los|las|es|y)(?:\s|$)')) AS s_es,
+        len(regexp_extract_all(lower(text), '(?:^|\s)(?:der|die|das|und|ist)(?:\s|$)')) AS s_de,
+        len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS n_cjk,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents)
+    SELECT lang_guess, count(*) AS n_docs FROM (
+      SELECT CASE
+        WHEN n_cjk * 4 > n_chars THEN 'zh'
+        WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+        WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+        WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+        WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+        ELSE 'de' END AS lang_guess
+      FROM s) GROUP BY lang_guess
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Stopword/charset language-ID heuristic, aggregated to a
+    distribution. (The fixture's lang column is synthetic metadata —
+    the gate is Spark↔DuckDB parity of the heuristic itself.)"""
+    return (
+        _docs(spark, sf_dir)
+        .select(language_id_col(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "text_fingerprint_md5",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint_md5(spark, sf_dir):
+    """Canonical md5 fingerprint of normalized text."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+
+
+@register("text_rolling_fingerprints")  # xxhash64 → not DuckDB-expressible
+def text_rolling_fingerprints(spark, sf_dir):
+    """Rolling 8-word window hashes per document (shift-robust
+    fingerprints); rows-only driver check, shape-tested in pytest."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(rolling_hash_col(F.col("text"))).cast("long").alias("n_windows"),
+        rolling_hash_col(F.col("text")).alias("window_hashes"),
+    )
+
+
+# --- dedup ----------------------------------------------------------------------
+
+@register(
+    "dedup_exact_text",
+    oracle=r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_text(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the canonical fingerprint."""
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, n_chars AS n_len,
+             CAST(floor(n_chars/16) AS BIGINT) AS bucket,
+             CASE WHEN len(w) >= 5
+                  THEN list_distinct([array_to_string(w[i:i+4], ' ')
+                                      for i in range(1, len(w)-4+1)])
+                  ELSE [array_to_string(w, ' ')] END AS shingles
+      FROM words
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+    FROM sh a JOIN sh b
+      ON b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1
+     AND a.doc_id < b.doc_id AND abs(a.n_len - b.n_len) <= 16
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 5-shingle Jaccard near-dup pairs, length-band blocked."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_minhash_lsh_pairs")  # xxhash64-based → rows-only
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (the 100 TB path), exact-Jaccard
+    verified; recall vs the exact method is pinned in pytest."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_simhash_pairs")  # pandas-UDF bit ops → rows-only
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming<=3 near-dup pairs (Arrow-batched sketch,
+    pigeonhole-banded join)."""
+    return simhash_hamming_pairs(_docs(spark, sf_dir))
+
+
+# --- similarity search ------------------------------------------------------------
+
+_COSINE_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(q.query_vec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]),
+                                        CAST(q.query_vec AS DOUBLE[]))))
+               AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cosine,
+           CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+"""
+
+
+@register("similarity_cosine_topk", oracle=_COSINE_SQL)
+def similarity_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for 10 query vectors — the ANN
+    baseline. JVM-side higher-order-function dot products."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "vec_id", "cosine", F.col("rank")
+    )
+
+
+@register("similarity_lsh_ann_topk")  # approximate → rows-only
+def similarity_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (multi-probe random-hyperplane)
+    — the scale path; recall vs brute force pinned in pytest."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return lsh_ann_topk(emb, queries, k=5)
+
+
+# --- multimodal -------------------------------------------------------------------
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(64 + (octet_length(encode(text)) * 2654435761) % 1024
+                AS INTEGER) AS fake_width,
+           CAST(64 + (octet_length(encode(text)) * 40503) % 1024
+                AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark, sf_dir):
+    """Binary-payload feature extraction through the Arrow
+    mapInPandas path (decode stubbed deterministically; md5/n_bytes
+    are real byte-level computations the oracle reproduces)."""
+    assets = synth_assets_from_documents(_docs(spark, sf_dir))
+    return extract_features(assets, decode_stub=True)

@@ -1,0 +1,72 @@
+"""Quality gates for the hash-based LLM-pipeline ops that have no SQL
+oracle: MinHash-LSH and SimHash recall vs the exact Jaccard method,
+LSH-ANN recall vs brute-force cosine, rolling-fingerprint shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_minhash_lsh_recovers_exact_near_dups(spark, sf_small):
+    exact = _pairs(QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_small))
+    lsh = _pairs(QUERIES["dedup_minhash_lsh_pairs"](spark, sf_small))
+    assert exact, "fixture should contain injected near-dups"
+    # LSH verifies candidates with the same exact Jaccard, so every
+    # LSH pair is a true near-dup pair (no length-band blocking, so it
+    # may legitimately find pairs the banded exact method missed).
+    missed = exact - lsh
+    assert not missed, f"LSH missed near-dup pairs: {missed}"
+
+
+def test_simhash_pairs_overlap_near_dups(spark, sf_small):
+    exact = _pairs(QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_small))
+    sim = _pairs(QUERIES["dedup_simhash_pairs"](spark, sf_small))
+    # SimHash@hamming<=3 is a coarser sketch; require it to find a
+    # majority of the true near-identical pairs (fixture pairs have
+    # jaccard >= 0.94).
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.5, f"simhash recall {recall:.2f}, pairs={sim}"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_small):
+    exact = QUERIES["similarity_cosine_topk"](spark, sf_small)
+    approx = QUERIES["similarity_lsh_ann_topk"](spark, sf_small)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # Deterministic (seeded hyperplanes): pin a healthy floor.
+    assert recall >= 0.5, f"ANN recall@5 {recall:.2f}"
+
+
+def test_lsh_ann_scores_are_exact_cosines(spark, sf_small):
+    """The ANN re-rank uses exact cosine — any (query, vec) it returns
+    must carry the same score as brute force computes."""
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in QUERIES["similarity_cosine_topk"](spark, sf_small).collect()
+    }
+    for r in QUERIES["similarity_lsh_ann_topk"](spark, sf_small).collect():
+        key = (r.query_id, r.vec_id)
+        if key in exact:
+            assert abs(exact[key] - r.cosine) < 1e-12
+
+
+def test_rolling_fingerprints_shape(spark, sf_small):
+    df = QUERIES["text_rolling_fingerprints"](spark, sf_small)
+    row = df.filter(F.col("n_windows") > 1).first()
+    assert row is not None
+    assert len(row.window_hashes) == row.n_windows
+    assert len(set(row.window_hashes)) > 1  # hashes vary across windows
+
+
+def test_exact_dedup_counts(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    dedup = QUERIES["dedup_exact_text"](spark, sf_small)
+    assert dedup.count() <= docs.count()
+    assert dedup.agg(F.sum("n_copies")).first()[0] == docs.count()
