@@ -98,6 +98,64 @@ def sessionize(
     )
 
 
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_time: str,
+    right_time: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for every left row, the latest right row
+    with the same key and ``right_time <= left_time`` (Spark has no
+    native ASOF JOIN; DuckDB does, which the oracle uses).
+
+    Implementation is the scalable union trick, not a point-lookup
+    join: tag both sides, union, then ``last(value, ignorenulls)``
+    over (key ORDER BY time, side) carries the most recent right-side
+    values forward onto left rows. Exactly ONE shuffle on the key
+    (window sort), no matter the sizes — the classic merge-join shape
+    Catalyst can't otherwise produce for this pattern. A right row at
+    exactly left_time matches (sorted before the left row via the
+    side tag), mirroring ASOF's ``>=``.
+    """
+    lt = left.withColumn("__t", F.col(left_time)).withColumn(
+        "__side", F.lit(1)
+    )
+    for c in right_value_cols:
+        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        *key_cols,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True)
+            .over(w)
+            .alias(f"__asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1).drop(
+        "__t", "__side", *[f"__r_{c}" for c in right_value_cols]
+    )
+    for c in right_value_cols:
+        out = out.withColumnRenamed(f"__asof_{c}", c)
+    return out
+
+
 def dedup_keep_first(
     df: DataFrame, key_cols: list[str], order_cols: list[Column]
 ) -> DataFrame:

@@ -1,0 +1,73 @@
+"""Physical-plan inspection utilities.
+
+The 100 TB posture is enforced here: tests assert that filters reach
+the parquet scan (PushedFilters), scans prune columns (ReadSchema),
+small dims broadcast (BroadcastHashJoin), nothing degrades to a
+nested-loop join, and shuffle counts stay at the plan's minimum.
+`.explain("formatted")` is the source of truth — iterate the operator
+until the plan is the one you'd want on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    """Assert a predicate fragment appears in the scan's
+    PushedFilters (predicate pushdown reached the data source)."""
+    plan = formatted_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, f"no PushedFilters in plan:\n{plan}"
+    assert any(fragment in ln for ln in pushed), (
+        f"filter {fragment!r} not pushed; PushedFilters lines: {pushed}"
+    )
+
+
+def assert_read_schema_pruned(
+    df: DataFrame, must_read: list[str], must_not_read: list[str]
+) -> None:
+    """Assert column pruning: the parquet ReadSchema contains exactly
+    the needed columns."""
+    plan = formatted_plan(df)
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas, f"no ReadSchema in plan:\n{plan}"
+    joined = " ".join(schemas)
+    for col in must_read:
+        assert col in joined, f"{col} missing from ReadSchema: {schemas}"
+    for col in must_not_read:
+        assert col not in joined, f"{col} not pruned: {schemas}"
+
+
+def assert_broadcast_hash_join(df: DataFrame, at_least: int = 1) -> None:
+    plan = formatted_plan(df)
+    n = plan.count("BroadcastHashJoin")
+    assert n >= at_least, f"expected >={at_least} BroadcastHashJoin:\n{plan}"
+
+
+def assert_no_nested_loop_join(df: DataFrame) -> None:
+    """O(n^2) guard: range/non-equi predicates silently degrade to
+    BroadcastNestedLoopJoin / CartesianProduct (observed: the dedup
+    length-band join, >9 min at sf0.1 until made an equi-join)."""
+    plan = formatted_plan(df)
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in plan:\n{plan}"
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (before AQE
+    runtime coalescing)."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Exchange")
+        or " Exchange" in ln
+        and "Reused" not in ln
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.relational import (
+    asof_join_backward,
     global_top_k,
     sessionize,
     top_k_per_group,
@@ -642,6 +643,137 @@ def session_window_user_sessions(spark, sf_dir):
 
 
 # --- SQL front door -----------------------------------------------------------
+
+@register(
+    "asof_join_prev_signup",
+    oracle="""
+    SELECT a.event_id, a.user_id, b.prev_signup_ts
+    FROM events a ASOF LEFT JOIN
+         (SELECT user_id, ts, ts AS prev_signup_ts FROM events
+          WHERE event_type = 'signup') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def asof_join_prev_signup(spark, sf_dir):
+    """Backward as-of join (no native Spark ASOF): for every event,
+    the user's most recent signup at-or-before it. Union + last-over-
+    window — one shuffle regardless of side sizes. Oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("prev_signup_ts")
+    )
+    return asof_join_backward(
+        left,
+        right,
+        key_cols=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_value_cols=["prev_signup_ts"],
+    ).select("event_id", "user_id", "prev_signup_ts")
+
+
+@register(
+    "stats_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_discount), 6) AS sd_disc,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 8) AS covar_qd,
+           quantile_cont(l_quantity, 0.5) AS med_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_by_returnflag(spark, sf_dir):
+    """Statistical aggregate surface: stddev/variance/corr/covar +
+    exact interpolated median."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 8).alias(
+                "covar_qd"
+            ),
+            F.median("l_quantity").alias("med_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("grouping_sets_status_priority", oracle=_GROUPING_SETS_SQL)
+def grouping_sets_status_priority(spark, sf_dir):
+    """Explicit GROUPING SETS + GROUPING() marker through the SQL
+    front door (identical text both engines)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "array_agg_order_keys",
+    oracle="""
+    SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+           count(*) AS n_orders
+    FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+    """,
+)
+def array_agg_order_keys(spark, sf_dir):
+    """Array aggregation (collect + canonical sort for determinism)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_IN_SUBQUERY_SQL = """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_regionkey = 2)
+"""
+
+
+@register("in_subquery_suppliers", oracle=_IN_SUBQUERY_SQL)
+def in_subquery_suppliers(spark, sf_dir):
+    """IN-subquery (planned as left-semi) via the SQL front door."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IN_SUBQUERY_SQL)
+
+
+_SCALAR_SUBQUERY_SQL = """
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6)
+             AS price_ratio
+    FROM orders WHERE o_orderkey % 200 = 0
+"""
+
+
+@register("scalar_subquery_price_ratio", oracle=_SCALAR_SUBQUERY_SQL)
+def scalar_subquery_price_ratio(spark, sf_dir):
+    """Uncorrelated scalar subquery (single-value broadcast)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQUERY_SQL)
+
 
 _SQL_EXISTS = """
     SELECT n_name, count(*) AS n_customers

@@ -1,0 +1,92 @@
+"""Custom stateful streaming operators (SURVEY §2.7 extension).
+
+The reference's state is implicit window state (main.py:85,96); these
+cover what built-in windows can't express:
+
+- ``ewma_by_key``: per-key exponentially-weighted moving average via
+  ``applyInPandasWithState`` — the Structured Streaming escape hatch
+  for arbitrary per-key state (Arrow-batched, state tracked by the
+  engine's state store, scales with the key-hash shuffle like any
+  keyed operator).
+- ``interval_join``: watermarked stream-stream join with an event-time
+  band — built-in, included here as the canonical composition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EWMA_OUTPUT_SCHEMA = "sensor_id string, n_events long, ewma double"
+_EWMA_STATE_SCHEMA = "n long, ewma double"
+
+
+def make_ewma_fn(alpha: float = 0.3):
+    """Stateful per-key EWMA update function. Rows within each batch
+    are folded in event-time order so results are deterministic."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        n, ewma = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            for temp in pdf.sort_values("event_time")["temperature"]:
+                ewma = (
+                    float(temp)
+                    if ewma is None
+                    else alpha * float(temp) + (1 - alpha) * ewma
+                )
+                n += 1
+        state.update((n, ewma))
+        yield pd.DataFrame(
+            {"sensor_id": [sensor_id], "n_events": [n], "ewma": [ewma]}
+        )
+
+    return update
+
+
+def ewma_by_key(readings: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-sensor EWMA over a (streaming) readings frame; emits the
+    updated (sensor_id, n_events, ewma) row per key per micro-batch.
+    Use outputMode('update')."""
+    return readings.groupBy("sensor_id").applyInPandasWithState(
+        make_ewma_fn(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower: str,
+    upper: str,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Watermarked stream-stream interval join:
+    right_time in [left_time - lower, left_time + upper].
+
+    Both sides carry watermarks so the join state is bounded — the
+    engine drops right-side state older than
+    watermark + band (Structured Streaming's documented state cleanup
+    for time-bound stream-stream joins)."""
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_time] >= lw[left_time] - F.expr(f"INTERVAL {lower}"))
+        & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond).drop(rw[key])

@@ -1,0 +1,112 @@
+"""Physical-plan quality gates (100 TB posture, SURVEY §7).
+
+Correctness says the answer is right; these say the PLAN is right —
+pushdown reached the scan, scans prune columns, tiny dims broadcast,
+nothing degraded to a nested-loop join, top-k uses the group-limit
+pushdown. A regression here is a 100x slowdown at scale even if every
+oracle still matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from msk_flink_streaming_cdk_spark.plans import (
+    assert_broadcast_hash_join,
+    assert_no_nested_loop_join,
+    assert_pushed_filter,
+    assert_read_schema_pruned,
+    formatted_plan,
+)
+from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark, sf_small):
+    df = QUERIES["agg_pricing_summary"](spark, sf_small)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_read_schema_pruned(
+        df,
+        must_read=["l_quantity", "l_extendedprice", "l_returnflag"],
+        must_not_read=["l_orderkey", "l_suppkey", "l_partkey"],
+    )
+
+
+def test_q1_filter_pushed_below_window_agg(spark, sf_small):
+    df = QUERIES["q1_alerts_daily"](spark, sf_small)
+    # temperature > 30 must reach the parquet scan as value > 30.0
+    # (floor(value) > 30 implies the scan-level bound) or at least the
+    # scan must prune to the 3 needed columns.
+    assert_read_schema_pruned(
+        df,
+        must_read=["user_id", "value", "ts"],
+        must_not_read=["props", "event_type"],
+    )
+
+
+def test_star_join_broadcasts_dims(spark, sf_small):
+    df = QUERIES["join_broadcast_region_suppliers"](spark, sf_small)
+    assert_broadcast_hash_join(df, at_least=2)
+    assert_no_nested_loop_join(df)
+
+
+def test_dedup_band_join_is_not_nested_loop(spark, sf_small):
+    assert_no_nested_loop_join(
+        QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_small)
+    )
+
+
+def test_minhash_join_is_not_nested_loop(spark, sf_small):
+    assert_no_nested_loop_join(
+        QUERIES["dedup_minhash_lsh_pairs"](spark, sf_small)
+    )
+
+
+def test_top3_uses_window_group_limit(spark, sf_small):
+    plan = formatted_plan(
+        QUERIES["window_top3_orders_per_customer"](spark, sf_small)
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_global_topk_avoids_global_sort(spark, sf_small):
+    plan = formatted_plan(QUERIES["top20_orders_by_price"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_and_anti_join_plans(spark, sf_small):
+    for name in (
+        "join_semi_open_order_customers",
+        "join_anti_customers_without_orders",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_small))
+        assert "Semi" in plan or "Anti" in plan, f"{name}:\n{plan}"
+        assert_no_nested_loop_join(QUERIES[name](spark, sf_small))
+
+
+# similarity_cosine_topk is exempt: brute force is definitionally an
+# all-pairs product — its BroadcastNestedLoopJoin (tiny query side
+# broadcast against a corpus scan) is the intended plan; the LSH-ANN
+# variant is the scale path and must stay an equi-join.
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "join_orders_per_segment",
+        "similarity_lsh_ann_topk",
+    ],
+)
+def test_no_nested_loop_anywhere(spark, sf_small, name):
+    assert_no_nested_loop_join(QUERIES[name](spark, sf_small))
+
+
+def test_partial_aggregation_map_side(spark, sf_small):
+    # Two-phase hash agg: partial (map-side combine) below the
+    # exchange, final above — the shuffle moves one row per group per
+    # mapper, not one per input row. (WholeStageCodegen markers are
+    # hidden under AdaptiveSparkPlan until execution, so partial_* in
+    # the aggregate is the observable invariant.)
+    plan = formatted_plan(QUERIES["agg_pricing_summary"](spark, sf_small))
+    assert "partial_sum" in plan and "HashAggregate" in plan, plan
+    assert plan.index("partial_sum") > plan.index("Exchange"), (
+        "partial agg should sit below the shuffle in the formatted tree"
+    )

@@ -1,0 +1,123 @@
+"""Source builders: Kafka option parity (no broker in-container, so
+option construction + frame shapes), rate generator, JSON file stream."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from msk_flink_streaming_cdk_spark.schemas import SENSOR_READING
+from msk_flink_streaming_cdk_spark.sources.files import stream_json_dir
+from msk_flink_streaming_cdk_spark.sources.generator import (
+    batch_sensor_frame,
+    rate_sensor_stream,
+)
+from msk_flink_streaming_cdk_spark.sources.kafka import (
+    sink_options,
+    source_options,
+    to_kafka_json,
+)
+
+
+def test_kafka_source_options_reference_parity():
+    # main.py:21-31 — earliest offsets, consumer group testGroup,
+    # SASL_SSL + AWS_MSK_IAM when IAM is on.
+    opts = source_options("b-1:9098", "kfp_sensor_topic", iam=True)
+    assert opts["subscribe"] == "kfp_sensor_topic"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["kafka.group.id"] == "testGroup"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert opts["kafka.sasl.mechanism"] == "AWS_MSK_IAM"
+    assert "IAMLoginModule" in opts["kafka.sasl.jaas.config"]
+
+
+def test_kafka_sink_options():
+    opts = sink_options("b-1:9098", "kfp_sns_topic")
+    assert opts == {
+        "kafka.bootstrap.servers": "b-1:9098",
+        "topic": "kfp_sns_topic",
+    }
+
+
+def test_to_kafka_json_value_shape(spark):
+    df = batch_sensor_frame(spark, n=3)
+    out = to_kafka_json(df, key_col="sensor_id")
+    assert out.columns == ["key", "value"]
+    row = out.first()
+    payload = json.loads(row.value)
+    assert set(payload) == {"sensor_id", "temperature", "event_time"}
+    assert payload["sensor_id"] == row.key
+
+
+def test_batch_generator_reference_shape(spark):
+    # producer parity: 99 records, sensors 1..5, temps 27..32
+    # (kfpLambdaStreamProducer.py:48-54)
+    df = batch_sensor_frame(spark, n=99, seed=42)
+    assert df.count() == 99
+    stats = df.agg(
+        F.min("temperature"), F.max("temperature"),
+        F.countDistinct("sensor_id"),
+    ).first()
+    assert stats[0] >= 27 and stats[1] <= 32
+    assert 1 <= stats[2] <= 5
+    assert df.schema == SENSOR_READING
+
+
+def test_rate_stream_schema_and_rows(spark, tmp_path):
+    stream = rate_sensor_stream(spark, rows_per_second=200)
+    assert [f.name for f in stream.schema.fields] == [
+        "sensor_id",
+        "temperature",
+        "event_time",
+    ]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) FROM rate_smoke").first()[0]
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0
+        bad = spark.sql(
+            "SELECT count(*) FROM rate_smoke WHERE temperature < 27 "
+            "OR temperature > 32 OR CAST(sensor_id AS INT) NOT BETWEEN 1 AND 5"
+        ).first()[0]
+        assert bad == 0
+    finally:
+        q.stop()
+
+
+def test_json_file_stream_roundtrip(spark, tmp_path):
+    # JSON-lines source — format parity with the reference's
+    # 'format'='json' tables (main.py:25).
+    src = os.path.join(str(tmp_path), "jsonsrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write(
+            '{"sensor_id":"1","temperature":30,'
+            '"event_time":"2024-01-01T00:00:00.000Z"}\n'
+        )
+    stream = stream_json_dir(spark, src, SENSOR_READING)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("json_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM json_smoke").collect()
+    assert len(rows) == 1
+    assert rows[0].temperature == 30

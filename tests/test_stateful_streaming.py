@@ -1,0 +1,119 @@
+"""Custom stateful operator + stream-stream join tests (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from msk_flink_streaming_cdk_spark.schemas import SENSOR_READING
+from msk_flink_streaming_cdk_spark.sources.files import stream_parquet_dir
+from msk_flink_streaming_cdk_spark.streaming.stateful import (
+    ewma_by_key,
+    interval_join,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _write_batches(spark, tmpdir, batches, subdir="src"):
+    path = os.path.join(str(tmpdir), subdir)
+    os.makedirs(path, exist_ok=True)
+    for i, rows in enumerate(batches):
+        data = [(s, t, T0 + timedelta(seconds=off)) for (s, t, off) in rows]
+        df = spark.createDataFrame(data, SENSOR_READING).coalesce(1)
+        part = os.path.join(str(tmpdir), f"part_{subdir}_{i}")
+        df.write.mode("overwrite").parquet(part)
+        (src,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(path, f"batch_{i:03d}.parquet")
+        os.rename(src, dst)
+        mtime = time.time() - 1000 + i * 10
+        os.utime(dst, (mtime, mtime))
+    return path
+
+
+def _ref_ewma(temps, alpha=0.3):
+    e = None
+    for t in temps:
+        e = float(t) if e is None else alpha * float(t) + (1 - alpha) * e
+    return e
+
+
+def test_ewma_state_survives_across_batches(spark, tmp_path):
+    batches = [
+        [("1", 30, 0), ("1", 32, 10), ("2", 28, 5)],
+        [("1", 27, 20), ("2", 31, 25)],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = (
+        ewma_by_key(readings, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ewma_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT * FROM ewma_test"
+    ).collect()
+    # update mode: one row per key per batch; the LAST row per key is
+    # the final state. Keys processed in event-time order per batch.
+    final = {}
+    for r in out:
+        final[r.sensor_id] = (r.n_events, r.ewma)
+    assert final["1"][0] == 3
+    assert abs(final["1"][1] - _ref_ewma([30, 32, 27])) < 1e-12
+    assert final["2"][0] == 2
+    assert abs(final["2"][1] - _ref_ewma([28, 31])) < 1e-12
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    # left: "purchase" readings; right: "click" readings. Match clicks
+    # within [left-30s, left] per sensor.
+    left_src = _write_batches(
+        spark, tmp_path, [[("1", 100, 60), ("2", 100, 60)]], subdir="left"
+    )
+    right_src = _write_batches(
+        spark,
+        tmp_path,
+        [[("1", 1, 40), ("1", 2, 20), ("2", 3, 59), ("2", 4, 95)]],
+        subdir="right",
+    )
+    left = stream_parquet_dir(spark, left_src, SENSOR_READING).select(
+        F.col("sensor_id"),
+        F.col("event_time").alias("l_time"),
+    )
+    right = stream_parquet_dir(spark, right_src, SENSOR_READING).select(
+        F.col("sensor_id").alias("r_sensor"),
+        F.col("temperature").alias("click_id"),
+        F.col("event_time").alias("r_time"),
+    )
+    joined = interval_join(
+        left.withColumnRenamed("sensor_id", "key"),
+        right.withColumnRenamed("r_sensor", "key"),
+        key="key",
+        left_time="l_time",
+        right_time="r_time",
+        lower="30 seconds",
+        upper="0 seconds",
+    )
+    q = (
+        joined.select("key", "click_id")
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.key, r.click_id) for r in spark.sql("SELECT * FROM ssj_test").collect()}
+    # sensor 1 @60: clicks at 40 (in [30,60]) yes, 20 no.
+    # sensor 2 @60: click at 59 yes, 95 (after) no.
+    assert got == {("1", 1), ("2", 3)}
