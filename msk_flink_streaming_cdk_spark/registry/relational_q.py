@@ -644,6 +644,33 @@ def session_window_user_sessions(spark, sf_dir):
 
 # --- SQL front door -----------------------------------------------------------
 
+@register("approx_distinct_parts")  # HLL sketch → rows-only
+def approx_distinct_parts(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per brand — the sketch
+    path for 100 TB cardinalities; error bound vs exact pinned in
+    pytest (no oracle: sketch estimates aren't reproducible in SQL)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias(
+                "approx_suppliers"
+            )
+        )
+    )
+
+
+@register("approx_quantiles_prices")  # sketch → rows-only
+def approx_quantiles_prices(spark, sf_dir):
+    """percentile_approx quantile sketch over order prices."""
+    return _t(spark, sf_dir, "orders").select(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000
+        ).alias("price_quantiles")
+    )
+
+
 @register(
     "asof_join_prev_signup",
     oracle="""
