@@ -52,8 +52,14 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup outside the timings.
+    # JVM/codegen/parquet-reader warmup outside the timings (the first
+    # parquet scan otherwise pays one-time class-loading inside the
+    # first measured query).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    QUERIES["q1_alerts_daily"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

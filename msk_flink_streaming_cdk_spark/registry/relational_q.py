@@ -644,6 +644,29 @@ def session_window_user_sessions(spark, sf_dir):
 
 # --- SQL front door -----------------------------------------------------------
 
+@register(
+    "grouped_map_price_trend",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(regr_slope(o_totalprice,
+                 epoch(o_orderdate) / 86400.0), 6) AS price_slope
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 2
+    """,
+)
+def grouped_map_price_trend(spark, sf_dir):
+    """applyInPandas grouped-map UDF (numpy least-squares slope per
+    customer), oracle-checked against SQL regr_slope — validates the
+    whole Arrow grouped-map path numerically."""
+    from ..operators.grouped import price_trend_by_customer
+
+    out = price_trend_by_customer(_t(spark, sf_dir, "orders"))
+    return out.filter(F.col("n_orders") >= 2).select(
+        "o_custkey",
+        "n_orders",
+        F.round("price_slope", 6).alias("price_slope"),
+    )
+
+
 @register("approx_distinct_parts")  # HLL sketch → rows-only
 def approx_distinct_parts(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) per brand — the sketch

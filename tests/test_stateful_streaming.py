@@ -74,6 +74,46 @@ def test_ewma_state_survives_across_batches(spark, tmp_path):
     assert abs(final["2"][1] - _ref_ewma([28, 31])) < 1e-12
 
 
+def test_streaming_session_window_merges_and_finalizes(spark, tmp_path):
+    # sensor 1: events at t=0,10,25 (gaps < 30s → one session, end=55);
+    # a row at t=200 pushes the watermark (195) past the session end so
+    # append mode emits it. Second session (t=200) stays open → absent.
+    from msk_flink_streaming_cdk_spark.operators.relational import sessionize
+
+    batches = [
+        [("1", 30, 0), ("1", 31, 10), ("1", 32, 25)],
+        [("1", 27, 200)],
+        [("1", 27, 400)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, subdir="sess")
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    ).withWatermark("event_time", "5 seconds")
+    out = sessionize(
+        readings,
+        "event_time",
+        ["sensor_id"],
+        "30 seconds",
+        [F.count("*").alias("n_events")],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.sensor_id, r.session_start, r.session_end): r.n_events
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    first = ("1", T0, T0 + timedelta(seconds=55))
+    assert rows.get(first) == 3, rows
+    # the session starting at t=400 is not finalized -> not emitted
+    assert all(k[1] <= T0 + timedelta(seconds=200) for k in rows)
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     # left: "purchase" readings; right: "click" readings. Match clicks
     # within [left-30s, left] per sensor.
