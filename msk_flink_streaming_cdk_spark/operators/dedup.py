@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from .text import fingerprint_md5
+from .util import parallelize_narrow as _parallelize
 
 DEFAULT_SHINGLE = 5
 
@@ -94,7 +95,7 @@ def ngram_jaccard_pairs(
     # (and therefore the Jaccard value) are identical modulo 64-bit
     # collisions (~1e-9 over the fixture vocabularies), and long-array
     # intersection is several times cheaper than string-array.
-    sh = df.select(
+    sh = _parallelize(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(length_col).alias("n_len"),
         F.floor(F.col(length_col) / length_band).alias("bucket"),
@@ -146,7 +147,7 @@ def minhash_signatures(
     sigs = F.array(
         *[F.array_min(F.transform(sh, _perm_hash(p))) for p in range(num_perm)]
     )
-    return df.select(F.col(id_col).alias("doc_id"), sigs.alias("sig"))
+    return _parallelize(df).select(F.col(id_col).alias("doc_id"), sigs.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -172,7 +173,7 @@ def minhash_lsh_pairs(
     # Hashed shingles (see ngram_jaccard_pairs): signatures become
     # min over xxhash64(xxhash64(s), p) — an equally valid minhash
     # family — and candidate verification intersects long arrays.
-    sh = df.select(
+    sh = _parallelize(df).select(
         F.col(id_col).alias("doc_id"),
         F.transform(
             shingle_col(F.col(text_col), k), lambda s: F.xxhash64(s)
@@ -278,7 +279,7 @@ def simhash_hamming_pairs(
     64-bit SimHashes. Candidate generation bands the hash into 4
     16-bit chunks (pigeonhole: distance <=3 ⇒ some chunk equal), so
     the join is an equi-join on (chunk_id, chunk_value)."""
-    hashed = df.select(
+    hashed = _parallelize(df).select(
         F.col(id_col).alias("doc_id"),
         simhash64(F.col(text_col)).alias("simhash"),
     )

@@ -116,6 +116,9 @@ def lsh_ann_topk(
     all_planes = [
         hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)
     ]
+    # NOTE: no parallelize_narrow here — the Arrow bucket UDF is fast
+    # enough per-row that spinning up one Python worker per partition
+    # costs more than it saves (measured 3.5s → 8.5s at sf0.1).
     bucket_udf = _bucket_udf(all_planes)
     hashed = corpus.select(
         F.col(id_col).alias("vec_id"),
