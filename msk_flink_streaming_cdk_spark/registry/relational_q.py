@@ -476,6 +476,57 @@ def setop_except_rich_without_open_orders(spark, sf_dir):
 # --- scalar function surface --------------------------------------------------
 
 @register(
+    "setop_union_all_order_events",
+    oracle="""
+    SELECT k, count(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+    ) GROUP BY k
+    """,
+)
+def setop_union_all_order_events(spark, sf_dir):
+    """UNION ALL (bag semantics — duplicates preserved, then counted)."""
+    a = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("k"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return a.unionAll(b).groupBy("k").agg(F.count("*").alias("n"))
+
+
+@register(
+    "explode_top_words",
+    oracle=r"""
+    SELECT word, count(*) AS n_occurrences
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+          FROM documents)
+    GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 25
+    """,
+)
+def explode_top_words(spark, sf_dir):
+    """Array flatten (explode/unnest) + aggregation — the word-count
+    shape every text pipeline starts with."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "word")
+        .limit(25)
+    )
+
+
+@register(
     "scalar_string_functions",
     oracle="""
     SELECT p_partkey, upper(p_name) AS name_upper,

@@ -1,0 +1,40 @@
+"""COVERAGE.md must stay consistent with the live registry: every
+registered query mentioned, no phantom query names."""
+
+from __future__ import annotations
+
+import re
+
+from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+_NON_QUERY_TOKENS = {
+    # modules / functions / tests / misc backticked identifiers
+    "msk_flink_streaming_cdk_spark", "queries", "oracle_sql",
+    "source_options", "read_kafka_json", "to_kafka_json",
+    "write_kafka_json", "write_partitioned_files",
+    "foreach_batch_publisher", "run_reference_pipelines",
+    "run_single_scan_fanout", "ewma_by_key", "interval_join",
+    "asof_join_backward", "simhash64", "extract_features",
+    "_bucket_udf", "sessionize", "window_start", "session_window",
+    "applyInPandasWithState", "pandas_udf", "mapInPandas",
+    "checkpointLocation", "__spark_entry__", "price_trend_by_customer",
+}
+
+
+def test_coverage_doc_matches_registry():
+    text = open("COVERAGE.md").read()
+    names = set(re.findall(r"`([A-Za-z0-9_.:]+)`", text))
+    query_like = {
+        n
+        for n in names
+        if "_" in n
+        and not any(c in n for c in "./:")
+        and not n.startswith("test_")
+        and n not in _NON_QUERY_TOKENS
+    }
+    phantom = sorted(n for n in query_like if n not in QUERIES)
+    unmentioned = sorted(q for q in QUERIES if q not in names)
+    assert not phantom, f"COVERAGE.md names unknown queries: {phantom}"
+    assert not unmentioned, (
+        f"registered queries missing from COVERAGE.md: {unmentioned}"
+    )
