@@ -65,6 +65,22 @@ def ewma_by_key(readings: DataFrame, alpha: float = 0.3) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Exact dedup on an unbounded stream: first occurrence per key
+    wins; state for keys older than the watermark is dropped
+    (``dropDuplicatesWithinWatermark`` — bounded state, unlike plain
+    dropDuplicates which retains every key forever). The streaming
+    counterpart of ``operators.dedup.dedup_exact``."""
+    return df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

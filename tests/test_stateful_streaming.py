@@ -74,6 +74,42 @@ def test_ewma_state_survives_across_batches(spark, tmp_path):
     assert abs(final["2"][1] - _ref_ewma([28, 31])) < 1e-12
 
 
+def test_streaming_dedup_first_occurrence_wins(spark, tmp_path):
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        streaming_dedup,
+    )
+
+    # duplicate (sensor, temperature) keys within the watermark window
+    # are suppressed; the first row per key survives.
+    batches = [
+        [("1", 30, 0), ("1", 30, 5), ("2", 28, 6)],
+        [("1", 30, 12), ("2", 28, 14), ("3", 31, 20)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, subdir="dedup")
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    out = streaming_dedup(
+        readings, ["sensor_id", "temperature"], "event_time"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        (r.sensor_id, r.temperature, r.event_time)
+        for r in spark.sql("SELECT * FROM sdedup_test").collect()
+    ]
+    keys = [(s, t) for s, t, _ in rows]
+    assert sorted(keys) == [("1", 30), ("2", 28), ("3", 31)]
+    first = {(s, t): ts for s, t, ts in rows}
+    assert first[("1", 30)] == T0  # t=0 row won, t=5/t=12 suppressed
+
+
 def test_streaming_session_window_merges_and_finalizes(spark, tmp_path):
     # sensor 1: events at t=0,10,25 (gaps < 30s → one session, end=55);
     # a row at t=200 pushes the watermark (195) past the session end so
