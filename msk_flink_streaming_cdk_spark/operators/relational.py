@@ -98,6 +98,34 @@ def sessionize(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) left side gets a
+    random salt in [0, salt_buckets); the right side is replicated
+    once per salt value. A hot key's rows then spread over
+    ``salt_buckets`` reducers instead of one straggler.
+
+    Use when a handful of keys dominate (AQE's skew-join split handles
+    sort-merge skew automatically, but salting also covers aggregations
+    and hash joins, and works with AQE off). Cost: right side
+    replicated x salt_buckets — keep it the smaller input.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed) * salt_buckets).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return salted_left.join(salted_right, [key, "__salt"], how).drop("__salt")
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,

@@ -90,6 +90,72 @@ def _bucket_udf(all_planes: list[list[list[float]]]):
     return buckets
 
 
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 6,
+    n_tables: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) for every
+    pair with cosine >= threshold — the embedding member of the dedup
+    family (exact-text / Jaccard / MinHash / SimHash / cosine).
+
+    Candidates come from multi-table sign-LSH self-collision (same
+    (table, bucket)), verified with exact cosine — sketch-then-verify,
+    no all-pairs product. Recall for high-cosine pairs is governed by
+    tables x bits: P(bucket collision per table) = (1-θ/π)^bits for
+    angle θ; near-dup pairs (θ→0) collide in virtually every table.
+    """
+    bucket_udf = _bucket_udf(
+        [hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    # Band join carries ids only (same lesson as MinHash: keep the
+    # bucket shuffle narrow); embeddings re-join per UNIQUE pair.
+    hashed = vecs.select(
+        "vec_id",
+        F.posexplode(bucket_udf(F.col("embedding"))).alias(
+            "table_id", "bucket"
+        ),
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    paired = cand.join(
+        vecs.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        ),
+        "vec_a",
+    ).join(
+        vecs.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        ),
+        "vec_b",
+    )
+    return paired.select(
+        "vec_a",
+        "vec_b",
+        cosine_similarity_col(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -18,7 +18,11 @@ from ..operators.dedup import (
     simhash_hamming_pairs,
 )
 from ..operators.multimodal import extract_features, synth_assets_from_documents
-from ..operators.similarity import cosine_topk_bruteforce, lsh_ann_topk
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_cosine_pairs,
+    lsh_ann_topk,
+)
 from ..operators.text import (
     BPE_TOKEN_RE,
     bpe_token_count,
@@ -248,6 +252,17 @@ def similarity_cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(emb, queries, k=5).select(
         "query_id", "vec_id", "cosine", F.col("rank")
     )
+
+
+@register("dedup_embedding_cosine_pairs")  # LSH candidates → rows-only
+def dedup_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine >= 0.45) via
+    multi-table sign-LSH self-collision + exact cosine verification.
+    Precision is exact; recall vs the brute-force pair set is pinned
+    in pytest. (The fixture embeddings contain no true near-dups —
+    max pairwise cosine ~0.6 — so the threshold exercises the
+    moderate-similarity regime.)"""
+    return embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
 @register("similarity_lsh_ann_topk")  # approximate → rows-only

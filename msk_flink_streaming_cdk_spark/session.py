@@ -71,6 +71,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Managed-table warehouse for bucketed tables (storage.py);
+        # kept out of the repo tree.
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -18,6 +18,7 @@ _NON_QUERY_TOKENS = {
     "_bucket_udf", "sessionize", "window_start", "session_window",
     "applyInPandasWithState", "pandas_udf", "mapInPandas",
     "checkpointLocation", "__spark_entry__", "price_trend_by_customer",
+    "streaming_dedup", "write_bucketed", "salted_join",
 }
 
 

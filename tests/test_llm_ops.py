@@ -57,6 +57,39 @@ def test_lsh_ann_scores_are_exact_cosines(spark, sf_small):
             assert abs(exact[key] - r.cosine) < 1e-12
 
 
+def test_embedding_cosine_pairs_vs_bruteforce(spark, sf_small):
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    S = X @ X.T
+    ids = [r.vec_id for r in rows]
+    brute = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if S[i, j] >= 0.45
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["dedup_embedding_cosine_pairs"](
+            spark, sf_small
+        ).collect()
+    }
+    # precision exact (every emitted pair verified with exact cosine)
+    assert got <= brute
+    # recall probabilistic at this moderate similarity; deterministic
+    # seeds make the measured value stable — pin a floor.
+    if brute:
+        recall = len(got & brute) / len(brute)
+        assert recall >= 0.4, f"recall {recall:.2f}"
+
+
 def test_rolling_fingerprints_shape(spark, sf_small):
     df = QUERIES["text_rolling_fingerprints"](spark, sf_small)
     row = df.filter(F.col("n_windows") > 1).first()
