@@ -33,19 +33,38 @@ def q1_high_temp_alerts(
     FROM input_table WHERE temperature > 30
     GROUP BY TUMBLE(event_time, 30s), sensor_id HAVING count(*) > 3
     """
-    df = readings
-    if watermark is not None:
-        df = df.withWatermark("event_time", watermark)
-    return (
-        df.filter(F.col("temperature") > temp_threshold)
-        .groupBy(F.window("event_time", window), "sensor_id")
-        .agg(F.count("*").alias("count_temp"))
-        .filter(F.col("count_temp") > count_threshold)
-        .select(
-            "sensor_id",
-            "count_temp",
-            F.col("window.start").alias("start_event_time"),
+    if watermark is None:
+        # Batch: pre-aggregation filter — Catalyst pushes it into the
+        # parquet scan (cheapest plan; watermark semantics moot).
+        grouped = (
+            readings.filter(F.col("temperature") > temp_threshold)
+            .groupBy(F.window("event_time", window), "sensor_id")
+            .agg(F.count("*").alias("count_temp"))
         )
+    else:
+        # Streaming: a pre-aggregation filter would be pushed BELOW
+        # the EventTimeWatermark operator (Catalyst pushes non-
+        # watermark-column predicates through it), so cold readings
+        # would stop advancing the watermark and windows would only
+        # finalize when hot rows arrive. Flink generates watermarks at
+        # the source from ALL records (main.py:18) — parity requires
+        # the same here, so filter INSIDE the aggregate instead:
+        # count only hot rows while every row advances the watermark.
+        # Result rows are identical (cold-only windows count 0 and
+        # fall to the HAVING threshold).
+        grouped = (
+            readings.withWatermark("event_time", watermark)
+            .groupBy(F.window("event_time", window), "sensor_id")
+            .agg(
+                F.count(
+                    F.when(F.col("temperature") > temp_threshold, 1)
+                ).alias("count_temp")
+            )
+        )
+    return grouped.filter(F.col("count_temp") > count_threshold).select(
+        "sensor_id",
+        "count_temp",
+        F.col("window.start").alias("start_event_time"),
     )
 
 
