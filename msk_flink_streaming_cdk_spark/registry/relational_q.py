@@ -388,6 +388,42 @@ def window_lag_days_between_orders(spark, sf_dir):
     )
 
 
+@register(
+    "window_rank_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           first_value(o_orderkey) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS top_orderkey
+    FROM orders WHERE o_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_functions(spark, sf_dir):
+    """Remaining OVER-window surface: dense_rank / ntile / lead /
+    first_value (explicit ROWS frame so both engines agree)."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+            F.ntile(4).over(w).cast("long").alias("price_quartile"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.first("o_orderkey").over(wf).alias("top_orderkey"),
+        )
+    )
+
+
 # --- sorts / limits / set ops -----------------------------------------------
 
 @register(
