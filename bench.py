@@ -29,19 +29,48 @@ HEADLINE = [
     "q1_alerts_daily",
     "q2_windowed_avg_hourly",
     "agg_pricing_summary",
+    "rollup_status_priority",
     "join_orders_per_segment",
     "q3_shipping_priority",
     "window_top3_orders_per_customer",
+    "window_running_total",
     "sliding_window_event_counts",
     "session_window_user_sessions",
     "json_extract_props",
     "dedup_exact_text",
     "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
     "similarity_cosine_topk",
     "similarity_lsh_ann_topk",
     "text_quality_scores",
     "multimodal_feature_extract",
 ]
+
+
+def _prev_round_queries() -> tuple[int | None, dict[str, float]]:
+    """Latest BENCH_r{N}.json next to this file → (N, per-query secs).
+
+    The driver records one immutable file per round; round-over-round
+    deltas make regressions visible without a dashboard."""
+    import glob
+
+    best_n, best = None, {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = data.get("parsed", data)
+        queries = parsed.get("queries")
+        if queries and (best_n is None or n > best_n):
+            best_n, best = n, queries
+    return best_n, best
 
 
 def main() -> None:
@@ -70,17 +99,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    prev_n, prev = _prev_round_queries()
+    vs_prev = {
+        name: round(t - prev[name], 3)
+        for name, t in timings.items()
+        if name in prev
+    }
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if prev_n is not None:
+        out["vs_prev"] = vs_prev
+        out["prev_round"] = prev_n
+        out["prev_total_common"] = round(
+            sum(prev[n] for n in vs_prev), 3
         )
-    )
+    print(json.dumps(out))
     spark.stop()
 
 

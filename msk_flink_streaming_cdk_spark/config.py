@@ -5,7 +5,7 @@ The reference app reads ``/etc/flink/application_properties.json``
 (``/root/reference/PythonKafkaSink/main.py:99-109``), selects groups
 ``producer.config.0`` / ``consumer.config.0`` (``main.py:112-115``),
 and pulls ``input.topic.name``, ``bootstrap.servers``,
-``output.topic.name``, ``output.bucket.name`` (``main.py:119-136``;
+``output.topic.name``, ``output.s3.bucket`` (``main.py:119-136``;
 group contents defined by the CDK stack at
 ``msk_flink_streaming_stack.py:106-121``). Same shape here, engine-
 agnostic: a JSON list of ``{"PropertyGroupId", "PropertyMap"}``.
@@ -46,11 +46,17 @@ class ReferenceJobConfig:
     ) -> "ReferenceJobConfig":
         producer = groups[PRODUCER_GROUP]
         consumer = groups[CONSUMER_GROUP]
+        # The reference reads 'output.s3.bucket' (main.py:124; the CDK
+        # stack writes that key). 'output.bucket.name' is kept as a
+        # fallback for our earlier property files.
+        bucket = consumer.get("output.s3.bucket") or consumer[
+            "output.bucket.name"
+        ]
         return cls(
             input_topic=producer["input.topic.name"],
             bootstrap_servers=producer["bootstrap.servers"],
             output_topic=consumer["output.topic.name"],
-            output_path=consumer["output.bucket.name"],
+            output_path=bucket,
         )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -248,22 +249,38 @@ def minhash_lsh_pairs(
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over words (Arrow-batched; bit-twiddling is the
     one step Catalyst can't express). Deterministic: md5-derived word
-    hashes, not Python's randomized hash()."""
+    hashes, not Python's randomized hash().
+
+    Vectorized: per document, the word digests are unpacked to a
+    (n_words, 64) bit matrix in numpy and sign-summed in one shot —
+    identical outputs to the per-word/per-bit Python loop it replaces,
+    ~an order of magnitude faster on wide corpora (this sits on the
+    dedup hot path)."""
 
     def one(text: str) -> int:
         if text is None:
             return 0
-        acc = [0] * 64
-        for word in text.lower().split():
-            h = int.from_bytes(
-                hashlib.md5(word.encode("utf-8")).digest()[:8], "big"
-            )
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
+        words = text.lower().split()
+        if not words:
+            return 0
+        digests = b"".join(
+            hashlib.md5(w.encode("utf-8")).digest()[:8] for w in words
+        )
+        # Each word's 8 digest bytes are read big-endian in the scalar
+        # form, so bit k of h is bit (k%8) of byte 7-(k//8): reverse the
+        # byte columns, then unpack each byte LSB-first — column k of
+        # `bits` == (h >> k) & 1.
+        bits = np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(len(words), 8)[
+                :, ::-1
+            ],
+            axis=1,
+            bitorder="little",
+        )
+        votes = bits.astype(np.int32).sum(axis=0) * 2 - len(words)
         v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
+        for bit in np.nonzero(votes > 0)[0]:
+            v |= 1 << int(bit)
         return v - (1 << 64) if v >= (1 << 63) else v  # as signed i64
 
     return texts.map(one)

@@ -55,25 +55,37 @@ def sliding_window_agg(
     """Sliding (hopping) event-time window aggregation — the reference
     only uses tumbling (SURVEY §2.7); built-in ``window(ts, size,
     slide)`` generalizes it. Works batch and streaming."""
+    named = _named_aggs(aggs)
     return (
         df.groupBy(F.window(ts_col, size, slide), *group_cols)
-        .agg(*aggs)
+        .agg(*[c.alias(n) for n, c in named])
         .select(
             F.col("window.start").alias("window_start"),
             *group_cols,
-            *[F.col(c) for c in _agg_names(aggs)],
+            *[F.col(n) for n, _ in named],
         )
     )
 
 
-def _agg_names(aggs: list[Column]) -> list[str]:
-    # Column metadata isn't exposed pre-analysis; require aliases.
-    names = []
-    for c in aggs:
-        s = c._jc.toString()
-        assert " AS " in s, f"aggregate must be aliased: {s}"
-        names.append(s.rsplit(" AS ", 1)[1].strip("`"))
-    return names
+def _named_aggs(
+    aggs: list[Column | tuple[str, Column]],
+) -> list[tuple[str, Column]]:
+    """Normalize aggregates to explicit (name, Column) pairs.
+
+    Plain Columns must already carry an ``.alias(...)``; their name is
+    read from the Column's public string form only as a convenience —
+    pass explicit pairs to be Spark-Connect-safe (no ``_jc`` access)."""
+    named: list[tuple[str, Column]] = []
+    for a in aggs:
+        if isinstance(a, tuple):
+            named.append(a)
+        else:
+            # str(Column) is the public repr: "Column<'count(1) AS n'>"
+            s = str(a)
+            assert " AS " in s, f"aggregate must be aliased or a pair: {s}"
+            name = s.rsplit(" AS ", 1)[1].rstrip("'>").strip("`")
+            named.append((name, a))
+    return named
 
 
 def sessionize(
@@ -86,14 +98,15 @@ def sessionize(
     """Session-window aggregation (gap-merged) via built-in
     ``session_window`` — batch and streaming. Emits the session bounds
     (end = last event + gap, Spark/Flink-identical semantics)."""
+    named = _named_aggs(aggs)
     return (
         df.groupBy(F.session_window(ts_col, gap), *key_cols)
-        .agg(*aggs)
+        .agg(*[c.alias(n) for n, c in named])
         .select(
             *key_cols,
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
-            *[F.col(c) for c in _agg_names(aggs)],
+            *[F.col(n) for n, _ in named],
         )
     )
 
@@ -139,24 +152,33 @@ def asof_join_backward(
     native ASOF JOIN; DuckDB does, which the oracle uses).
 
     Implementation is the scalable union trick, not a point-lookup
-    join: tag both sides, union, then ``last(value, ignorenulls)``
+    join: tag both sides, union, then ``last(struct, ignorenulls)``
     over (key ORDER BY time, side) carries the most recent right-side
-    values forward onto left rows. Exactly ONE shuffle on the key
+    row forward onto left rows. Exactly ONE shuffle on the key
     (window sort), no matter the sizes — the classic merge-join shape
     Catalyst can't otherwise produce for this pattern. A right row at
     exactly left_time matches (sorted before the left row via the
     side tag), mirroring ASOF's ``>=``.
+
+    The carried payload is ONE struct of all value columns — non-null
+    for every right row even when its individual value columns are
+    NULL — so, like DuckDB/standard ASOF, the newest matching row wins
+    regardless of its values' nullness (per-column ``last(ignorenulls)``
+    would skip it and surface a stale older value).
     """
     lt = left.withColumn("__t", F.col(left_time)).withColumn(
         "__side", F.lit(1)
     )
-    for c in right_value_cols:
-        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in right_value_cols]
+    )
+    payload_type = right.select(payload.alias("__r")).schema["__r"].dataType
+    lt = lt.withColumn("__r", F.lit(None).cast(payload_type))
     rt = right.select(
         *key_cols,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        payload.alias("__r"),
     )
     for c in lt.columns:
         if c not in rt.columns:
@@ -168,20 +190,12 @@ def asof_join_backward(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True)
-            .over(w)
-            .alias(f"__asof_{c}")
-            for c in right_value_cols
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__asof")
     )
-    out = filled.filter(F.col("__side") == 1).drop(
-        "__t", "__side", *[f"__r_{c}" for c in right_value_cols]
-    )
+    out = filled.filter(F.col("__side") == 1).drop("__t", "__side", "__r")
     for c in right_value_cols:
-        out = out.withColumnRenamed(f"__asof_{c}", c)
-    return out
+        out = out.withColumn(c, F.col("__asof")[c])
+    return out.drop("__asof")
 
 
 def dedup_keep_first(

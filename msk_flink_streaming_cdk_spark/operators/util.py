@@ -16,6 +16,7 @@ def parallelize_narrow(df: DataFrame) -> DataFrame:
     already >= default parallelism).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Unconditional repartition: probing df.rdd.getNumPartitions()
+    # forces an RDD conversion + analysis per call, and with AQE the
+    # coalescer removes the shuffle when the input is already wide.
+    return df.repartition(target)

@@ -149,11 +149,15 @@ def text_fingerprint_md5(spark, sf_dir):
 @register("text_rolling_fingerprints")  # xxhash64 → not DuckDB-expressible
 def text_rolling_fingerprints(spark, sf_dir):
     """Rolling 8-word window hashes per document (shift-robust
-    fingerprints); rows-only driver check, shape-tested in pytest."""
+    fingerprints); rows-only driver check, shape-tested in pytest.
+    Hashes are emitted as a canonical CSV string: the driver's hash
+    canon cannot sort rows holding raw array cells."""
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.size(rolling_hash_col(F.col("text"))).cast("long").alias("n_windows"),
-        rolling_hash_col(F.col("text")).alias("window_hashes"),
+        F.array_join(
+            rolling_hash_col(F.col("text")).cast("array<string>"), ","
+        ).alias("window_hashes"),
     )
 
 
@@ -275,6 +279,112 @@ def similarity_lsh_ann_topk(spark, sf_dir):
         F.col("embedding").alias("query_vec"),
     )
     return lsh_ann_topk(emb, queries, k=5)
+
+
+# --- sketch quality audits ---------------------------------------------------------
+#
+# Driver-visible quality metrics for the approximate ops: each query
+# OUTPUTS the recall/precision of a sketch method against its exact
+# counterpart, so the driver's rows-only check records the numbers and
+# pytest (tests/test_llm_ops.py) pins the floors. These are audit ops:
+# run on fixtures / bounded samples, not in the 100 TB data path.
+
+
+def _pair_metrics(exact, approx, cols):
+    """One-row (n_exact, n_approx, n_common, recall, precision) from
+    two pair sets compared on ``cols`` (full outer join + counts)."""
+    e = exact.select(*cols).withColumn("__e", F.lit(1))
+    a = approx.select(*cols).withColumn("__a", F.lit(1))
+    j = e.join(a, cols, "full_outer")
+    return j.agg(
+        F.count("__e").alias("n_exact"),
+        F.count("__a").alias("n_approx"),
+        F.count(F.when(F.col("__e") .isNotNull() & F.col("__a").isNotNull(), 1)).alias(
+            "n_common"
+        ),
+    ).select(
+        "n_exact",
+        "n_approx",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_exact"), 4).alias("recall"),
+        F.round(F.col("n_common") / F.col("n_approx"), 4).alias("precision"),
+    )
+
+
+@register("dedup_minhash_recall")  # audit metric → rows-only
+def dedup_minhash_recall(spark, sf_dir):
+    """Recall/precision of MinHash-LSH near-dup pairs vs the
+    oracle-green exact n-gram-Jaccard method (same 0.5 threshold).
+    Both sides verify with exact Jaccard, so precision vs the banded
+    exact set can exceed it only via pairs outside the length band."""
+    docs = _docs(spark, sf_dir)
+    return _pair_metrics(
+        ngram_jaccard_pairs(docs, threshold=0.5),
+        minhash_lsh_pairs(docs, threshold=0.5),
+        ["doc_a", "doc_b"],
+    )
+
+
+@register("dedup_simhash_recall")  # audit metric → rows-only
+def dedup_simhash_recall(spark, sf_dir):
+    """Recall of SimHash Hamming<=3 pairs against the exact Jaccard
+    near-dup set. SimHash is a coarser sketch with its own criterion,
+    so precision against Jaccard is informational, recall is the gate."""
+    docs = _docs(spark, sf_dir)
+    return _pair_metrics(
+        ngram_jaccard_pairs(docs, threshold=0.5),
+        simhash_hamming_pairs(docs),
+        ["doc_a", "doc_b"],
+    )
+
+
+@register("similarity_ann_recall")  # audit metric → rows-only
+def similarity_ann_recall(spark, sf_dir):
+    """Recall@5 of LSH-ANN against brute-force cosine for the same 10
+    query vectors (seeded hyperplanes — deterministic)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return _pair_metrics(
+        cosine_topk_bruteforce(emb, queries, k=5),
+        lsh_ann_topk(emb, queries, k=5),
+        ["query_id", "vec_id"],
+    )
+
+
+@register("dedup_embedding_recall")  # audit metric → rows-only
+def dedup_embedding_recall(spark, sf_dir):
+    """Recall/precision of sign-LSH embedding near-dup pairs against a
+    brute-force all-pairs sweep over a bounded deterministic sample
+    (vec_id < 500) — all-pairs is an audit tool, never the data path."""
+    sample = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
+    vecs = sample.select("vec_id", "embedding")
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    from ..functions.vectors import cosine_similarity_col
+
+    brute = (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_similarity_col(F.col("emb_a"), F.col("emb_b")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.45)
+    )
+    return _pair_metrics(
+        brute,
+        embedding_cosine_pairs(sample, threshold=0.45),
+        ["vec_a", "vec_b"],
+    )
 
 
 # --- multimodal -------------------------------------------------------------------

@@ -14,7 +14,12 @@ with non-trivial output (154 rows at sf0.01).
 from __future__ import annotations
 
 from ..operators.reference import q1_high_temp_alerts, q2_windowed_avg
-from ..sources.fixtures import SENSOR_READINGS_SQL, sensor_readings
+from ..sources.fixtures import (
+    SENSOR_READINGS_DENSE_SQL,
+    SENSOR_READINGS_SQL,
+    sensor_readings,
+    sensor_readings_dense,
+)
 from ._core import register, tumble_start_sql
 
 _DAY = 24 * 3600
@@ -23,7 +28,7 @@ _DAY = 24 * 3600
 @register(
     "q1_alerts_30s",
     oracle=f"""
-    WITH input_table AS ({SENSOR_READINGS_SQL})
+    WITH input_table AS ({SENSOR_READINGS_DENSE_SQL})
     SELECT sensor_id, count(*) AS count_temp,
            {tumble_start_sql('event_time', 30)} AS start_event_time
     FROM input_table WHERE temperature > 30
@@ -32,8 +37,13 @@ _DAY = 24 * 3600
     """,
 )
 def q1_alerts_30s(spark, sf_dir):
-    """Reference Q1, exact parameters (main.py:79-86)."""
-    return q1_high_temp_alerts(sensor_readings(spark, sf_dir))
+    """Reference Q1, exact parameters (main.py:79-86: 30 s tumble,
+    temperature > 30, HAVING count > 3, five sensors) over the
+    densified sensor slice — the sparse 30-day fixture timeline is
+    deterministically folded to producer-like density so the exact
+    parameters yield non-trivial oracle-checked output (585 rows at
+    sf0.01 vs 0 on the raw slice)."""
+    return q1_high_temp_alerts(sensor_readings_dense(spark, sf_dir))
 
 
 @register(

@@ -117,18 +117,28 @@ def distinct_suppliers_per_brand(spark, sf_dir):
     "rollup_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
 def rollup_status_priority(spark, sf_dir):
-    """ROLLUP hierarchy totals (NULL-filled supergroups)."""
+    """ROLLUP hierarchy totals (NULL-filled supergroups).
+
+    The sum is exact decimal arithmetic; the final output is cast to
+    double + round(2) on BOTH sides because Spark's decimal(28,2) and
+    DuckDB's decimal(38,2) render differently in the driver's canonical
+    hash even when every value is identical. The true value sits ON the
+    2-decimal grid (exact decimal sum), so the round is unambiguous.
+    """
     return (
         _t(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"), 2
+            ).alias("total_price"),
         )
     )
 
@@ -343,15 +353,18 @@ def window_top3_orders_per_customer(spark, sf_dir):
     "window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_total
+             AS DOUBLE), 2) AS running_total
     FROM orders
     """,
 )
 def window_running_total(spark, sf_dir):
-    """Cumulative windowed sum (explicit ROWS frame both sides)."""
+    """Cumulative windowed sum (explicit ROWS frame both sides).
+
+    Exact decimal accumulation internally; double+round(2) output shape
+    on both sides — see rollup_status_priority for why."""
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -360,7 +373,9 @@ def window_running_total(spark, sf_dir):
     return _t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).alias("running_total"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double"), 2
+        ).alias("running_total"),
     )
 
 
@@ -506,7 +521,10 @@ def setop_except_rich_without_open_orders(spark, sf_dir):
         .filter(F.col("o_orderstatus") == "O")
         .select(F.col("o_custkey").alias("custkey"))
     )
-    return a.exceptAll(b).distinct()
+    # subtract == EXCEPT DISTINCT regardless of left-side multiplicity
+    # (exceptAll().distinct() would leak duplicates whose multiplicity
+    # exceeds the right side's).
+    return a.subtract(b)
 
 
 # --- scalar function surface --------------------------------------------------
@@ -865,19 +883,31 @@ def grouping_sets_status_priority(spark, sf_dir):
 @register(
     "array_agg_order_keys",
     oracle="""
-    SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
            count(*) AS n_orders
     FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
     """,
 )
 def array_agg_order_keys(spark, sf_dir):
-    """Array aggregation (collect + canonical sort for determinism)."""
+    """Array aggregation (collect + canonical sort for determinism).
+
+    The registered query emits the array as a canonical CSV string —
+    the driver's canonical hash cannot sort rows containing raw array
+    cells (numpy arrays are unhashable in pandas). The array-typed
+    operator itself is ``F.array_sort(F.collect_list(...))``; only the
+    driver-facing projection stringifies."""
     return (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") < 200)
         .groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderkey")).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("order_keys"),
             F.count("*").alias("n_orders"),
         )
     )

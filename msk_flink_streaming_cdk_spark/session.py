@@ -59,15 +59,25 @@ def get_spark(
 ) -> SparkSession:
     """Create (or get) a local SparkSession with engine defaults.
 
-    On a real cluster the master/deploy config comes from spark-submit;
-    everything set here is cluster-safe (no local-only semantics).
+    ``local[cpus]`` is only a FALLBACK: when spark-submit (or the env)
+    already configured a master, code must not override it — a code-set
+    ``.master()`` takes precedence over ``--master`` and would silently
+    run cluster jobs in local mode. Everything else set here is
+    cluster-safe (no local-only semantics).
     """
     cpus = cpus or default_parallelism()
     shuffle = shuffle_partitions or max(32, cpus)
+    builder = SparkSession.builder.appName(app_name)
+    if not (
+        os.environ.get("SPARK_MASTER")
+        or os.environ.get("MASTER")
+        # spark-submit python deploys launch the JVM first and hand the
+        # child interpreter a gateway — the master is already decided.
+        or os.environ.get("PYSPARK_GATEWAY_PORT")
+    ):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -70,3 +70,29 @@ SENSOR_READINGS_SQL = (
     "CAST(floor(value) AS BIGINT) AS temperature, "
     "ts AS event_time FROM events"
 )
+
+
+def sensor_readings_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified input_table slice: the producer's exact shape — FIVE
+    sensors (``randint(1,5)``, kfpLambdaStreamProducer.py:51) — at a
+    rate where the reference's exact 30 s / HAVING>3 parameters
+    (main.py:79-86) produce non-trivial output on the fixtures.
+
+    The 30-day sparse events timeline folds onto one hour
+    (``epoch % 3600``) and user_ids onto 5 sensors (``% 5 + 1``), both
+    deterministic and DuckDB-reproducible — no synthesized data."""
+    return load_table(spark, sf_dir, "events").select(
+        ((F.col("user_id") % 5) + 1).cast("string").alias("sensor_id"),
+        F.floor("value").cast("long").alias("temperature"),
+        F.timestamp_seconds(F.col("ts").cast("long") % 3600).alias(
+            "event_time"
+        ),
+    )
+
+
+SENSOR_READINGS_DENSE_SQL = (
+    "SELECT CAST(user_id % 5 + 1 AS VARCHAR) AS sensor_id, "
+    "CAST(floor(value) AS BIGINT) AS temperature, "
+    "make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) % 3600) * 1000000)"
+    " AS event_time FROM events"
+)

@@ -12,7 +12,6 @@ Parity targets:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -59,12 +58,25 @@ def write_partitioned_files(
         parts = (
             batch_df.select(*partition_cols).distinct().collect()
         )
+        # Markers go through the Hadoop FileSystem API so the sink
+        # works on any supported scheme (s3a://, hdfs://, file:/) —
+        # the parity target is an S3 bucket (main.py:74-75); local
+        # os.path calls would silently no-op there.
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
         for row in parts:
-            part_dir = os.path.join(
-                path, *[f"{c}={row[c]}" for c in partition_cols]
+            part_dir = "/".join(
+                [path.rstrip("/")] + [f"{c}={row[c]}" for c in partition_cols]
             )
-            if os.path.isdir(part_dir):
-                open(os.path.join(part_dir, "_SUCCESS"), "a").close()
+            p = jvm.org.apache.hadoop.fs.Path(part_dir)
+            fs = p.getFileSystem(hconf)
+            if fs.isDirectory(p):
+                out = fs.create(
+                    jvm.org.apache.hadoop.fs.Path(part_dir + "/_SUCCESS"),
+                    True,
+                )
+                out.close()
 
     return (
         df.writeStream.foreachBatch(commit_batch)

@@ -34,7 +34,9 @@ def _props_file(tmp_path, alert_dir, bucket_dir):
             "PropertyGroupId": "consumer.config.0",
             "PropertyMap": {
                 "output.topic.name": alert_dir,
-                "output.bucket.name": bucket_dir,
+                # the key the reference stack actually writes
+                # (main.py:124, msk_flink_streaming_stack.py:117)
+                "output.s3.bucket": bucket_dir,
             },
         },
     ]

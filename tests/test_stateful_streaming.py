@@ -150,6 +150,50 @@ def test_streaming_session_window_merges_and_finalizes(spark, tmp_path):
     assert all(k[1] <= T0 + timedelta(seconds=200) for k in rows)
 
 
+def test_session_window_late_event_merges_sessions(spark, tmp_path):
+    # Out-of-order arrival ACROSS a session gap: batch0 creates two
+    # provisional sessions [0,40) and [60,100) (gap 40s); batch1's late
+    # t=30 row lands inside the watermark (70s delay keeps both open)
+    # and its window [30,70) overlaps both — state-store session merge.
+    # batch2 (t=300) pushes the watermark (230) past the merged end so
+    # append mode emits exactly ONE finalized session [0,100) with all
+    # 3 events.
+    from msk_flink_streaming_cdk_spark.operators.relational import sessionize
+
+    batches = [
+        [("1", 30, 0), ("1", 31, 60)],
+        [("1", 32, 30)],  # out-of-order, bridges the two sessions
+        [("1", 27, 300)],  # watermark push: 300-70=230 > 100
+    ]
+    src = _write_batches(spark, tmp_path, batches, subdir="sess_late")
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    ).withWatermark("event_time", "70 seconds")
+    out = sessionize(
+        readings,
+        "event_time",
+        ["sensor_id"],
+        "40 seconds",
+        [F.count("*").alias("n_events")],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.sensor_id, r.session_start, r.session_end): r.n_events
+        for r in spark.sql("SELECT * FROM sess_late_test").collect()
+    }
+    merged = ("1", T0, T0 + timedelta(seconds=100))
+    assert rows.get(merged) == 3, rows
+    # finality: the pre-merge fragments were never emitted separately
+    assert len(rows) == 1, rows
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     # left: "purchase" readings; right: "click" readings. Match clicks
     # within [left-30s, left] per sensor.
