@@ -198,6 +198,66 @@ def asof_join_backward(
     return out.drop("__asof")
 
 
+def time_range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    window_seconds: int,
+    count_alias: str = "n_matches",
+) -> DataFrame:
+    """For every left row, count right rows with the same key whose
+    time falls in ``[left_time - window, left_time)`` — the batch form
+    of an interval join.
+
+    A naive range-predicate join degrades to BroadcastNestedLoopJoin
+    (O(n²) — measured >9 min vs seconds at sf0.1 for the same shape in
+    the dedup band join). Instead both sides bucket time by the window
+    width and the left side probes its bucket and the previous one: an
+    equi-join on (key, bucket) whose fan-out is bounded by bucket
+    population, then the exact range predicate filters within
+    candidates. Left rows with zero matches are kept (count 0) via a
+    left join of the aggregated counts back onto the left side.
+    """
+    lb = left.withColumn(
+        "__lb", F.floor(F.col(left_time).cast("long") / window_seconds)
+    )
+    rb = right.select(
+        F.col(key),
+        F.col(right_time).alias("__rt"),
+        F.floor(F.col(right_time).cast("long") / window_seconds).alias(
+            "__rb"
+        ),
+    )
+    probes = lb.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__lt"),
+        F.explode(F.array(F.col("__lb") - 1, F.col("__lb"))).alias("__pb"),
+    )
+    matched = (
+        probes.join(
+            rb,
+            (F.col("__k") == rb[key]) & (F.col("__pb") == F.col("__rb")),
+        )
+        .filter(
+            (F.col("__rt") >= F.col("__lt") - F.expr(f"INTERVAL {window_seconds} SECOND"))
+            & (F.col("__rt") < F.col("__lt"))
+        )
+        .groupBy("__k", "__lt")
+        .agg(F.count("*").alias(count_alias))
+    )
+    out = lb.join(
+        matched,
+        (lb[key] == F.col("__k")) & (lb[left_time] == F.col("__lt")),
+        "left",
+    )
+    return out.select(
+        *[c for c in left.columns],
+        F.coalesce(F.col(count_alias), F.lit(0)).alias(count_alias),
+    )
+
+
 def dedup_keep_first(
     df: DataFrame, key_cols: list[str], order_cols: list[Column]
 ) -> DataFrame:

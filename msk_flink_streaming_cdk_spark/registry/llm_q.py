@@ -21,6 +21,7 @@ from ..operators.multimodal import extract_features, synth_assets_from_documents
 from ..operators.similarity import (
     cosine_topk_bruteforce,
     embedding_cosine_pairs,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from ..operators.text import (
@@ -281,6 +282,69 @@ def similarity_lsh_ann_topk(spark, sf_dir):
     return lsh_ann_topk(emb, queries, k=5)
 
 
+@register("similarity_ivf_ann_topk")  # approximate → rows-only
+def similarity_ivf_ann_topk(spark, sf_dir):
+    """IVF (inverted-file) approximate top-5 — the cell-probe ANN
+    variant alongside sign-LSH; recall pinned in pytest."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_ann_topk(emb, queries, k=5)
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]'))
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents),
+    kept AS (
+      SELECT min(doc_id) AS doc_id FROM q
+      WHERE n_ws_tokens >= 30 AND alpha_ratio > 0.5
+      GROUP BY fp)
+    SELECT q.doc_id, q.lang, q.n_ws_tokens,
+           CAST(e.label AS BIGINT) AS label
+    FROM q JOIN kept USING (doc_id)
+           JOIN embeddings e ON e.vec_id = q.doc_id
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """The composite training-data shape: quality-filter → exact-dedup
+    (keep first) → join embeddings — documents that survive a real
+    cleaning pipeline, oracle-checked end to end. Every stage is the
+    registered operator it reuses (quality_score_cols, fingerprint_md5,
+    dedup-keep-min, equi-join)."""
+    docs = _docs(spark, sf_dir)
+    q = docs.select(
+        "doc_id",
+        "lang",
+        whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        quality_score_cols(F.col("text"))["alpha_ratio"].alias("alpha_ratio"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    kept = (
+        q.filter((F.col("n_ws_tokens") >= 30) & (F.col("alpha_ratio") > 0.5))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("label").cast("long")
+    )
+    return (
+        q.join(kept, "doc_id")
+        .join(emb, "doc_id")
+        .select("doc_id", "lang", "n_ws_tokens", "label")
+    )
+
+
 # --- sketch quality audits ---------------------------------------------------------
 #
 # Driver-visible quality metrics for the approximate ops: each query
@@ -350,6 +414,22 @@ def similarity_ann_recall(spark, sf_dir):
     return _pair_metrics(
         cosine_topk_bruteforce(emb, queries, k=5),
         lsh_ann_topk(emb, queries, k=5),
+        ["query_id", "vec_id"],
+    )
+
+
+@register("similarity_ivf_recall")  # audit metric → rows-only
+def similarity_ivf_recall(spark, sf_dir):
+    """Recall@5 of IVF-ANN against brute-force cosine for the same 10
+    query vectors (deterministic codebook: vec_id % stride)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return _pair_metrics(
+        cosine_topk_bruteforce(emb, queries, k=5),
+        ivf_ann_topk(emb, queries, k=5),
         ["query_id", "vec_id"],
     )
 

@@ -942,6 +942,188 @@ def scalar_subquery_price_ratio(spark, sf_dir):
     return spark.sql(_SCALAR_SUBQUERY_SQL)
 
 
+@register(
+    "join_full_outer_activity",
+    oracle="""
+    SELECT coalesce(o.k, e.k) AS custkey, n_orders, n_events
+    FROM (SELECT o_custkey AS k, count(*) AS n_orders
+          FROM orders GROUP BY 1) o
+    FULL JOIN (SELECT user_id AS k, count(*) AS n_events
+               FROM events GROUP BY 1) e ON o.k = e.k
+    """,
+)
+def join_full_outer_activity(spark, sf_dir):
+    """Full outer join: per-customer order counts against per-user
+    event counts — either side may be NULL."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("custkey"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    # joining on the column name coalesces the key (matches the SQL)
+    return o.join(e, "custkey", "full")
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name,
+           round(CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE), 2) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5-style 6-way star join: local-supplier revenue per
+    nation for one region. The tiny dims (nation 25, region 5) are
+    broadcast so the fact-side shuffles only for the c/o/l joins;
+    region filter prunes before the join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(_disc_price_spark()).cast("double"), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "join_range_clicks_before_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           count(c.event_id) AS n_recent_clicks
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_range_clicks_before_purchase(spark, sf_dir):
+    """Interval/range join in batch: clicks in the hour before each
+    purchase. Executed as a bucketed equi-join (explode-probe), never
+    a nested-loop range join — see time_range_join_count."""
+    from ..operators.relational import time_range_join_count
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    return time_range_join_count(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        window_seconds=3600,
+        count_alias="n_recent_clicks",
+    ).select("event_id", "user_id", "n_recent_clicks")
+
+
+@register(
+    "window_range_frame_avg30d",
+    oracle="""
+    SELECT o_orderkey,
+           round(avg(o_totalprice) OVER w30, 6) AS avg_30d,
+           count(*) OVER w30 AS n_30d
+    FROM orders
+    WINDOW w30 AS (PARTITION BY o_custkey
+                   ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                   RANGE BETWEEN 2592000 PRECEDING AND 0 FOLLOWING)
+    """,
+)
+def window_range_frame_avg30d(spark, sf_dir):
+    """RANGE frame (value-based, not ROWS): trailing-30-day average
+    order price per customer — the frame spec the ROWS queries can't
+    express."""
+    # o_orderdate is TIMESTAMP_NTZ: cast via timestamp (session tz is
+    # UTC) to get epoch seconds — TIMESTAMP_NTZ→BIGINT is not castable.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("avg_30d"),
+        F.count("*").over(w).alias("n_30d"),
+    )
+
+
+@register(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER w AS price_pct_rank,
+           cume_dist() OVER w AS price_cume_dist
+    FROM orders WHERE o_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_rank_cume_dist(spark, sf_dir):
+    """percent_rank / cume_dist analytics. Raw doubles — identical
+    integer ratios on both engines, so no rounding needed."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.percent_rank().over(w).alias("price_pct_rank"),
+            F.cume_dist().over(w).alias("price_cume_dist"),
+        )
+    )
+
+
+_CORRELATED_SUBQ_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register("correlated_subquery_above_avg", oracle=_CORRELATED_SUBQ_SQL)
+def correlated_subquery_above_avg(spark, sf_dir):
+    """Correlated scalar subquery (decorrelated by Catalyst into an
+    aggregate + join) through the SQL front door."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SUBQ_SQL)
+
+
 _SQL_EXISTS = """
     SELECT n_name, count(*) AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -93,10 +93,20 @@ def test_semi_and_anti_join_plans(spark, sf_small):
         "q3_shipping_priority",
         "join_orders_per_segment",
         "similarity_lsh_ann_topk",
+        "similarity_ivf_ann_topk",
+        "join_range_clicks_before_purchase",
+        "q5_region_revenue",
+        "pipeline_clean_corpus",
     ],
 )
 def test_no_nested_loop_anywhere(spark, sf_small, name):
     assert_no_nested_loop_join(QUERIES[name](spark, sf_small))
+
+
+def test_q5_broadcasts_tiny_dims(spark, sf_small):
+    assert_broadcast_hash_join(
+        QUERIES["q5_region_revenue"](spark, sf_small), at_least=2
+    )
 
 
 def test_partial_aggregation_map_side(spark, sf_small):

@@ -194,6 +194,56 @@ def test_session_window_late_event_merges_sessions(spark, tmp_path):
     assert len(rows) == 1, rows
 
 
+def test_streaming_sliding_window_hops_and_finality(spark, tmp_path):
+    # 30s window hopping 15s: every event lands in exactly two hops.
+    # t=0 → [-15,15) and [0,30); t=10 → the same two. batch1 (t=100)
+    # advances the watermark (95) past both ends so append emits them;
+    # batch2 (t=200, watermark 195) then finalizes t=100's two hops
+    # (counts 1); only t=200's own hops stay open → absent.
+    from msk_flink_streaming_cdk_spark.operators.relational import (
+        sliding_window_agg,
+    )
+
+    batches = [
+        [("1", 30, 0), ("1", 31, 10)],
+        [("1", 27, 100)],
+        [("1", 27, 200)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, subdir="slide")
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    ).withWatermark("event_time", "5 seconds")
+    out = sliding_window_agg(
+        readings,
+        "event_time",
+        "30 seconds",
+        "15 seconds",
+        ["sensor_id"],
+        [F.count("*").alias("n_events")],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.sensor_id, r.window_start): r.n_events
+        for r in spark.sql("SELECT * FROM slide_test").collect()
+    }
+    expected = {
+        ("1", T0 - timedelta(seconds=15)): 2,
+        ("1", T0): 2,
+        ("1", T0 + timedelta(seconds=75)): 1,
+        ("1", T0 + timedelta(seconds=90)): 1,
+    }
+    # t=200's own hops are not finalized -> absent; everything else
+    # emitted exactly once with exact hop membership.
+    assert rows == expected, rows
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     # left: "purchase" readings; right: "click" readings. Match clicks
     # within [left-30s, left] per sensor.
