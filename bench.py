@@ -89,6 +89,20 @@ def main() -> None:
     QUERIES["q1_alerts_daily"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Arrow/pandas-UDF worker warmup: fork one Python worker per core
+    # (numpy/pandas imports) so the first pandas-UDF query measures
+    # compute, not one-time process startup.
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        import numpy as _np  # noqa: F401
+
+        return s
+
+    spark.range(0, cpus, 1, cpus).select(_warm(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
