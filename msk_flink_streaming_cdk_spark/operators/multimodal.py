@@ -84,3 +84,84 @@ def extract_features(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "asset_id long, modality string, src_width int, src_height int, "
+    "out_width int, out_height int"
+)
+
+
+def resize_assets(
+    assets: DataFrame, max_dim: int = 256, decode_stub: bool = True
+) -> DataFrame:
+    """mapInPandas resize stage: decode → scale longest side to
+    ``max_dim`` (never upscale) → re-encode. Aspect-preserving integer
+    math (``w * max_dim // max(w, h)``) so the stubbed output is
+    engine-reproducible; the real PIL resize belongs where the
+    NotImplementedError is raised."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real decode/resize requires PIL — not in container"
+                )
+            # same deterministic fake-decode dims as extract_features
+            w = (64 + (n_bytes * 2654435761) % 1024).astype("int64")
+            h = (64 + (n_bytes * 40503) % 1024).astype("int64")
+            longest = w.combine(h, max)
+            scale_needed = longest > max_dim
+            out_w = w.where(~scale_needed, w * max_dim // longest)
+            out_h = h.where(~scale_needed, h * max_dim // longest)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "src_width": w.astype("int32"),
+                    "src_height": h.astype("int32"),
+                    "out_width": out_w.astype("int32"),
+                    "out_height": out_h.astype("int32"),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "asset_id long, frame_idx long, frame_ts_ms long"
+
+
+def sample_frames(
+    assets: DataFrame, every_ms: int = 1000, decode_stub: bool = True
+) -> DataFrame:
+    """mapInPandas frame sampling for video assets: one output row per
+    sampled frame — the 1→N fan-out batch shape (unlike the 1→1
+    feature/resize stages). Stubbed duration is a deterministic
+    function of the byte length; the real ffmpeg probe/extract belongs
+    at the NotImplementedError."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["modality"] == "video"]
+            if len(vids) == 0:
+                continue
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg — not in container"
+                )
+            n_bytes = vids["payload"].map(len).astype("int64")
+            duration_ms = 1000 + (n_bytes * 7919) % 30000
+            n_frames = (duration_ms + every_ms - 1) // every_ms
+            out = pd.DataFrame(
+                {
+                    "asset_id": vids["asset_id"].repeat(n_frames).values,
+                    "frame_idx": [
+                        i for n in n_frames for i in range(int(n))
+                    ],
+                }
+            )
+            out["frame_ts_ms"] = out["frame_idx"] * every_ms
+            yield out
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -17,7 +17,12 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
 )
-from ..operators.multimodal import extract_features, synth_assets_from_documents
+from ..operators.multimodal import (
+    extract_features,
+    resize_assets,
+    sample_frames,
+    synth_assets_from_documents,
+)
 from ..operators.similarity import (
     cosine_topk_bruteforce,
     embedding_cosine_pairs,
@@ -490,3 +495,56 @@ def multimodal_feature_extract(spark, sf_dir):
     are real byte-level computations the oracle reproduces)."""
     assets = synth_assets_from_documents(_docs(spark, sf_dir))
     return extract_features(assets, decode_stub=True)
+
+
+@register(
+    "multimodal_resize_dims",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents),
+    d AS (
+      SELECT asset_id, modality,
+             64 + (nb * 2654435761) % 1024 AS w,
+             64 + (nb * 40503) % 1024 AS h
+      FROM a)
+    SELECT asset_id, modality,
+           CAST(w AS INTEGER) AS src_width, CAST(h AS INTEGER) AS src_height,
+           CAST(CASE WHEN greatest(w, h) > 256
+                     THEN w * 256 // greatest(w, h) ELSE w END AS INTEGER)
+             AS out_width,
+           CAST(CASE WHEN greatest(w, h) > 256
+                     THEN h * 256 // greatest(w, h) ELSE h END AS INTEGER)
+             AS out_height
+    FROM d
+    """,
+)
+def multimodal_resize_dims(spark, sf_dir):
+    """Aspect-preserving resize stage (mapInPandas, integer math) —
+    decode stubbed, scaling arithmetic real and oracle-checked."""
+    assets = synth_assets_from_documents(_docs(spark, sf_dir))
+    return resize_assets(assets, max_dim=256, decode_stub=True)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS asset_id,
+             1000 + (CAST(octet_length(encode(text)) AS BIGINT) * 7919)
+               % 30000 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT asset_id,
+           unnest(range((duration_ms + 999) // 1000)) AS frame_idx,
+           unnest(range((duration_ms + 999) // 1000)) * 1000 AS frame_ts_ms
+    FROM v
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling stage — the 1→N mapInPandas fan-out shape
+    (one row per sampled frame at 1 fps against a stubbed duration)."""
+    assets = synth_assets_from_documents(_docs(spark, sf_dir))
+    return sample_frames(assets, every_ms=1000, decode_stub=True)
