@@ -81,6 +81,23 @@ def streaming_dedup(
     )
 
 
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach (small) dimension columns
+    to every streaming row.
+
+    The static side is broadcast — each micro-batch hash-joins against
+    the in-memory dim with NO stream-side shuffle and no state (unlike
+    stream-stream joins). The standard shape for attaching sensor /
+    user / catalog metadata in a pipeline; at 100 TB the dim side must
+    stay broadcast-sized (use a stream-stream join otherwise)."""
+    return stream.join(F.broadcast(dim), on=key, how=how)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -19,6 +19,7 @@ _NON_QUERY_TOKENS = {
     "applyInPandasWithState", "pandas_udf", "mapInPandas",
     "checkpointLocation", "__spark_entry__", "price_trend_by_customer",
     "streaming_dedup", "write_bucketed", "salted_join",
+    "enrich_with_dim", "time_range_join_count", "ivf_ann_topk",
 }
 
 

@@ -287,3 +287,38 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # sensor 1 @60: clicks at 40 (in [30,60]) yes, 20 no.
     # sensor 2 @60: click at 59 yes, 95 (after) no.
     assert got == {("1", 1), ("2", 3)}
+
+
+def test_stream_static_enrichment_broadcasts_dim(spark, tmp_path):
+    # Stream-static join: every streaming row picks up its dim columns
+    # (left join keeps rows with no dim match, NULL-filled), and the
+    # static side is broadcast — no stream-side shuffle, no join state.
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        enrich_with_dim,
+    )
+
+    src = _write_batches(
+        spark,
+        tmp_path,
+        [[("1", 30, 0), ("2", 31, 5), ("9", 27, 10)]],
+        subdir="enrich",
+    )
+    dim = spark.createDataFrame(
+        [("1", "lab"), ("2", "roof")], "sensor_id string, location string"
+    )
+    readings = stream_parquet_dir(spark, src, SENSOR_READING)
+    out = enrich_with_dim(readings, dim, key="sensor_id")
+    q = (
+        out.select("sensor_id", "temperature", "location")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.sensor_id, r.location)
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    assert got == {("1", "lab"), ("2", "roof"), ("9", None)}
