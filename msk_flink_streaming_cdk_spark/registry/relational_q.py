@@ -1108,6 +1108,96 @@ def window_percent_rank_cume_dist(spark, sf_dir):
     )
 
 
+@register(
+    "agg_monthly_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+             AS order_month,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_monthly_revenue(spark, sf_dir):
+    """Calendar rollup via date_trunc — the month-grain reporting
+    shape (single hash agg, map-side partial)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "histogram_price_buckets",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT)
+             AS bucket,
+           count(*) AS n_orders,
+           round(CAST(min(o_totalprice) AS DOUBLE), 2) AS min_price,
+           round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_price_buckets(spark, sf_dir):
+    """Equi-width histogram via width_bucket — the profiling scan
+    every dataset audit starts with. (DuckDB has no width_bucket; the
+    oracle spells out the same 12-bucket arithmetic over [0, 600000).)"""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice").cast("double"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice").cast("double"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "scalar_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS nonneg_bal,
+           coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
+             AS bal_or_zero,
+           CAST(c_acctbal IS NULL AS BIGINT) AS bal_missing
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def scalar_null_handling(spark, sf_dir):
+    """NULL-handling scalar surface: nullif / coalesce / IS NULL."""
+    nonneg = F.when(F.col("c_acctbal") < 0, None).otherwise(
+        F.col("c_acctbal")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.coalesce(
+                F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")
+            ).alias("seg_or_other"),
+            nonneg.alias("nonneg_bal"),
+            F.coalesce(nonneg, F.lit(0.0)).alias("bal_or_zero"),
+            F.col("c_acctbal").isNull().cast("long").alias("bal_missing"),
+        )
+    )
+
+
 _CORRELATED_SUBQ_SQL = """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
     WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
