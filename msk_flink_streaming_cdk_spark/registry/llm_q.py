@@ -350,6 +350,48 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
 
+@register(
+    "pipeline_near_dedup_corpus",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, n_chars AS n_len,
+             CAST(floor(n_chars/16) AS BIGINT) AS bucket,
+             CASE WHEN len(w) >= 5
+                  THEN list_distinct([array_to_string(w[i:i+4], ' ')
+                                      for i in range(1, len(w)-4+1)])
+                  ELSE [array_to_string(w, ' ')] END AS shingles
+      FROM words
+    ), pairs AS (
+      SELECT b.doc_id AS drop_id
+      FROM sh a JOIN sh b
+        ON b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1
+       AND a.doc_id < b.doc_id AND abs(a.n_len - b.n_len) <= 16
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT drop_id FROM pairs)
+    """,
+)
+def pipeline_near_dedup_corpus(spark, sf_dir):
+    """The removal step of near-dedup: drop the HIGHER doc_id of every
+    near-dup pair (keep-first policy), emit the surviving corpus — a
+    left-anti join of documents against the pair set. Uses the exact
+    banded-Jaccard pairs so the whole pipeline is oracle-checkable; at
+    scale the MinHash pair generator swaps in with the same shape."""
+    docs = _docs(spark, sf_dir)
+    drop = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # --- sketch quality audits ---------------------------------------------------------
 #
 # Driver-visible quality metrics for the approximate ops: each query
