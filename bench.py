@@ -104,13 +104,21 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Min of two runs per query: the first run pays one-time plan
+    # codegen and is exposed to host CPU noise (observed 2-20x swings
+    # on shared infrastructure); the min measures the engine, which is
+    # what round-over-round regression tracking needs.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     prev_n, prev = _prev_round_queries()
@@ -125,6 +133,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": runs,
+        "agg": "min",
     }
     if prev_n is not None:
         out["vs_prev"] = vs_prev
