@@ -28,6 +28,14 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Broadcast decisions: keep the STATIC threshold at Spark's 10 MB
+    # default — static estimates are file-size × guessed selectivity
+    # and routinely wrong (a 50%-selective filter on a fact table can
+    # "fit" and then serially build a huge hash relation). AQE's
+    # runtime threshold works on EXACT post-shuffle sizes, so it can
+    # afford to be aggressive.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for any toPandas()/pandas_udf path (vectorized transfer).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI off: match Flink/DuckDB permissive casts in oracle queries.
@@ -80,7 +88,6 @@ def get_spark(
         builder.config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Managed-table warehouse for bucketed tables (storage.py);
         # kept out of the repo tree.
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
