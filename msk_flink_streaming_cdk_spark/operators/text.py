@@ -95,6 +95,40 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.encode(canon, "UTF-8"))
 
 
+def word_chunks(text: Column, size: int = 40, stride: int = 20) -> Column:
+    """Overlapping word-window chunks — the context-window splitter a
+    pretraining pipeline runs over every document. Pure HOFs
+    (split → sequence → transform → slice): codegen'd, no UDF, and the
+    per-row output is bounded by the document length, so it scales as
+    a flat map over the corpus.
+
+    Returns ``array<string>``; chunk ``i`` covers words
+    ``[i*stride, i*stride+size)`` (last chunks may be short)."""
+    w = F.split(F.trim(text), r"\s+")
+    n = F.size(w)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(w, s, size), " ")
+    )
+
+
+def word_ngrams_md5(text: Column, n: int = 8) -> Column:
+    """Distinct-ready word n-gram fingerprints (md5 of the joined
+    lowercase n-gram) — the unit of benchmark-contamination checks.
+    Documents shorter than ``n`` words yield an empty array."""
+    w = F.split(F.lower(F.trim(text)), r"\s+")
+    cnt = F.size(w)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.md5(
+                F.encode(F.array_join(F.slice(w, i, n), " "), "UTF-8")
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
 def rolling_hash_col(text: Column, window: int = 8) -> Column:
     """Per-document set of rolling (Rabin-Karp-style) window hashes
     over words — content-defined chunk keys for shift-robust

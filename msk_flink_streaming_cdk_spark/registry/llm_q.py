@@ -167,6 +167,116 @@ def text_rolling_fingerprints(spark, sf_dir):
     )
 
 
+@register(
+    "text_chunk_sliding",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE doc_id < 100),
+     s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 20)) AS st
+           FROM d)
+    SELECT doc_id, CAST((st - 1) / 20 AS BIGINT) AS chunk_idx,
+           array_to_string(w[st:st+39], ' ') AS chunk_text,
+           CAST(len(w[st:st+39]) AS BIGINT) AS n_words
+    FROM s
+    """,
+)
+def text_chunk_sliding(spark, sf_dir):
+    """Sliding-window document chunking (40-word chunks, stride 20) —
+    the splitter that turns documents into training-context rows. A
+    flat map (HOF array build + posexplode): no shuffle, no UDF."""
+    from ..operators.text import word_chunks
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.posexplode(word_chunks(F.col("text"), size=40, stride=20)).alias(
+            "chunk_idx", "chunk_text"
+        ),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long").alias(
+            "n_words"
+        ),
+    )
+
+
+@register(
+    "text_contamination_8gram",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([md5(array_to_string(w[i:i+7], ' '))
+                         for i in generate_series(1, len(w)-7)]) AS g
+          FROM w WHERE len(w) >= 8),
+    b AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+    SELECT g.doc_id, count(DISTINCT g.g) AS n_overlap
+    FROM g JOIN b USING (g) WHERE g.doc_id % 50 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def text_contamination_8gram(spark, sf_dir):
+    """Benchmark-contamination scan: flag corpus documents sharing any
+    8-word n-gram with a held-out benchmark slice (doc_id % 50 = 0
+    stands in for the benchmark). The benchmark's distinct gram set is
+    small → broadcast equi-join against the corpus grams; never an
+    all-pairs comparison, so it scales as one scan + one broadcast."""
+    from ..operators.text import word_ngrams_md5
+
+    grams = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(word_ngrams_md5(F.col("text"), n=8)).alias("g"),
+        )
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_overlap"))
+    )
+
+
+@register(
+    "text_stratified_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    GROUP BY lang
+    """,
+)
+def text_stratified_sample(spark, sf_dir):
+    """Deterministic ~25% corpus sample via content hash (md5 first
+    nibble), reported per language stratum — reproducible across
+    engines/runs/cluster sizes, unlike TABLESAMPLE's RNG; the standard
+    eval-split primitive. Pure filter → no shuffle beyond the agg."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.filter(
+            F.substring(
+                F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 1
+            ).isin("0", "1", "2", "3")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
 # --- dedup ----------------------------------------------------------------------
 
 @register(

@@ -1229,3 +1229,301 @@ def sql_front_door_exists(spark, sf_dir):
     registered fixture views (correlated EXISTS → left-semi plan)."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_EXISTS)
+
+
+# --- additional breadth: unpivot / arg-max / listagg / percentiles /
+#     gap-fill / sampling / cross join / union-by-name / map columns --------
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS value
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT (wide→long melt) of the four lineitem measures — the
+    inverse of pivot_event_type_counts. Native ``unpivot`` plans as a
+    single-pass Expand (one scan), where the oracle's UNION ALL
+    formulation would scan four times."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 500 == 0)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+    )
+
+
+@register(
+    "agg_max_by_priciest_item",
+    oracle="""
+    SELECT l_returnflag,
+           (max(struct_pack(p := l_extendedprice, ok := l_orderkey,
+                            ln := l_linenumber, pk := l_partkey))).pk
+             AS top_partkey,
+           round((max(struct_pack(p := l_extendedprice, ok := l_orderkey,
+                                  ln := l_linenumber, pk := l_partkey))).p, 2)
+             AS top_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_max_by_priciest_item(spark, sf_dir):
+    """MAX_BY / arg-max made deterministic: the winner is the
+    lexicographic max of (price, orderkey, linenumber), so price ties
+    cannot flip the answer between engines. One hash agg — the struct
+    max carries the payload column, no second pass / self-join."""
+    s = F.max(
+        F.struct(
+            F.col("l_extendedprice").alias("p"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_partkey").alias("pk"),
+        )
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            s.getField("pk").alias("top_partkey"),
+            F.round(s.getField("p"), 2).alias("top_price"),
+        )
+    )
+
+
+@register(
+    "agg_listagg_nations_per_region",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg_nations_per_region(spark, sf_dir):
+    """LISTAGG/string_agg with deterministic order: collect → sort →
+    join inside the agg, so the result is row-order-independent (a
+    bare string_agg would be partition-order-dependent at scale)."""
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+    )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(median(o_totalprice), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_exact_percentiles(spark, sf_dir):
+    """EXACT percentiles (linear interpolation) — the precise
+    counterpart of approx_quantiles_prices: Spark ``percentile()``
+    computes the same continuous quantile as DuckDB quantile_cont."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.median("o_totalprice"), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        )
+    )
+
+
+@register(
+    "timeseries_gapfill_daily",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(
+               (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+                FROM events),
+               (SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP)
+                FROM events),
+               INTERVAL 1 DAY)) AS day),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+    counts AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n_events
+      FROM events WHERE user_id < 10 GROUP BY 1, 2)
+    SELECT u.user_id, s.day, coalesce(c.n_events, 0) AS n_events
+    FROM users u CROSS JOIN spine s
+    LEFT JOIN counts c ON c.user_id = u.user_id AND c.day = s.day
+    """,
+)
+def timeseries_gapfill_daily(spark, sf_dir):
+    """Time-series gap-fill (hypertable-rollup shape): generated day
+    spine × key universe, left-joined to actual daily counts, zeros
+    filled. The spine is sequence()+explode — tiny and broadcast; the
+    only real shuffle is the daily pre-aggregation of the fact side,
+    so the pattern holds at any corpus scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    bounds = _t(spark, sf_dir, "events").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(
+            "day"
+        )
+    )
+    users = ev.select("user_id").distinct()
+    counts = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        users.crossJoin(F.broadcast(spine))
+        .join(counts, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "sample_hash_orders",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_sampled,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sampled_price
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY o_orderstatus
+    """,
+)
+def sample_hash_orders(spark, sf_dir):
+    """Deterministic ~12.5% Bernoulli sample via content hash (md5
+    first hex char in {0,1}) — reproducible across engines, runs, and
+    cluster sizes, unlike TABLESAMPLE's RNG seed-per-partition."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.substring(
+                F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")),
+                1,
+                1,
+            ).isin("0", "1")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"), 2
+            ).alias("sampled_price"),
+        )
+    )
+
+
+@register(
+    "cross_join_region_pairs",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name < b.r_name
+    """,
+)
+def cross_join_region_pairs(spark, sf_dir):
+    """Explicit cartesian product, bounded to the 5-row dim table (the
+    one place a cross join is legitimate); the inequality keeps each
+    unordered pair once."""
+    r = _t(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b).filter(F.col("region_a") < F.col("region_b"))
+
+
+@register(
+    "union_by_name_balances",
+    oracle="""
+    SELECT c_custkey AS acct_key, c_acctbal AS balance,
+           'customer' AS side
+    FROM customer WHERE c_acctbal > 9900
+    UNION ALL
+    SELECT s_suppkey, s_acctbal, 'supplier'
+    FROM supplier WHERE s_acctbal > 9900
+    """,
+)
+def union_by_name_balances(spark, sf_dir):
+    """unionByName: schemas aligned by column NAME (the two inputs are
+    projected in different orders) — a positional union here would
+    silently pair balance with side."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(
+            F.col("c_custkey").alias("acct_key"),
+            F.col("c_acctbal").alias("balance"),
+            F.lit("customer").alias("side"),
+        )
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9900)
+        .select(
+            F.lit("supplier").alias("side"),
+            F.col("s_acctbal").alias("balance"),
+            F.col("s_suppkey").alias("acct_key"),
+        )
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "map_event_type_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+    FROM events WHERE user_id < 50 GROUP BY user_id
+    """,
+)
+def map_event_type_counts(spark, sf_dir):
+    """Map-typed column surface: per-user counts pivoted into a
+    map<string,long> (map_from_entries over collected structs), then
+    probed with element_at. The oracle checks the extracted values —
+    proving the map round-trip — since a raw map column can't cross
+    the driver's canonical hash."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("type_counts")
+    )
+    return as_map.select(
+        "user_id",
+        F.coalesce(F.element_at("type_counts", F.lit("click")), F.lit(0))
+        .cast("long")
+        .alias("n_click"),
+        F.coalesce(F.element_at("type_counts", F.lit("purchase")), F.lit(0))
+        .cast("long")
+        .alias("n_purchase"),
+    )

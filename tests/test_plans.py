@@ -120,3 +120,20 @@ def test_partial_aggregation_map_side(spark, sf_small):
     assert plan.index("partial_sum") > plan.index("Exchange"), (
         "partial agg should sit below the shuffle in the formatted tree"
     )
+
+
+def test_contamination_scan_is_broadcast_equi_join(spark, sf_small):
+    # The benchmark gram set must broadcast-join the corpus grams —
+    # an all-pairs/NLJ here would be quadratic in corpus size.
+    df = QUERIES["text_contamination_8gram"](spark, sf_small)
+    assert_broadcast_hash_join(df, at_least=1)
+    assert_no_nested_loop_join(df)
+
+
+def test_unpivot_single_pass_expand(spark, sf_small):
+    # Native unpivot must plan as one Expand over one scan, not the
+    # oracle's four-scan UNION ALL.
+    plan = formatted_plan(QUERIES["unpivot_lineitem_measures"](spark, sf_small))
+    assert "Expand" in plan, plan
+    # one scan block (each block prints one "Location:" line)
+    assert plan.count("Location:") == 1, plan
