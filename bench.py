@@ -73,6 +73,73 @@ def _prev_round_queries() -> tuple[int | None, dict[str, float]]:
     return best_n, best
 
 
+def _streaming_rate(spark, sf_dir: str) -> dict:
+    """End-to-end streaming replay throughput: the events fixture
+    (sensor_readings shape) through BOTH reference pipelines (Q1
+    alerts + Q2 averages, 5 s watermark, append mode) from a parquet
+    file stream in 4-file micro-batches to foreachBatch sinks.
+
+    The reference's producer sustains ~0.33 rec/s (BASELINE.md); this
+    measures how fast the same pipelines drain a backlog — events/sec
+    across both queries, state store and watermark tracking included."""
+    import shutil
+    import tempfile
+
+    from msk_flink_streaming_cdk_spark.sources.files import stream_parquet_dir
+    from msk_flink_streaming_cdk_spark.sources.fixtures import (
+        sensor_readings_dense,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.pipelines import (
+        q1_stream,
+        q2_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = os.path.join(tmp, "src")
+        # Dense mapping (reference's exact 5-sensor shape) so BOTH
+        # pipelines emit; range-ordered files => in-order backlog
+        # replay, so the watermark progresses like a Kafka catch-up
+        # instead of late-dropping whole files.
+        readings = sensor_readings_dense(spark, sf_dir)
+        readings.orderBy("event_time").write.mode("overwrite").parquet(src)
+        n = spark.read.parquet(src).count()
+        schema = spark.read.parquet(src).schema
+
+        counts: dict[str, int] = {}
+
+        def sink(name):
+            def f(df, _bid):
+                counts[name] = counts.get(name, 0) + df.count()
+
+            return f
+
+        t0 = time.perf_counter()
+        queries = []
+        for name, build in (("q1", q1_stream), ("q2", q2_stream)):
+            stream = build(
+                stream_parquet_dir(spark, src, schema, max_files_per_trigger=4)
+            )
+            queries.append(
+                stream.writeStream.foreachBatch(sink(name))
+                .option("checkpointLocation", os.path.join(tmp, f"ckpt_{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+        for q in queries:
+            q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        return {
+            "events_in": n,
+            "pipelines": 2,
+            "elapsed_sec": round(elapsed, 3),
+            "rate_eps": round(2 * n / elapsed, 1),
+            "rows_out": counts,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -136,6 +203,7 @@ def main() -> None:
         "runs_per_query": runs,
         "agg": "min",
     }
+    out["streaming"] = _streaming_rate(spark, sf_dir)
     if prev_n is not None:
         out["vs_prev"] = vs_prev
         out["prev_round"] = prev_n

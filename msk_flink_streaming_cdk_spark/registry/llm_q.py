@@ -277,6 +277,98 @@ def text_stratified_sample(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition_ratio",
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id, w,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, len(w)-2)] AS grams
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS w
+            FROM documents)
+      WHERE len(w) >= 3)
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+             AS word_rep_ratio,
+           round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+             AS gram3_rep_ratio
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Repetition detection (the boilerplate/spam signal every corpus
+    filter uses): fraction of duplicate words and duplicate word
+    3-grams per document. Pure HOFs over the token array — one scan,
+    no shuffle, no UDF."""
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.array_join(F.slice(w, i, 3), " "),
+    )
+
+    def rep(arr):
+        return F.round(
+            1.0
+            - F.size(F.array_distinct(arr))
+            / F.size(arr).cast("double"),
+            6,
+        )
+
+    return (
+        _docs(spark, sf_dir)
+        .filter(n >= 3)
+        .select(
+            "doc_id",
+            rep(w).alias("word_rep_ratio"),
+            rep(grams).alias("gram3_rep_ratio"),
+        )
+    )
+
+
+@register(
+    "text_doc_frequency_idf",
+    oracle=r"""
+    WITH words AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT word, count(*) AS df,
+           round(ln((n.n_docs + 1.0) / (count(*) + 1.0)), 6) AS idf
+    FROM words, n GROUP BY word, n.n_docs
+    """,
+)
+def text_doc_frequency_idf(spark, sf_dir):
+    """Document-frequency / IDF vocabulary table — the weighting stage
+    of TF-IDF feature pipelines. Explode distinct (doc, word) pairs →
+    one hash agg; the corpus row count rides along as a broadcast
+    scalar (no driver round-trip)."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            )
+        ).alias("word"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word",
+            "df",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("idf"),
+        )
+    )
+
+
 # --- dedup ----------------------------------------------------------------------
 
 @register(

@@ -1527,3 +1527,32 @@ def map_event_type_counts(spark, sf_dir):
         .cast("long")
         .alias("n_purchase"),
     )
+
+
+@register(
+    "dedup_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_latest_event_per_user(spark, sf_dir):
+    """Latest-record-per-key (the CDC/upsert compaction shape):
+    row_number over (key, time DESC) keeps exactly one row per key,
+    tie-broken on event_id for determinism. Spark plans the rn=1
+    filter as WindowGroupLimit — per-partition top-1 pushdown, so the
+    shuffle carries only each partition's candidate rows."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
