@@ -43,6 +43,8 @@ HEADLINE = [
     "similarity_cosine_topk",
     "similarity_lsh_ann_topk",
     "text_quality_scores",
+    "text_contamination_8gram",
+    "text_top_tfidf_term_per_doc",
     "multimodal_feature_extract",
 ]
 

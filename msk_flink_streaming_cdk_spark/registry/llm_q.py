@@ -369,6 +369,100 @@ def text_doc_frequency_idf(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(i AS BIGINT) AS dim,
+           round(CAST(avg(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE), 6)
+             AS centroid_val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding vectors — the update step
+    of k-means / the class-prototype computation. posexplode → one
+    hash agg keyed (label, dim): fully parallel, no vector ever sits
+    on the driver. Elements go through decimal so the average is
+    summation-order-independent (float addition isn't associative;
+    partial aggregation reorders it)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select(
+            "label", F.posexplode("embedding").alias("dim0", "v")
+        )
+        .groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(
+                F.avg(F.col("v").cast("decimal(18,9)")).cast("double"), 6
+            ).alias("centroid_val")
+        )
+    )
+
+
+@register(
+    "text_top_tfidf_term_per_doc",
+    oracle=r"""
+    WITH tf AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      FROM documents),
+    tfc AS (SELECT doc_id, word, count(*) AS tf FROM tf GROUP BY 1, 2),
+    dfw AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tfc.doc_id, tfc.word,
+             round(tfc.tf * ln((n.n_docs + 1.0) / (dfw.df + 1.0)), 6)
+               AS tfidf
+      FROM tfc JOIN dfw USING (word), n)
+    SELECT doc_id, word AS top_term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, word) AS rn FROM scored)
+    WHERE rn = 1
+    """,
+)
+def text_top_tfidf_term_per_doc(spark, sf_dir):
+    """TF-IDF feature extraction end-to-end: term counts × corpus IDF,
+    top-scoring term per document (deterministic tie-break on term).
+    Shuffles: (doc,word) count agg, word-keyed df agg + join, then a
+    WindowGroupLimit top-1 per doc — no driver-side vocabulary."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("word"),
+    )
+    tfc = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfw = words.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tfc.join(dfw, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_term"), "tfidf")
+    )
+
+
 # --- dedup ----------------------------------------------------------------------
 
 @register(
