@@ -112,21 +112,22 @@ def word_chunks(text: Column, size: int = 40, stride: int = 20) -> Column:
     )
 
 
-def word_ngrams_md5(text: Column, n: int = 8) -> Column:
-    """Distinct-ready word n-gram fingerprints (md5 of the joined
+def word_ngram_keys(text: Column, n: int = 8) -> Column:
+    """Distinct-ready word n-gram keys (xxhash64 of the joined
     lowercase n-gram) — the unit of benchmark-contamination checks.
-    Documents shorter than ``n`` words yield an empty array."""
+    An 8-byte JVM hash, not an md5 hex string: the key never leaves
+    the engine, so it only has to be consistent within one run, and
+    the narrow key halves the gram shuffle. Documents shorter than
+    ``n`` words yield an empty array."""
     w = F.split(F.lower(F.trim(text)), r"\s+")
     cnt = F.size(w)
     return F.when(
         cnt >= n,
         F.transform(
             F.sequence(F.lit(1), cnt - (n - 1)),
-            lambda i: F.md5(
-                F.encode(F.array_join(F.slice(w, i, n), " "), "UTF-8")
-            ),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
         ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
 
 
 def rolling_hash_col(text: Column, window: int = 8) -> Column:
