@@ -346,3 +346,61 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the step
+    that turns near-dup PAIRS into dedup CLUSTERS (keep one doc per
+    component). Min-label propagation: every node repeatedly adopts
+    the smallest label among itself and its neighbors; fixpoint =
+    components labeled by their minimum doc id.
+
+    Scale shape: each iteration is one equi-join + one min-agg (both
+    key-partitioned shuffles), converging in graph-diameter rounds —
+    near-dup graphs are overwhelmingly tiny cliques, so diameter is
+    small. ``localCheckpoint`` truncates lineage so plan size stays
+    O(1) across iterations instead of doubling. (The allocation-free
+    large-star/small-star variant [Kiveris et al., 2014] drops in here
+    if a corpus ever produces deep chain components.)
+
+    Returns (node, label): one row per node appearing in ``pairs``.
+    """
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    ).distinct()
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges.dst == labels.node
+        ).select(edges.src.alias("node"), "label")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -489,10 +489,10 @@ def dedup_exact_text(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
 
-@register(
-    "dedup_ngram_jaccard_pairs",
-    oracle=r"""
-    WITH words AS (
+# Shared CTE chain for the exact near-dup pair graph (also the base of
+# the connected-components oracle below).
+_NGRAM_PAIRS_CTES = r"""
+    words AS (
       SELECT doc_id, n_chars,
              string_split_regex(lower(trim(text)), '\s+') AS w
       FROM documents
@@ -504,20 +504,68 @@ def dedup_exact_text(spark, sf_dir):
                                       for i in range(1, len(w)-4+1)])
                   ELSE [array_to_string(w, ' ')] END AS shingles
       FROM words
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.shingles, b.shingles))::DOUBLE
-             / len(list_distinct(a.shingles || b.shingles)) AS jaccard
-    FROM sh a JOIN sh b
-      ON b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1
-     AND a.doc_id < b.doc_id AND abs(a.n_len - b.n_len) <= 16
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / len(list_distinct(a.shingles || b.shingles)) >= 0.5
-    """,
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+      FROM sh a JOIN sh b
+        ON b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1
+       AND a.doc_id < b.doc_id AND abs(a.n_len - b.n_len) <= 16
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"WITH {_NGRAM_PAIRS_CTES}\n"
+    "    SELECT doc_a, doc_b, jaccard FROM pairs",
 )
 def dedup_ngram_jaccard_pairs(spark, sf_dir):
     """Exact 5-shingle Jaccard near-dup pairs, length-band blocked."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, peer) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(peer) AS component_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the exact pair
+    graph (min-label propagation, one join + min-agg per round —
+    see ``operators/dedup.py::connected_components``), labeled by the
+    component's minimum doc_id. The oracle computes the same fixpoint
+    as a recursive transitive closure — feasible for DuckDB at oracle
+    scale, quadratic at corpus scale (which is why the engine side
+    iterates instead)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    labels = connected_components(pairs)
+    w = Window.partitionBy("component_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("component_id"),
+        )
+        .withColumn("component_size", F.count("*").over(w))
+    )
 
 
 @register("dedup_minhash_lsh_pairs")  # xxhash64-based → rows-only

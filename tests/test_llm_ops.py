@@ -120,3 +120,20 @@ def test_exact_dedup_counts(spark, sf_small):
     dedup = QUERIES["dedup_exact_text"](spark, sf_small)
     assert dedup.count() <= docs.count()
     assert dedup.agg(F.sum("n_copies")).first()[0] == docs.count()
+
+
+def test_connected_components_multi_hop_chain(spark):
+    # 1-2-3-4 chain (diameter 3, needs real propagation), {7,9} pair,
+    # pair order/direction mixed on purpose.
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (9, 7)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.node, r.label)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7)}
