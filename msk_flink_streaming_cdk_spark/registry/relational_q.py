@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..operators.relational import (
     asof_join_backward,
     global_top_k,
+    salted_join,
     sessionize,
     top_k_per_group,
 )
@@ -1555,4 +1556,35 @@ def dedup_latest_event_per_user(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+@register(
+    "join_salted_skew_orders",
+    oracle="""
+    SELECT c_nationkey AS nationkey, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def join_salted_skew_orders(spark, sf_dir):
+    """Skew-resistant salted join through the driver gate: the fact
+    side gets a random salt, the dim side is replicated per salt, and
+    a hot key spreads over salt_buckets reducers — the RESULT must be
+    exactly the plain equi-join the oracle runs (salt is internal and
+    dropped). See operators/relational.py::salted_join."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_custkey"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_nationkey"
+    )
+    return (
+        salted_join(o, c, "k", salt_buckets=8)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
     )
