@@ -945,3 +945,187 @@ def multimodal_frame_sample(spark, sf_dir):
     (one row per sampled frame at 1 fps against a stubbed duration)."""
     assets = synth_assets_from_documents(_docs(spark, sf_dir))
     return sample_frames(assets, every_ms=1000, decode_stub=True)
+
+
+@register(
+    "text_duplicate_passages",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(w[i:i+15], ' ')
+                         for i in generate_series(1, len(w)-15)]) AS passage
+          FROM w WHERE len(w) >= 16)
+    SELECT passage, CAST(count(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY passage HAVING count(*) > 1
+    """,
+)
+def text_duplicate_passages(spark, sf_dir):
+    """Cross-document repeated-passage detection (16-word grams seen
+    in >1 doc) — the passage-level exact-substring dedup signal used
+    to strip boilerplate/templated spans from training corpora. One
+    flat-map (HOF gram build, array_distinct before explode so
+    (doc, passage) needs no global distinct) + one hash agg keyed on
+    the passage; at 100 TB the agg would key on xxhash64(passage) and
+    re-join the winning hashes for the text, but the oracle-checked
+    form keeps raw text keys."""
+    from ..operators.util import parallelize_narrow
+
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(w) >= 16,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 15),
+            lambda i: F.array_join(F.slice(w, i, 16), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        parallelize_narrow(_docs(spark, sf_dir))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("passage"))
+        .groupBy("passage")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             round(sqrt(CAST(sum(CAST(v AS DECIMAL(18,9))
+                                 * CAST(v AS DECIMAL(18,9))) AS DOUBLE)),
+                   6) AS l2_norm
+      FROM embeddings, unnest(embedding) AS t(v)
+      GROUP BY vec_id, label)
+    SELECT label, count(*) AS n_vecs,
+           round(CAST(sum(CAST(l2_norm AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_norm,
+           min(l2_norm) AS min_norm,
+           max(l2_norm) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Per-label L2-norm statistics over the embedding column — the
+    sanity/QA scan run before any cosine pipeline (un-normalized rows
+    break cosine shortcuts). Squares sum in exact decimal (posexplode
+    -> hash agg) so partial-aggregation order can't move the result;
+    the avg is an exact decimal sum divided once, not a float avg."""
+    e = _emb(spark, sf_dir)
+    v9 = F.col("v").cast("decimal(18,9)")
+    norms = (
+        e.select("vec_id", "label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum(v9 * v9).alias("ss"))
+        .select(
+            "label",
+            F.round(F.sqrt(F.col("ss").cast("double")), 6).alias("l2_norm"),
+        )
+    )
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("l2_norm").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_norm"),
+        F.min("l2_norm").alias("min_norm"),
+        F.max("l2_norm").alias("max_norm"),
+    )
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i AS dim, embedding[i] AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+    exi AS (
+      SELECT vec_id, label, dim,
+             CAST(floor(CAST(v AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS iv
+      FROM ex),
+    cent AS (
+      SELECT label AS c_label, dim,
+             CAST(floor(CAST(sum(iv) AS DOUBLE) / count(*) + 0.5)
+                  AS BIGINT) AS ic
+      FROM exi GROUP BY label, dim),
+    d AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             sum((e.iv - c.ic) * (e.iv - c.ic)) AS dist2i
+      FROM exi e JOIN cent c USING (dim)
+      GROUP BY e.vec_id, e.label, c.c_label)
+    SELECT vec_id, label, c_label AS assigned_label,
+           round(CAST(dist2i AS DOUBLE) / 1e16, 6) AS dist2
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2i, c_label) AS rn FROM d)
+    WHERE rn = 1
+    """,
+)
+def embedding_kmeans_assign(spark, sf_dir):
+    """K-means ASSIGNMENT step (the other half of Lloyd's iteration
+    next to embedding_label_centroids' update step): every vector to
+    its nearest label-centroid. Centroids are k x d = tiny, so they
+    collapse to k broadcast rows carrying the centroid as an array —
+    the fan-out is only x k (never x k x d; the per-dim join form
+    would shuffle the exploded fact k*d-fold at 100 TB). Distances
+    accumulate in exact decimal, so argmin order is engine-identical;
+    ties break on label."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    def _iv8(x):
+        return F.floor(x.cast("double") * F.lit(1e8) + F.lit(0.5))
+
+    centl = (
+        e.select("label", F.posexplode("embedding").alias("dim0", "v"))
+        .groupBy(F.col("label").alias("c_label"),
+                 (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.floor(
+                F.sum(_iv8(F.col("v"))).cast("double") / F.count("*")
+                + F.lit(0.5)
+            ).alias("ic")
+        )
+    )
+    cent = centl.groupBy("c_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "ic"))),
+            lambda s: s["ic"],
+        ).alias("centroid")
+    )
+    # Distances run in INTEGER space (values quantized x 1e8 to
+    # BIGINT via floor(v*1e8 + 0.5) — every step is an IEEE-754
+    # double op, bit-identical on any engine, unlike float->decimal
+    # casts whose half-way rounding differs between Spark and DuckDB).
+    # Integer sums are associative, so dist2i is exact regardless of
+    # partial-aggregation order, and the argmin can't waver.
+    diff2 = F.zip_with(
+        "embedding",
+        "centroid",
+        lambda x, y: (_iv8(x) - y) * (_iv8(x) - y),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "label",
+            "c_label",
+            F.aggregate(
+                diff2, F.lit(0).cast("long"), lambda acc, d: acc + d
+            ).alias("dist2i"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2i", "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("assigned_label"),
+            F.round(F.col("dist2i").cast("double") / F.lit(1e16), 6).alias(
+                "dist2"
+            ),
+        )
+    )

@@ -1588,3 +1588,94 @@ def join_salted_skew_orders(spark, sf_dir):
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           sum({_DISC_PRICE_SQL}) AS revenue,
+           count(*) AS n_items
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item revenue ranking: fact-fact join
+    (orders x lineitem) with the returnflag + date filters pushed to
+    the scans, customer join on the aggregated side, broadcast nation
+    dim, global top-20 via TakeOrderedAndProject (no full sort). At
+    scale the orders/lineitem join shuffles on orderkey while customer
+    arrives pre-reduced — the aggregate keys on c_custkey keep the
+    final shuffle small. Decimal revenue per the module convention."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_disc_price_spark()).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+           total_qty
+    FROM big
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape — large-volume orders: aggregate-then-join. The
+    lineitem pre-aggregation (sum(qty) per orderkey, HAVING > 250)
+    reduces the fact side BEFORE it ever joins orders/customer, so the
+    join input shrinks ~30x at the agg instead of exploding: the
+    canonical put-the-agg-below-the-join plan a 100 TB fact table
+    needs. Quantities sum in decimal so the HAVING threshold compare
+    is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast(_DEC).alias("total_price"),
+            "total_qty",
+        )
+    )
