@@ -322,3 +322,48 @@ def test_stream_static_enrichment_broadcasts_dim(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enrich_test").collect()
     }
     assert got == {("1", "lab"), ("2", "roof"), ("9", None)}
+
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    # Spark 4 transformWithState API: ValueState-backed per-key running
+    # (count, sum, max), state surviving across micro-batches. The TWS
+    # driver worker needs google.protobuf at runtime — skip (with the
+    # capability probe, not a silent pass) where it's absent.
+    import pytest
+
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        running_stats_by_key,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithStateInPandas driver worker requires the "
+            "google.protobuf package, absent from this environment"
+        )
+
+    batches = [
+        [("1", 30, 0), ("1", 32, 10), ("2", 28, 5)],
+        [("1", 27, 20), ("2", 31, 25)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, subdir="tws")
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = (
+        running_stats_by_key(readings)
+        .writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "tws_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql("SELECT * FROM tws_test").collect():
+        final[r.sensor_id] = (r.n_events, r.sum_temp, r.max_temp)
+    assert final["1"] == (3, 89.0, 32.0)
+    assert final["2"] == (2, 59.0, 31.0)
