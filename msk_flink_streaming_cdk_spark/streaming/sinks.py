@@ -105,6 +105,83 @@ def foreach_batch_publisher(
     return handler
 
 
+def upsert_latest_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: tuple[str, ...],
+    time_col: str,
+    num_buckets: int = 64,
+    trigger: dict | None = None,
+):
+    """Streaming upsert into a parquet table keeping the LATEST record
+    per key (CDC-compaction target) — idempotent under micro-batch
+    replays, so it composes with checkpoint recovery.
+
+    Without a transactional table format there is no MERGE INTO, so
+    the scalable pattern is bucket-partitioned overwrite: the target
+    is hash-partitioned on ``pmod(xxhash64(keys), num_buckets)`` and
+    each micro-batch rewrites ONLY the buckets it touches (dynamic
+    partition-overwrite). Cost per batch is proportional to the
+    touched buckets' size, not the table size; at 100 TB you would
+    raise ``num_buckets`` so a bucket stays executor-sized, or swap
+    this sink for a lakehouse MERGE — the operator contract (latest
+    row per key, replay-idempotent) is the same.
+
+    The merged frame is ``localCheckpoint``-ed before the write: its
+    plan reads the very files the overwrite replaces, and Spark
+    refuses (or worse, corrupts) self-overwriting reads unless the
+    lineage is cut first.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    trigger = trigger or {"availableNow": True}
+    keys = list(key_cols)
+
+    def latest_per_key(frame: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(F.col(time_col).desc())
+        return (
+            frame.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = latest_per_key(batch_df).withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*keys), F.lit(num_buckets)).cast("int"),
+        )
+        try:
+            existing = spark.read.parquet(path)
+            touched = [
+                r["__bucket"]
+                for r in fresh.select("__bucket").distinct().collect()
+            ]
+            # partition pruning on the filter: only touched buckets read
+            old = existing.filter(F.col("__bucket").isin(touched))
+            merged = latest_per_key(old.unionByName(fresh))
+        except AnalysisException:
+            merged = fresh  # first batch, no target yet
+        merged = merged.repartition("__bucket").localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(path)
+        )
+
+    return (
+        df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(**trigger)
+        .start()
+    )
+
+
 def memory_sink(df: DataFrame, name: str, trigger: dict | None = None):
     """Append-mode memory sink for deterministic streaming tests."""
     trigger = trigger or {"availableNow": True}

@@ -155,3 +155,63 @@ def test_single_scan_fanout_runs_both_sinks(spark, tmp_path):
     q.awaitTermination(120)
     assert captured["q1"] >= 1  # 5 hot rows in [0,30) → count>3 alert
     assert captured["q2"] >= 1
+
+
+def test_upsert_latest_sink_merges_and_is_idempotent(spark, tmp_path):
+    # Latest-per-key upsert target: batch0 seeds sensors 1/2, batch1
+    # updates sensor 1 and adds 3. Final table = one row per sensor
+    # with the newest temperature; re-running the merge with batch1's
+    # rows again (a checkpoint-recovery replay) must change nothing.
+    from msk_flink_streaming_cdk_spark.streaming.sinks import (
+        upsert_latest_sink,
+    )
+
+    batches = [
+        [("1", 30, 0), ("2", 28, 5)],
+        [("1", 35, 20), ("3", 31, 25)],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    target = os.path.join(str(tmp_path), "upsert_target")
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = upsert_latest_sink(
+        readings,
+        target,
+        os.path.join(str(tmp_path), "upsert_ckpt"),
+        key_cols=("sensor_id",),
+        time_col="event_time",
+        num_buckets=8,
+    )
+    q.awaitTermination(120)
+
+    def snapshot():
+        return sorted(
+            (r.sensor_id, r.temperature)
+            for r in spark.read.parquet(target)
+            .select("sensor_id", "temperature")
+            .collect()
+        )
+
+    assert snapshot() == [("1", 35), ("2", 28), ("3", 31)]
+    # bucket layout: hive dirs named __bucket=N
+    assert glob.glob(os.path.join(target, "__bucket=*"))
+
+    # replay idempotency: feed batch1 again through a fresh stream
+    # (new checkpoint), as recovery would after a lost commit.
+    replay_src = _write_batches(
+        spark, os.path.join(str(tmp_path), "replay"), [batches[1]]
+    )
+    replay = stream_parquet_dir(
+        spark, replay_src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q2 = upsert_latest_sink(
+        replay,
+        target,
+        os.path.join(str(tmp_path), "upsert_ckpt2"),
+        key_cols=("sensor_id",),
+        time_col="event_time",
+        num_buckets=8,
+    )
+    q2.awaitTermination(120)
+    assert snapshot() == [("1", 35), ("2", 28), ("3", 31)]
