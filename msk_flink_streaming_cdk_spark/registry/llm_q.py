@@ -1129,3 +1129,30 @@ def embedding_kmeans_assign(spark, sf_dir):
             ),
         )
     )
+
+
+@register("text_approx_topk_words")  # DataSketches frequent-items → rows-only
+def text_approx_topk_words(spark, sf_dir):
+    """Approximate heavy-hitter words via ``approx_top_k`` (mergeable
+    frequent-items sketch) next to the exact counts — vocabulary
+    top-k at 100 TB without a full (word, count) shuffle + sort: the
+    sketch accumulates per partition and merges small. Self-auditing
+    output (est_count vs exact_count per returned word); the exact
+    counterpart query is ``explode_top_words``."""
+    words = _docs(spark, sf_dir).select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("word")
+    )
+    topk = words.agg(F.expr("approx_top_k(word, 10)").alias("tk")).select(
+        F.explode("tk").alias("e")
+    ).select(
+        F.col("e.item").alias("word"), F.col("e.count").alias("est_count")
+    )
+    exact = words.groupBy("word").agg(F.count("*").alias("exact_count"))
+    return topk.join(exact, "word").select(
+        "word",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") == F.col("exact_count")).alias("count_exact"),
+    )

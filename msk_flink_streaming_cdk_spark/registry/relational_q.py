@@ -800,6 +800,83 @@ def approx_quantiles_prices(spark, sf_dir):
     )
 
 
+@register("sketch_hll_users_by_type")  # DataSketches HLL → rows-only
+def sketch_hll_users_by_type(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches, JVM-side): distinct
+    users per event type PLUS an 'ALL' row re-aggregated from the
+    per-group sketches with ``hll_union_agg`` — the property that makes
+    sketches the 100 TB cardinality path (partial per partition/day,
+    union later; never a second scan). Output is self-auditing:
+    estimate next to exact with relative error (drop the exact legs in
+    production; they exist so the driver's rows-only check sees real
+    accuracy numbers — floors pinned in tests/test_approx_aggs.py)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per = sk.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").alias("est_users"),
+        "exact_users",
+    )
+    total = sk.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users")
+    ).crossJoin(
+        F.broadcast(ev.agg(F.countDistinct("user_id").alias("exact_users")))
+    ).select(F.lit("ALL").alias("event_type"), "est_users", "exact_users")
+    return per.unionByName(total).select(
+        "event_type",
+        "est_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+@register("sketch_theta_user_overlap")  # DataSketches theta → rows-only
+def sketch_theta_user_overlap(spark, sf_dir):
+    """Theta-sketch set intersection: estimated |users(click) ∩
+    users(purchase)| without materializing either side — the audience-
+    overlap computation that at 100 TB replaces a distinct-distinct
+    join with two single-scan sketches intersected on the driver.
+    Self-auditing output (exact via a semi-join at test scale)."""
+    ev = _t(spark, sf_dir, "events")
+    sks = ev.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'click' "
+            "THEN user_id END)"
+        ).alias("a"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' "
+            "THEN user_id END)"
+        ).alias("b"),
+    )
+    est = sks.select(
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(a, b))"
+        ).alias("est_overlap")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        clicks.join(buys, "user_id", "left_semi")
+        .agg(F.countDistinct("user_id").alias("exact_overlap"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_overlap",
+        "exact_overlap",
+        F.round(
+            F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+            / F.col("exact_overlap"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 @register(
     "asof_join_prev_signup",
     oracle="""

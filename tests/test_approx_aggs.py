@@ -32,3 +32,30 @@ def test_approx_quantiles_ordered_and_in_range(spark, sf_small):
         .first()
     )
     assert stats[0] <= q25 and q95 <= stats[1]
+
+
+def test_hll_sketch_rel_err_within_bounds(spark, sf_small):
+    # DataSketches HLL at default lgK: well under 5% on these
+    # cardinalities; the ALL row must re-aggregate from the per-group
+    # sketches to the same accuracy (mergeability is the point).
+    rows = QUERIES["sketch_hll_users_by_type"](spark, sf_small).collect()
+    assert {r.event_type for r in rows} >= {"ALL"}
+    for r in rows:
+        assert r.rel_err <= 0.05, (r.event_type, r.est_users, r.exact_users)
+
+
+def test_theta_sketch_overlap_within_bounds(spark, sf_small):
+    (r,) = QUERIES["sketch_theta_user_overlap"](spark, sf_small).collect()
+    assert r.exact_overlap > 0  # non-vacuous on the fixture
+    assert r.rel_err <= 0.05, (r.est_overlap, r.exact_overlap)
+
+
+def test_approx_topk_words_matches_exact_counts(spark, sf_small):
+    # The frequent-items sketch tracks far more slots than this
+    # fixture's vocabulary, so every returned heavy hitter must carry
+    # its exact count.
+    rows = QUERIES["text_approx_topk_words"](spark, sf_small).collect()
+    assert len(rows) == 10
+    assert all(r.count_exact for r in rows), [
+        (r.word, r.est_count, r.exact_count) for r in rows
+    ]
