@@ -404,3 +404,68 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: pairs of SAME-LENGTH names within
+    Levenshtein distance ``max_dist`` (default 1, i.e. Hamming<=1 for
+    equal lengths).
+
+    Blocking is the pigeonhole split: each name is cut into 4
+    quarters; one edit can touch only one quarter, so a distance-1
+    pair must agree on at least one of the 4 "other-3-quarters" keys.
+    Candidates come from 4 equi-joins on (length, 3-quarter key) —
+    high-entropy keys, so the fan-out tracks real near-duplicates and
+    never the all-pairs product — then exact ``levenshtein`` verifies.
+    At 100 TB each join is an ordinary hash shuffle; skew would only
+    appear if millions of names shared 3 full quarters (handle with
+    the salted-join helper if so)."""
+    n = F.length(F.col("name"))
+    q_len = F.ceil(n / 4).cast("int")
+
+    def quarter(i: int) -> Column:
+        return F.substring(F.col("name"), (i * q_len + 1).cast("int"), q_len)
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(name_col).alias("name")
+    )
+    with_keys = base.select(
+        "id",
+        "name",
+        F.length("name").alias("len"),
+        *[
+            F.concat_ws(
+                "|",
+                *[quarter(F.lit(j)) for j in range(4) if j != drop],
+            ).alias(f"bk{drop}")
+            for drop in range(4)
+        ],
+    )
+    cands = None
+    for drop in range(4):
+        a = with_keys.select(
+            F.col("id").alias("id_a"),
+            F.col("name").alias("name_a"),
+            "len",
+            F.col(f"bk{drop}").alias("bk"),
+        )
+        b = with_keys.select(
+            F.col("id").alias("id_b"),
+            F.col("name").alias("name_b"),
+            "len",
+            F.col(f"bk{drop}").alias("bk"),
+        )
+        pairs = a.join(b, ["len", "bk"]).filter(F.col("id_a") < F.col("id_b"))
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    return (
+        cands.select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

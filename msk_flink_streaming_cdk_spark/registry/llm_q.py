@@ -1156,3 +1156,95 @@ def text_approx_topk_words(spark, sf_dir):
         "exact_count",
         (F.col("est_count") == F.col("exact_count")).alias("count_exact"),
     )
+
+
+@register(
+    "dedup_fuzzy_name_pairs",
+    oracle="""
+    WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer
+                  WHERE c_custkey <= 300),
+    k AS (SELECT id, name, length(name) AS len,
+                 CAST(ceil(length(name)/4.0) AS INT) AS q FROM base),
+    keys AS (
+      SELECT id, name, len, drop_q,
+        concat_ws('|',
+          CASE WHEN drop_q <> 0 THEN substr(name, 1, q) END,
+          CASE WHEN drop_q <> 1 THEN substr(name, q+1, q) END,
+          CASE WHEN drop_q <> 2 THEN substr(name, 2*q+1, q) END,
+          CASE WHEN drop_q <> 3 THEN substr(name, 3*q+1, q) END) AS bk
+      FROM k, unnest([0,1,2,3]) t(drop_q)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                      a.name AS na, b.name AS nb
+      FROM keys a JOIN keys b
+        ON a.len = b.len AND a.drop_q = b.drop_q AND a.bk = b.bk
+       AND a.id < b.id)
+    SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(na, nb) <= 1
+    """,
+)
+def dedup_fuzzy_name_pairs(spark, sf_dir):
+    """Entity-resolution fuzzy join (names within Levenshtein 1) via
+    pigeonhole quarter-blocking — see
+    operators/dedup.py::fuzzy_name_pairs. The oracle replays the same
+    blocking in SQL, so the gate covers candidate generation AND
+    verification."""
+    from ..operators.dedup import fuzzy_name_pairs
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 300
+    )
+    return fuzzy_name_pairs(c, "c_custkey", "c_name", max_dist=1)
+
+
+@register(
+    "text_redact_pii",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw,
+                '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw,
+                '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+',
+                            '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM t
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrubbing — regex redaction of emails/phones with per-doc
+    match counts, the pre-training privacy pass. The fixture corpus
+    carries no PII, so the query plants deterministic synthetic
+    contacts (doc_id-derived) and then removes them: the redaction
+    engine (regexp_replace inside codegen, zero UDFs) is what's under
+    test, and the oracle replays the same planting. Patterns are kept
+    to the regex subset Java and RE2 share."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone = r"555-[0-9]{4}"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(email), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(phone), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+    )

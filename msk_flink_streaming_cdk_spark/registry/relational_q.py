@@ -1756,3 +1756,27 @@ def q18_large_volume_orders(spark, sf_dir):
             "total_qty",
         )
     )
+
+
+@register(
+    "not_in_subquery_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'P')
+    """,
+)
+def not_in_subquery_customers(spark, sf_dir):
+    """NOT IN subquery — the null-aware anti-join: one NULL in the
+    subquery legally empties the result, so Spark plans a
+    BroadcastHashJoin LeftAnti with isNullAware=true (visible in the
+    physical plan), not a plain anti join. Expressed through the SQL
+    front door because only the parser produces the null-aware form."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'P')
+        """
+    )

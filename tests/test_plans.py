@@ -97,6 +97,9 @@ def test_semi_and_anti_join_plans(spark, sf_small):
         "join_range_clicks_before_purchase",
         "q5_region_revenue",
         "pipeline_clean_corpus",
+        "dedup_fuzzy_name_pairs",
+        "q10_returned_items",
+        "q18_large_volume_orders",
     ],
 )
 def test_no_nested_loop_anywhere(spark, sf_small, name):
@@ -137,3 +140,12 @@ def test_unpivot_single_pass_expand(spark, sf_small):
     assert "Expand" in plan, plan
     # one scan block (each block prints one "Location:" line)
     assert plan.count("Location:") == 1, plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_small):
+    # NOT IN must become the null-aware anti join (trailing
+    # isNullAware=true on the BroadcastHashJoin), not a nested loop.
+    df = QUERIES["not_in_subquery_customers"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert_no_nested_loop_join(df)
+    assert "LeftAnti" in plan, plan
