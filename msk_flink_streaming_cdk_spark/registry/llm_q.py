@@ -1248,3 +1248,90 @@ def text_redact_pii(spark, sf_dir):
             F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+@register(
+    "text_sample_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':salt'), doc_id
+             ) AS rn
+      FROM documents) WHERE rn <= 15
+    """,
+)
+def text_sample_per_source(spark, sf_dir):
+    """Per-source sampling cap (at most 15 docs per source) — the
+    mixture-balancing step of corpus assembly. Deterministic
+    "reservoir": rank inside each source by a salted md5 (bit-identical
+    hex in both engines, so the oracle reproduces the exact pick) and
+    keep the first K. One window over the source-hash shuffle, no
+    driver state; at 100 TB swap md5 for xxhash64 (same shape,
+    run-internal identity only)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":salt"))),
+        "doc_id",
+    )
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "text_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - 1) / 256) AS BIGINT) AS pack_id,
+           cum - n_tokens - 256 * CAST(floor((cum - 1) / 256) AS BIGINT)
+             AS offset_in_pack
+    FROM c
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing: assign documents to fixed-size training
+    context windows (256 tokens) by running-cumsum binning — the
+    static approximation of greedy sample packing (documents are laid
+    end-to-end in doc_id order; a doc whose span crosses a boundary
+    belongs to the pack its LAST token lands in, offset possibly
+    negative = it started in the previous pack). One global-order
+    window: at 100 TB you run it per shard (partitionBy shard id)
+    so no single-reducer global sort exists; the fixture form keeps
+    the single order for oracle parity."""
+    from pyspark.sql import Window
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    pack = F.floor((F.col("cum") - 1) / 256)
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        pack.cast("long").alias("pack_id"),
+        (
+            F.col("cum") - F.col("n_tokens") - 256 * pack.cast("long")
+        ).alias("offset_in_pack"),
+    )
