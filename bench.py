@@ -46,6 +46,12 @@ HEADLINE = [
     "text_contamination_8gram",
     "text_top_tfidf_term_per_doc",
     "multimodal_feature_extract",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "dedup_fuzzy_name_pairs",
+    "embedding_kmeans_assign",
+    "sketch_hll_users_by_type",
+    "text_duplicate_passages",
 ]
 
 
