@@ -1780,3 +1780,89 @@ def not_in_subquery_customers(spark, sf_dir):
                                 WHERE o_orderstatus = 'P')
         """
     )
+
+
+@register(
+    "json_bad_record_quarantine",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0
+                  THEN substr(props, 1, length(props) - 1)
+                  ELSE props END AS raw
+      FROM events WHERE event_id < 1000)
+    SELECT CAST(json_valid(raw) AS BOOLEAN) AS is_valid,
+           count(*) AS n_records,
+           min(event_id) AS first_event
+    FROM t GROUP BY is_valid
+    """,
+)
+def json_bad_record_quarantine(spark, sf_dir):
+    """Bad-record quarantine for semi-structured ingestion: classify
+    rows by JSON validity and route/count them — the PERMISSIVE-mode
+    triage every production pipeline needs before `from_json` nulls
+    silently eat data. The fixture's props are all valid, so the query
+    plants deterministic corruption (truncates every 7th record) and
+    the oracle replays it; validity itself is checked engine-natively
+    (Spark try_parse_json / DuckDB json_valid)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    raw = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    return (
+        ev.select("event_id", raw.alias("raw"))
+        .select(
+            "event_id",
+            F.try_parse_json(F.col("raw")).isNotNull().alias("is_valid"),
+        )
+        .groupBy("is_valid")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+
+
+@register(
+    "profile_key_skew_orders",
+    oracle="""
+    WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+    s AS (SELECT max(n) AS max_n,
+                 round(avg(CAST(n AS DOUBLE)), 4) AS avg_n,
+                 count(*) AS n_keys FROM c)
+    SELECT s.max_n, s.avg_n, s.n_keys,
+           round(s.max_n / s.avg_n, 4) AS skew_ratio,
+           (SELECT min(o_custkey) FROM c WHERE n = s.max_n) AS hottest_key
+    FROM s
+    """,
+)
+def profile_key_skew_orders(spark, sf_dir):
+    """Join/agg-key skew profiler: per-key counts reduced to max/avg/
+    skew-ratio plus the hottest key — the diagnostic run BEFORE
+    choosing salting or AQE skew-join for a 100 TB join (the repo's
+    salted_join exists for exactly what this measures). One hash agg
+    + a tiny all-reduce; nothing driver-side."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    s = c.agg(
+        F.max("n").alias("max_n"),
+        F.round(F.avg(F.col("n").cast("double")), 4).alias("avg_n"),
+        F.count("*").alias("n_keys"),
+    )
+    hottest = (
+        c.join(F.broadcast(s), c["n"] == s["max_n"])
+        .agg(F.min("o_custkey").alias("hottest_key"))
+    )
+    return (
+        s.crossJoin(F.broadcast(hottest)).select(
+            "max_n",
+            "avg_n",
+            "n_keys",
+            F.round(F.col("max_n") / F.col("avg_n"), 4).alias("skew_ratio"),
+            "hottest_key",
+        )
+    )
