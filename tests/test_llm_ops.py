@@ -137,3 +137,51 @@ def test_connected_components_multi_hop_chain(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7)}
+
+
+def test_fuzzy_name_pairs_matches_bruteforce(spark):
+    # Pigeonhole quarter-blocking must find EVERY same-length pair at
+    # Levenshtein distance <= 1 (the blocking is exact for 1 edit, not
+    # a recall trade-off). Mixed lengths, incl. ones not divisible by
+    # 4; cross-length pairs are out of contract.
+    from pyspark.sql import functions as F
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        fuzzy_name_pairs,
+    )
+
+    names = [
+        (1, "alpha-node-01"),
+        (2, "alpha-node-02"),   # dist 1 to id 1
+        (3, "alpha-node-11"),   # dist 1 to 1, 2
+        (4, "alpha-yode-01"),   # dist 1 to 1
+        (5, "betas-node-01"),   # dist >1 to most
+        (6, "short"),
+        (7, "shore"),           # dist 1 to 6 (len 5, q_len 2)
+        (8, "completely-different-name"),
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_name_pairs(df, "id", "name", max_dist=1).collect()
+    }
+    rows = df.collect()
+    expect = set()
+    import itertools
+
+    def lev(a, b):
+        # classic DP, small strings only
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    for x, y in itertools.combinations(rows, 2):
+        a, b = (x, y) if x.id < y.id else (y, x)
+        if len(a.name) == len(b.name) and lev(a.name, b.name) <= 1:
+            expect.add((a.id, b.id))
+    assert got == expect, (got, expect)
