@@ -83,3 +83,23 @@ def run_single_scan_fanout(
         .trigger(**trigger)
         .start()
     )
+
+
+def with_observed_metrics(df: DataFrame, name: str = "pipeline_metrics"):
+    """Attach streaming-safe observed metrics (``df.observe``): row
+    count, max event time, and late-ish null count ride along with
+    every micro-batch and surface in
+    ``StreamingQueryProgress.observedMetrics[name]`` — production
+    pipelines alarm on these without a second aggregation pass (the
+    metrics are computed inside the existing plan, no extra scan or
+    shuffle)."""
+    from pyspark.sql import functions as F
+
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("event_time").alias("max_event_time"),
+        F.sum(
+            F.when(F.col("temperature").isNull(), 1).otherwise(0)
+        ).alias("n_null_temps"),
+    )

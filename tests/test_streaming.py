@@ -215,3 +215,35 @@ def test_upsert_latest_sink_merges_and_is_idempotent(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert snapshot() == [("1", 35), ("2", 28), ("3", 31)]
+
+
+def test_observed_metrics_surface_in_progress(spark, tmp_path):
+    # df.observe metrics must appear in the streaming progress events
+    # for every micro-batch — the zero-cost telemetry channel (computed
+    # inside the plan; no second scan).
+    from msk_flink_streaming_cdk_spark.streaming.pipelines import (
+        with_observed_metrics,
+    )
+
+    batches = [
+        [("1", 30, 0), ("2", 28, 5)],
+        [("1", 35, 20)],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = memory_sink(
+        with_observed_metrics(readings, "telemetry"), "observe_test"
+    )
+    q.awaitTermination(120)
+    counts = [
+        p["observedMetrics"]["telemetry"]["n_rows"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("telemetry")
+        and p["numInputRows"] > 0
+    ]
+    assert sorted(counts) == [1, 2], [
+        (p.get("numInputRows"), p.get("observedMetrics"))
+        for p in q.recentProgress
+    ]
