@@ -1866,3 +1866,55 @@ def profile_key_skew_orders(spark, sf_dir):
             "hottest_key",
         )
     )
+
+
+@register(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+                  ELSE INTERVAL 45 MINUTE END AS gap
+      FROM events),
+    m AS (
+      SELECT user_id, ts, ts + gap AS e,
+             max(ts + gap) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM g),
+    s AS (
+      SELECT user_id, ts, e,
+             sum(CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id, min(ts) AS session_start, max(e) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_dynamic_gap(spark, sf_dir):
+    """Session windows with a PER-EVENT gap (errors time out after 10
+    minutes, everything else 45) — ``session_window`` with a Column
+    gap, which fixed-gap islands can't express. The oracle replays
+    Spark's merge rule exactly: an event opens a new session iff its
+    ts >= the running max of every earlier event's (ts + gap) —
+    half-open windows, so touching intervals do NOT merge — and a
+    session's end is the max (ts + gap) of its members, not
+    last_ts + gap."""
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("10 minutes")
+    ).otherwise(F.lit("45 minutes"))
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
