@@ -1918,3 +1918,103 @@ def session_window_dynamic_gap(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "window_share_of_segment",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, c_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_rev
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, c_custkey)
+    SELECT c_mktsegment, c_custkey, cust_rev,
+           round(CAST(cust_rev AS DOUBLE) /
+                 CAST(sum(cust_rev) OVER (PARTITION BY c_mktsegment)
+                      AS DOUBLE), 6) AS segment_share
+    FROM c
+    """,
+)
+def window_share_of_segment(spark, sf_dir):
+    """Ratio-to-report: each customer's revenue share within its
+    market segment — an unframed partition-total window over the
+    aggregate (one extra exchange on the segment key, no self-join).
+    Revenue sums stay decimal-exact; only the final ratio is floating
+    (identical division on both engines)."""
+    from pyspark.sql import Window
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("cust_rev"))
+    )
+    w = Window.partitionBy("c_mktsegment")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "cust_rev",
+        F.round(
+            F.col("cust_rev").cast("double")
+            / F.sum("cust_rev").over(w).cast("double"),
+            6,
+        ).alias("segment_share"),
+    )
+
+
+@register(
+    "outlier_orders_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders),
+    f AS (SELECT q1, q3, q3 - q1 AS iqr FROM q)
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           sum(CASE WHEN o_totalprice > f.q3 + 1.5 * f.iqr
+                    THEN 1 ELSE 0 END) AS n_high_outliers,
+           sum(CASE WHEN o_totalprice < f.q1 - 1.5 * f.iqr
+                    THEN 1 ELSE 0 END) AS n_low_outliers
+    FROM orders, f
+    GROUP BY o_orderstatus
+    """,
+)
+def outlier_orders_iqr(spark, sf_dir):
+    """IQR-fence outlier detection (Tukey 1.5x) per order status — the
+    standard numeric data-cleaning scan. Exact quantiles reduce to one
+    broadcast row (percentile_cont == DuckDB quantile_cont, linear
+    interpolation both); the flagging pass is then scan-local. At
+    100 TB swap percentile_cont for the KLL/approx sketch and keep
+    the same shape."""
+    o = _t(spark, sf_dir, "orders")
+    q = o.agg(
+        F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("q1"),
+        F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("q3"),
+    ).withColumn("iqr", F.col("q3") - F.col("q1"))
+    return (
+        o.crossJoin(F.broadcast(q))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.col("o_totalprice")
+                    > F.col("q3") + 1.5 * F.col("iqr"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_high_outliers"),
+            F.sum(
+                F.when(
+                    F.col("o_totalprice")
+                    < F.col("q1") - 1.5 * F.col("iqr"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_low_outliers"),
+        )
+    )
