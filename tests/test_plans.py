@@ -149,3 +149,30 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_small):
     plan = formatted_plan(df)
     assert_no_nested_loop_join(df)
     assert "LeftAnti" in plan, plan
+
+
+# Shuffle budgets: every Exchange is a full-data network pass at
+# 100 TB, so each headline query pins its current count — a future
+# "refactor" that sneaks in an extra shuffle fails here, not in prod.
+@pytest.mark.parametrize(
+    "name,budget",
+    [
+        ("agg_pricing_summary", 2),
+        ("q1_alerts_daily", 2),
+        ("q3_shipping_priority", 2),
+        ("q10_returned_items", 2),
+        ("q18_large_volume_orders", 2),
+        ("join_orders_per_segment", 2),
+        ("window_running_total", 2),
+        ("session_window_user_sessions", 2),
+        ("dedup_exact_text", 2),
+        ("dedup_ngram_jaccard_pairs", 4),
+        ("top20_orders_by_price", 0),
+        ("text_token_counts", 0),
+    ],
+)
+def test_exchange_budget(spark, sf_small, name, budget):
+    from msk_flink_streaming_cdk_spark.plans.checks import count_exchanges
+
+    got = count_exchanges(QUERIES[name](spark, sf_small))
+    assert got <= budget, (name, got, budget)
