@@ -1335,3 +1335,82 @@ def text_pack_sequences(spark, sf_dir):
             F.col("cum") - F.col("n_tokens") - 256 * pack.cast("long")
         ).alias("offset_in_pack"),
     )
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents),
+    uw AS (SELECT unnest(ws) AS w1 FROM w),
+    uni AS (SELECT w1, count(*) AS c1 FROM uw GROUP BY w1),
+    big AS (
+      SELECT doc_id,
+             unnest([struct_pack(a := ws[i], b := ws[i+1])
+                     for i in generate_series(1, len(ws)-1)]) AS bg
+      FROM w WHERE len(ws) >= 2),
+    bgf AS (SELECT doc_id, bg.a AS w1, bg.b AS w2 FROM big),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY w1, w2),
+    v AS (SELECT count(*) AS vocab FROM uni),
+    scored AS (
+      SELECT f.doc_id,
+             ln((bc.c12 + 1.0) / (uni.c1 + v.vocab)) AS lp
+      FROM bgf f
+      JOIN bc ON f.w1 = bc.w1 AND f.w2 = bc.w2
+      JOIN uni ON f.w1 = uni.w1
+      CROSS JOIN v)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(exp(-sum(lp) / count(*)), 4) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark, sf_dir):
+    """Corpus-trained bigram-LM perplexity per document (add-one
+    smoothing) — the classic statistical quality filter: high
+    perplexity = text unlike the corpus. Everything is counts + joins
+    + one log-sum agg: bigram/unigram models are hash aggs, scoring
+    re-joins each document's bigrams against the model (shuffles on
+    the bigram/unigram keys — the model never sits on the driver),
+    vocab rides along broadcast. The per-doc log-prob sum is double
+    arithmetic (order-dependent at ~1e-15); round(..., 4) absorbs
+    it for the oracle gate."""
+    w = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws"),
+    )
+    uni = w.select(F.explode("ws").alias("w1")).groupBy("w1").agg(
+        F.count("*").alias("c1")
+    )
+    bgf = (
+        w.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.size("ws") - 1),
+                    F.slice("ws", 2, F.size("ws") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bc = bgf.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    v = uni.agg(F.count("*").alias("vocab"))
+    scored = (
+        bgf.join(bc, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.exp(-F.sum("lp") / F.count("*")), 4).alias("perplexity"),
+    )
