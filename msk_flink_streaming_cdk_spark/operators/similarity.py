@@ -305,3 +305,83 @@ def lsh_ann_topk(
         ).alias("cosine"),
     ).dropDuplicates(["query_id", "vec_id"])
     return _topk_per_query(scored, k)
+
+
+def kmeans_lloyd_int(emb: DataFrame, n_iters: int = 2) -> DataFrame:
+    """Iterative Lloyd k-means over the embedding column, EXACT and
+    engine-reproducible: vectors quantize to scale-8 integers via
+    IEEE ops (floor(v*1e8 + 0.5) — bit-identical on any engine),
+    centroids are floor(mean)+0.5 integers, distances are integer
+    sums, argmin ties break on cluster id. Seeded from the label
+    groups, then ``n_iters`` full assign->update rounds.
+
+    The driver loop composes one declarative plan per iteration —
+    centroids are k x d rows, cached and broadcast each round, so
+    every iteration is scan + broadcast-join + two hash aggs; at
+    100 TB add a localCheckpoint between rounds to cut lineage
+    growth. The deterministic integer arithmetic is what lets a SQL
+    oracle replay every iteration bit-for-bit."""
+    from pyspark.sql import Window
+
+    def iv8(x):
+        return F.floor(x.cast("double") * F.lit(1e8) + F.lit(0.5))
+
+    exi = emb.select(
+        "vec_id",
+        F.col("label").alias("cluster"),
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select(
+        "vec_id",
+        "cluster",
+        (F.col("dim0") + 1).alias("dim"),
+        iv8(F.col("v")).alias("iv"),
+    )
+    points = exi.select("vec_id", "dim", "iv")
+
+    assign = exi.select("vec_id", "cluster").distinct()
+    for _ in range(n_iters):
+        cent = (
+            points.join(assign, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                F.floor(
+                    F.sum("iv").cast("double") / F.count("*") + F.lit(0.5)
+                ).alias("ic")
+            )
+        )
+        carr = cent.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "ic"))),
+                lambda s: s["ic"],
+            ).alias("centroid")
+        )
+        varr = points.groupBy("vec_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "iv"))),
+                lambda s: s["iv"],
+            ).alias("vec")
+        )
+        scored = varr.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            "cluster",
+            F.aggregate(
+                F.zip_with(
+                    "vec", "centroid", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).alias("dist2i"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2i", "cluster")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "dist2i")
+        )
+    return assign.select(
+        "vec_id",
+        F.col("cluster").alias("assigned_label"),
+        F.round(F.col("dist2i").cast("double") / F.lit(1e16), 6).alias(
+            "dist2"
+        ),
+    )

@@ -1414,3 +1414,59 @@ def text_bigram_perplexity(spark, sf_dir):
         F.count("*").alias("n_bigrams"),
         F.round(F.exp(-F.sum("lp") / F.count("*")), 4).alias("perplexity"),
     )
+
+
+@register(
+    "embedding_kmeans_lloyd2",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e8 + 0.5)
+                  AS BIGINT) AS iv
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+    a0 AS (SELECT DISTINCT vec_id, label AS cluster FROM ex),
+    c1 AS (
+      SELECT a.cluster, e.dim,
+             CAST(floor(CAST(sum(e.iv) AS DOUBLE) / count(*) + 0.5)
+                  AS BIGINT) AS ic
+      FROM ex e JOIN a0 a USING (vec_id) GROUP BY a.cluster, e.dim),
+    d1 AS (
+      SELECT e.vec_id, c.cluster,
+             sum((e.iv - c.ic) * (e.iv - c.ic)) AS dist2i
+      FROM ex e JOIN c1 c USING (dim) GROUP BY e.vec_id, c.cluster),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2i, cluster) AS rn FROM d1)
+      WHERE rn = 1),
+    c2 AS (
+      SELECT a.cluster, e.dim,
+             CAST(floor(CAST(sum(e.iv) AS DOUBLE) / count(*) + 0.5)
+                  AS BIGINT) AS ic
+      FROM ex e JOIN a1 a USING (vec_id) GROUP BY a.cluster, e.dim),
+    d2 AS (
+      SELECT e.vec_id, c.cluster,
+             sum((e.iv - c.ic) * (e.iv - c.ic)) AS dist2i
+      FROM ex e JOIN c2 c USING (dim) GROUP BY e.vec_id, c.cluster),
+    a2 AS (
+      SELECT vec_id, cluster, dist2i FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2i, cluster) AS rn FROM d2)
+      WHERE rn = 1)
+    SELECT vec_id, cluster AS assigned_label,
+           round(CAST(dist2i AS DOUBLE) / 1e16, 6) AS dist2
+    FROM a2
+    """,
+)
+def embedding_kmeans_lloyd2(spark, sf_dir):
+    """TWO full Lloyd iterations of k-means (assign -> update ->
+    assign -> update -> assign), oracle-checked bit-for-bit: the
+    integer-exact arithmetic (see
+    operators/similarity.py::kmeans_lloyd_int) makes an ITERATIVE
+    algorithm SQL-replayable — each unrolled CTE round in the oracle
+    must land on identical centroids and assignments or the hash
+    breaks. The driver-side loop over declarative plans is the Spark
+    idiom for bounded iteration (GraphFrames/MLlib do the same)."""
+    from ..operators.similarity import kmeans_lloyd_int
+
+    return kmeans_lloyd_int(_emb(spark, sf_dir), n_iters=2)
