@@ -337,6 +337,11 @@ def kmeans_lloyd_int(emb: DataFrame, n_iters: int = 2) -> DataFrame:
         iv8(F.col("v")).alias("iv"),
     )
     points = exi.select("vec_id", "dim", "iv")
+    # the quantized vector as an array, straight from the source row —
+    # no explode/collect round-trip (posexplode only feeds centroids)
+    varr = emb.select(
+        "vec_id", F.transform("embedding", iv8).alias("vec")
+    )
 
     assign = exi.select("vec_id", "cluster").distinct()
     for _ in range(n_iters):
@@ -354,12 +359,6 @@ def kmeans_lloyd_int(emb: DataFrame, n_iters: int = 2) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("dim", "ic"))),
                 lambda s: s["ic"],
             ).alias("centroid")
-        )
-        varr = points.groupBy("vec_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "iv"))),
-                lambda s: s["iv"],
-            ).alias("vec")
         )
         scored = varr.crossJoin(F.broadcast(carr)).select(
             "vec_id",
