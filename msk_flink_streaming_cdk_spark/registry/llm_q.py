@@ -1470,3 +1470,67 @@ def embedding_kmeans_lloyd2(spark, sf_dir):
     from ..operators.similarity import kmeans_lloyd_int
 
     return kmeans_lloyd_int(_emb(spark, sf_dir), n_iters=2)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id,
+             len(embedding) AS n_dims,
+             embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, n_dims, scale, embedding,
+             list_transform(embedding,
+               x -> greatest(-127.0, least(127.0,
+                    floor(CAST(x AS DOUBLE) / scale + 0.5)))) AS qv
+      FROM t)
+    SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, scale,
+           list_max(list_transform(generate_series(1, n_dims),
+             i -> abs(qv[i] * scale - CAST(embedding[i] AS DOUBLE))))
+             AS max_abs_err
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale, the ANN-serving compression that cuts vector
+    memory 4x) with a per-vector reconstruction-error audit. Every
+    step is an IEEE double op (max/div/floor(x+0.5)/clamp), so the
+    oracle lands on bit-identical scales, codes, and errors; the
+    quantization bound err <= scale/2 is pinned in pytest."""
+    e = _emb(spark, sf_dir)
+    maxabs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    t = e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        "embedding",
+        (maxabs / 127).alias("scale"),
+    )
+    qv = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(x.cast("double") / F.col("scale") + 0.5),
+            ),
+        ),
+    )
+    return t.withColumn("qv", qv).select(
+        "vec_id",
+        "n_dims",
+        "scale",
+        F.array_max(
+            F.zip_with(
+                "qv",
+                "embedding",
+                lambda q, x: F.abs(q * F.col("scale") - x.cast("double")),
+            )
+        ).alias("max_abs_err"),
+    )

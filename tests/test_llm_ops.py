@@ -185,3 +185,18 @@ def test_fuzzy_name_pairs_matches_bruteforce(spark):
         if len(a.name) == len(b.name) and lev(a.name, b.name) <= 1:
             expect.add((a.id, b.id))
     assert got == expect, (got, expect)
+
+
+def test_int8_quantization_error_bound(spark, sf_small):
+    # symmetric rounding quantization can never err more than half a
+    # quantization step per component.
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+    rows = QUERIES["embedding_quantize_int8"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 2 + 1e-12, (
+            r.vec_id,
+            r.max_abs_err,
+            r.scale,
+        )
