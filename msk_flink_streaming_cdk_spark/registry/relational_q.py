@@ -2018,3 +2018,85 @@ def outlier_orders_iqr(spark, sf_dir):
             ).alias("n_low_outliers"),
         )
     )
+
+
+@register(
+    "profile_table_stats_orders",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+             AS nulls_totalprice,
+           CAST(min(o_totalprice) AS DECIMAL(18,2)) AS min_price,
+           CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price,
+           min(o_orderdate) AS min_date,
+           max(o_orderdate) AS max_date
+    FROM orders
+    """,
+)
+def profile_table_stats_orders(spark, sf_dir):
+    """ANALYZE-style column statistics in one scan (row count, NDVs,
+    null counts, min/max) — what a cost-based optimizer or a
+    broadcast-threshold decision consumes. One multi-aggregate pass;
+    at 100 TB the exact NDVs become approx_count_distinct and the
+    query shape is unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("ndv_custkey"),
+        F.countDistinct("o_orderstatus").alias("ndv_status"),
+        F.sum(
+            F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
+        ).alias("nulls_totalprice"),
+        F.min("o_totalprice").cast(_DEC).alias("min_price"),
+        F.max("o_totalprice").cast(_DEC).alias("max_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+@register(
+    "agg_time_weighted_value",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events),
+    w AS (
+      SELECT user_id, value,
+             CAST(epoch(next_ts) - epoch(ts) AS DOUBLE) AS dur
+      FROM s WHERE next_ts IS NOT NULL)
+    SELECT user_id,
+           count(*) AS n_intervals,
+           round(sum(value * dur) / sum(dur), 4) AS time_weighted_avg
+    FROM w GROUP BY user_id
+    """,
+)
+def agg_time_weighted_value(spark, sf_dir):
+    """Time-weighted average per user (each reading weighted by how
+    long it was current — the telemetry/metrics aggregate that a plain
+    AVG gets wrong under irregular sampling). lead() pairs each event
+    with its successor; the weighted sum is one hash agg. Ties on ts
+    are ordered by event_id so the interval chain is deterministic."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("next_ts", F.lead("ts").over(w)).filter(
+        F.col("next_ts").isNotNull()
+    )
+    dur = (
+        F.col("next_ts").cast("double") - F.col("ts").cast("double")
+    )
+    return (
+        s.select("user_id", "value", dur.alias("dur"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 4
+            ).alias("time_weighted_avg"),
+        )
+    )
