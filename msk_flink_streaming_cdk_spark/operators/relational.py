@@ -139,17 +139,19 @@ def salted_join(
     return salted_left.join(salted_right, [key, "__salt"], how).drop("__salt")
 
 
-def asof_join_backward(
+def _asof_join(
     left: DataFrame,
     right: DataFrame,
     key_cols: list[str],
     left_time: str,
     right_time: str,
     right_value_cols: list[str],
+    forward: bool,
 ) -> DataFrame:
-    """Backward as-of join: for every left row, the latest right row
-    with the same key and ``right_time <= left_time`` (Spark has no
-    native ASOF JOIN; DuckDB does, which the oracle uses).
+    """As-of join core (backward: latest right row with right_time <=
+    left_time; forward: earliest right row with right_time >=
+    left_time). Spark has no native ASOF JOIN; DuckDB does, which the
+    oracles use.
 
     Implementation is the scalable union trick, not a point-lookup
     join: tag both sides, union, then ``last(struct, ignorenulls)``
@@ -184,9 +186,10 @@ def asof_join_backward(
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None))
     unioned = lt.unionByName(rt.select(*lt.columns))
+    order_t = F.col("__t").desc() if forward else F.col("__t").asc()
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("__t", "__side")
+        .orderBy(order_t, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -196,6 +199,41 @@ def asof_join_backward(
     for c in right_value_cols:
         out = out.withColumn(c, F.col("__asof")[c])
     return out.drop("__asof")
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_time: str,
+    right_time: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: latest right row with right_time <=
+    left_time per key (see _asof_join for the one-shuffle union
+    trick; DuckDB's native ASOF ``>=`` is the oracle)."""
+    return _asof_join(
+        left, right, key_cols, left_time, right_time,
+        right_value_cols, forward=False,
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_time: str,
+    right_time: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Forward as-of join: EARLIEST right row with right_time >=
+    left_time per key — the time-reversed twin (window ordered by
+    time DESC carries the nearest future right row back). DuckDB's
+    ASOF with ``<=`` is the oracle."""
+    return _asof_join(
+        left, right, key_cols, left_time, right_time,
+        right_value_cols, forward=True,
+    )
 
 
 def time_range_join_count(

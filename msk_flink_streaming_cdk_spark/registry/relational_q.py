@@ -2100,3 +2100,34 @@ def agg_time_weighted_value(spark, sf_dir):
             ).alias("time_weighted_avg"),
         )
     )
+
+
+@register(
+    "asof_join_next_error",
+    oracle="""
+    SELECT a.event_id, a.user_id, b.next_error_ts
+    FROM events a ASOF LEFT JOIN
+         (SELECT user_id, ts, ts AS next_error_ts FROM events
+          WHERE event_type = 'error') b
+      ON a.user_id = b.user_id AND a.ts <= b.ts
+    """,
+)
+def asof_join_next_error(spark, sf_dir):
+    """Forward as-of join: every event picks up the user's NEXT error
+    timestamp (time-to-failure style lookup) — the forward twin of
+    asof_join_prev_signup, checked against DuckDB's native ASOF with
+    ``<=``. See operators/relational.py::asof_join_forward."""
+    from ..operators.relational import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("ts").alias("next_error_ts")
+    )
+    return asof_join_forward(
+        ev.select("event_id", "user_id", "ts"),
+        errors,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["next_error_ts"],
+    ).select("event_id", "user_id", "next_error_ts")
