@@ -2131,3 +2131,323 @@ def asof_join_next_error(spark, sf_dir):
         "ts",
         ["next_error_ts"],
     ).select("event_id", "user_id", "next_error_ts")
+
+
+# --- TPC-H optimizer-shape suite (Q4/Q7/Q12/Q14/Q16/Q21 analogues) ----------
+# The reference's own SQL surface is two windowed aggregations
+# (PythonKafkaSink/main.py:79-113); these queries extend the engine to
+# the classic decision-support join shapes, each picked to exercise a
+# distinct Catalyst plan feature (EXISTS semi-join, dual-dim alias
+# join, conditional aggregation, scalar ratio, null-free NOT IN +
+# count-distinct, and the double-correlated EXISTS/NOT-EXISTS
+# self-join). Column availability differs from stock TPC-H (no
+# partsupp/commitdate/receiptdate/shipmode), so predicates are adapted
+# to the fixture schema while preserving each query's plan shape.
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape — order-priority checking: correlated EXISTS
+    becomes a LEFT SEMI join whose condition mixes an equi key
+    (orderkey) with a non-equi residual (l_shipdate > o_orderdate).
+    The date filter prunes orders BEFORE the semi join, and the semi
+    join never duplicates orders regardless of lineitem multiplicity —
+    at 100 TB the fact side streams through one shuffle keyed on
+    orderkey and the aggregate output is 5 rows."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             {_DISC_PRICE_SQL} AS volume
+      FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape — volume shipping between two nations: the same
+    tiny dim (nation) joins the fact twice under different aliases
+    (supplier's nation vs customer's nation), both broadcast; the
+    disjunctive nation-pair predicate can't be pushed into either scan
+    alone, so it runs as a post-join filter over broadcast hash joins
+    — no extra shuffle beyond the three fact-side key joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(_disc_price_spark()).cast("double"), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q12_urgency_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_urgency_by_linestatus(spark, sf_dir):
+    """TPC-H Q12 shape — shipping-mode priority split: conditional
+    aggregation (SUM over CASE) after an orders-lineitem key join with
+    the selective date filter pushed to the lineitem scan. The CASE
+    runs map-side inside the partial aggregate, so the shuffle carries
+    2 longs per linestatus, not the joined rows."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume
+                              ELSE 0 END) AS DOUBLE), 2) AS promo_revenue,
+           round(CAST(sum(volume) AS DOUBLE), 2) AS total_revenue,
+           floor(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume
+                                       ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) * 10000) / 10000
+             AS promo_pct
+    FROM (
+      SELECT p_type, {_DISC_PRICE_SQL} AS volume
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    ) t
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape — promotion-effect ratio: a single-row scalar
+    computed from two conditional decimal sums over one month of
+    lineitem joined to part. Decimal sums are exact on both engines;
+    the ratio is truncated at 4 decimals with floor (not round) so no
+    half-way digit can split the engines. part is the small side and
+    broadcasts; the month filter prunes the fact scan first."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    vol = _disc_price_spark()
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0))
+    total = F.sum(vol)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(promo.cast("double"), 2).alias("promo_revenue"),
+            F.round(total.cast("double"), 2).alias("total_revenue"),
+            (
+                F.floor(
+                    F.lit(100.0)
+                    * promo.cast("double")
+                    / total.cast("double")
+                    * 10000
+                )
+                / 10000
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape — supplier variety per part group: COUNT
+    DISTINCT over a join with an excluded-supplier NOT IN. The
+    exclusion list (s_suppkey is a non-null key, so NOT IN ==
+    anti-join here) is tiny and broadcast; part predicates prune its
+    scan before the fact join; the count-distinct runs as the standard
+    two-phase partial/merge distinct aggregate, shuffling (group keys,
+    suppkey) pairs once. Stock Q16 reads partsupp — the fixture has
+    no partsupp, so lineitem supplies the part-supplier pairs."""
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape — suppliers who kept orders waiting: the
+    hardest stock shape (correlated EXISTS + NOT EXISTS against the
+    same fact). Instead of two correlated self-joins over raw
+    lineitem, the plan reduces first: distinct (orderkey, suppkey)
+    pairs, per-order supplier counts, and per-order LATE-supplier
+    counts — then 'another supplier exists' == order has >= 2
+    suppliers, and 'no other supplier was late' == order has exactly
+    1 late supplier. Both reductions shuffle keys only, and the
+    self-join inputs shrink from row-multiplicity to pair-cardinality
+    before joining — the difference between O(rows^2) and O(pairs) at
+    100 TB. Lateness adapts stock receipt/commit dates (absent here)
+    to ship > order date + 90 days; status 'F' per stock Q21."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    late_pairs = (
+        lo.filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = (
+        lo.select("l_orderkey", "l_suppkey").distinct()
+    )
+    multi_supplier = (
+        all_pairs.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_sup"))
+        .filter(F.col("n_sup") >= 2)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late_pairs.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey")
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        late_pairs.join(multi_supplier, "l_orderkey", "left_semi")
+        .join(sole_late, "l_orderkey", "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
