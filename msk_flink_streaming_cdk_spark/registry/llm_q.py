@@ -1534,3 +1534,49 @@ def embedding_quantize_int8(spark, sf_dir):
             )
         ).alias("max_abs_err"),
     )
+
+
+@register(
+    "text_rolling_md5_fingerprints",
+    oracle=r"""
+    WITH d AS (SELECT doc_id,
+                      string_split(regexp_replace(lower(trim(text)),
+                                                  '\s+', ' ', 'g'), ' ') AS w
+               FROM documents WHERE doc_id < 100),
+         s AS (SELECT doc_id, w,
+                      unnest(generate_series(1, len(w) - 7)) AS st
+               FROM d WHERE len(w) >= 8)
+    SELECT doc_id, CAST(st AS BIGINT) AS win_start,
+           md5(array_to_string(w[st:st+7], ' ')) AS window_md5
+    FROM s
+    """,
+)
+def text_rolling_md5_fingerprints(spark, sf_dir):
+    """Rolling 8-word md5 fingerprints, the oracle-checkable twin of
+    text_rolling_fingerprints: same windowing, but md5 (available in
+    both engines) instead of xxhash64, so the driver can value-hash
+    every window against DuckDB. The xxhash64 form stays the
+    production operator (~2x cheaper per window); this query is the
+    cross-engine evidence that the window extraction itself is exact.
+    All Catalyst HOFs (sequence/transform/slice) — no Python in the
+    loop."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", toks.alias("w"))
+        .filter(F.size("w") >= 8)
+    )
+    wins = F.expr(
+        "transform(sequence(1, size(w) - 7),"
+        " i -> md5(concat_ws(' ', slice(w, i, 8))))"
+    )
+    return d.select(
+        "doc_id", F.posexplode(wins).alias("pos", "window_md5")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("win_start"),
+        "window_md5",
+    )

@@ -2451,3 +2451,168 @@ def q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
+
+
+# --- change-history / data-quality / window-frame additions -----------------
+
+
+@register(
+    "scd2_user_value_history",
+    oracle="""
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def scd2_user_value_history(spark, sf_dir):
+    """SCD-type-2 history build: each user's purchase stream becomes
+    validity intervals [valid_from, valid_to) via lead() over
+    (user, ts), with the open-ended current row flagged. This is the
+    standard dimension-history materialization for a warehouse load —
+    one shuffle on user_id, no self-join (the naive formulation joins
+    the table to itself on 'next change', which is quadratic per key).
+    Ties on ts break deterministically on event_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+    )
+
+
+@register(
+    "dq_orphan_foreign_keys",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, count(*) AS orphans
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem->part', count(*)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    WHERE p_partkey IS NULL
+    UNION ALL
+    SELECT 'lineitem->supplier', count(*)
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_suppkey IS NULL
+    UNION ALL
+    SELECT 'orders->customer', count(*)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey IS NULL
+    UNION ALL
+    SELECT 'events->customer', count(*)
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    WHERE c_custkey IS NULL
+    """,
+)
+def dq_orphan_foreign_keys(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for every foreign
+    key in the star schema, one audit row each. Each leg is an
+    anti-join reduced to a count before the union, so the combined
+    result moves five longs — not five row sets — regardless of table
+    size; AQE picks broadcast for the dim sides where they fit."""
+    def leg(fact, key, dim, dkey, label):
+        n = (
+            fact.join(dim, fact[key] == dim[dkey], "left_anti")
+            .agg(F.count("*").alias("orphans"))
+            .select(F.lit(label).alias("fk"), "orphans")
+        )
+        return n
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    e = _t(spark, sf_dir, "events")
+    legs = [
+        leg(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey",
+            "lineitem->orders"),
+        leg(li, "l_partkey", p.select("p_partkey"), "p_partkey",
+            "lineitem->part"),
+        leg(li, "l_suppkey", s.select("s_suppkey"), "s_suppkey",
+            "lineitem->supplier"),
+        leg(o, "o_custkey", c.select("c_custkey"), "c_custkey",
+            "orders->customer"),
+        leg(e, "user_id", c.select("c_custkey"), "c_custkey",
+            "events->customer"),
+    ]
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionAll(other)
+    return out
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT)
+             AS quartile
+    FROM customer
+    """,
+)
+def window_ntile_quartiles(spark, sf_dir):
+    """NTILE bucketing: account-balance quartiles within each market
+    segment. Deterministic under ties via the custkey tiebreak (NTILE
+    is order-sensitive; an under-specified ORDER BY would hash-differ
+    between engines)."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "window_first_last_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS first_price,
+           last_value(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS latest_price,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_price
+    FROM orders
+    """,
+)
+def window_first_last_frame(spark, sf_dir):
+    """first/last/nth_value window frames: each order annotated with
+    the customer's first, latest, and second order price. last_value
+    and nth_value need the explicit full-partition frame — under the
+    default running frame last_value degenerates to 'current row',
+    the classic frame bug, identical in both engines. Values pass
+    through unchanged (no arithmetic), so raw doubles hash clean."""
+    order = ("o_orderdate", "o_orderkey")
+    run = Window.partitionBy("o_custkey").orderBy(*order)
+    full = run.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(run).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+    )
