@@ -1580,3 +1580,123 @@ def text_rolling_md5_fingerprints(spark, sf_dir):
         (F.col("pos") + 1).cast("long").alias("win_start"),
         "window_md5",
     )
+
+
+# --- dataset management: split / shuffle / mixture --------------------------
+# The ops a training-data pipeline runs after cleaning+dedup: carve
+# reproducible train/val/test splits, globally shuffle without a
+# single-partition sort, and plan source-mixture sampling rates. All
+# pure Catalyst expressions; determinism comes from md5 (identical
+# hex in Spark and DuckDB), never from engine-specific hash() or rand().
+
+
+@register(
+    "text_split_assign",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN h < 'cd' THEN 'train'
+                WHEN h < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+          FROM documents) t
+    """,
+)
+def text_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split: the first two hex chars of
+    md5(doc_id) partition the id space into 256 uniform buckets;
+    lexicographic range cuts give ~80/10/10 ('cd' = 205/256, 'e6' =
+    230/256). Content-addressed splits are stable under reruns,
+    insertions, and repartitioning — unlike rand()-based splits, which
+    shift every row's assignment when the seed plan changes. A scan
+    with zero shuffles at any scale."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.when(h < "cd", "train")
+        .when(h < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "text_seeded_shuffle",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      md5('42:' || CAST(doc_id AS VARCHAR)) AS ord_key
+               FROM documents)
+    SELECT doc_id, substr(ord_key, 1, 2) AS bucket,
+           CAST(row_number() OVER (PARTITION BY substr(ord_key, 1, 2)
+                                   ORDER BY ord_key, doc_id) AS BIGINT)
+             AS pos_in_bucket
+    FROM t
+    """,
+)
+def text_seeded_shuffle(spark, sf_dir):
+    """Seeded global shuffle for training-order randomization: rows
+    get a pseudorandom order key md5(seed || doc_id), are scattered
+    into 256 buckets by its prefix, and positioned within their bucket
+    — reading buckets in order yields a full deterministic permutation.
+    The bucketed form is the scale-correct one: a global row_number()
+    would collapse the whole dataset onto one partition, while 256
+    independent window partitions sort in parallel and map directly to
+    sharded output files. Changing the seed string reshuffles
+    everything reproducibly."""
+    ord_key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", ord_key.alias("ord_key")
+    )
+    bucket = F.substring("ord_key", 1, 2)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(bucket).orderBy("ord_key", "doc_id")
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.row_number().over(w).cast("long").alias("pos_in_bucket"),
+    )
+
+
+@register(
+    "text_token_balanced_mixture",
+    oracle="""
+    WITH s AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+         m AS (SELECT min(n_tokens) AS min_tok FROM s)
+    SELECT source, n_docs, n_tokens,
+           floor(CAST(min_tok AS DOUBLE) / n_tokens * 10000) / 10000
+             AS sample_rate
+    FROM s, m
+    """,
+)
+def text_token_balanced_mixture(spark, sf_dir):
+    """Mixture planning: per-source downsampling rates that equalize
+    token budgets across sources (rate = min_source_tokens /
+    source_tokens), the first step of building a balanced pretraining
+    mix. One partial-aggregated scan to per-source totals, then a
+    broadcast scalar join — the fact table is never shuffled. Rates
+    truncate at 4 decimals with floor so no half-way digit splits the
+    engines."""
+    s = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_tokens"),
+        )
+    )
+    m = s.agg(F.min("n_tokens").alias("min_tok"))
+    return s.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("min_tok").cast("double") / F.col("n_tokens") * 10000
+            )
+            / 10000
+        ).alias("sample_rate"),
+    )
