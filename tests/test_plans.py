@@ -176,3 +176,40 @@ def test_exchange_budget(spark, sf_small, name, budget):
 
     got = count_exchanges(QUERIES[name](spark, sf_small))
     assert got <= budget, (name, got, budget)
+
+
+def test_q4_exists_plans_semi_join(spark, sf_small):
+    df = QUERIES["q4_order_priority"](spark, sf_small)
+    plan = formatted_plan(df)
+    # EXISTS must stay a semi join (never dedup-after-inner-join, which
+    # explodes with lineitem multiplicity), residual condition included.
+    assert "LeftSemi" in plan, plan
+    assert_no_nested_loop_join(df)
+
+
+def test_q7_broadcasts_both_nation_aliases(spark, sf_small):
+    df = QUERIES["q7_volume_shipping"](spark, sf_small)
+    assert_broadcast_hash_join(df, at_least=2)
+    assert_no_nested_loop_join(df)
+
+
+def test_q16_exclusion_is_broadcast_anti(spark, sf_small):
+    df = QUERIES["q16_supplier_variety"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert_no_nested_loop_join(df)
+
+
+def test_q21_pair_reduction_no_nested_loop(spark, sf_small):
+    # The double-correlated EXISTS/NOT EXISTS shape must execute as
+    # distinct-pair reductions + semi joins, never a quadratic self-join.
+    assert_no_nested_loop_join(
+        QUERIES["q21_waiting_suppliers"](spark, sf_small)
+    )
+
+
+def test_split_assign_is_pure_scan(spark, sf_small):
+    from msk_flink_streaming_cdk_spark.plans.checks import count_exchanges
+
+    # Content-addressed split = map-only; any shuffle here is a bug.
+    assert count_exchanges(QUERIES["text_split_assign"](spark, sf_small)) == 0
