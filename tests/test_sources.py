@@ -121,3 +121,106 @@ def test_json_file_stream_roundtrip(spark, tmp_path):
     rows = spark.sql("SELECT * FROM json_smoke").collect()
     assert len(rows) == 1
     assert rows[0].temperature == 30
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    # PERMISSIVE CSV ingest: schema-clean rows on one side, raw
+    # malformed lines on the other, nothing dropped. Good-row values
+    # are cross-checked against DuckDB's CSV reader on the same file.
+    import duckdb
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        read_csv_quarantine,
+    )
+
+    path = str(tmp_path / "in.csv")
+    lines = [
+        "id,name,score",
+        "1,alpha,1.5",
+        "2,beta,2.5",
+        "3,gamma,not_a_number",   # bad double
+        "4,delta,4.0",
+        "5,epsilon,oops,extra",   # too many columns
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, path, schema)
+    got = {(r.id, r.name, r.score) for r in good.collect()}
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            # ignore_errors drops the wrong-arity line (Spark
+            # quarantines it); TRY_CAST screens the bad double the
+            # same way PERMISSIVE does.
+            f"""SELECT id, name, score
+                FROM read_csv('{path}', header=true, ignore_errors=true,
+                              columns={{'id':'VARCHAR','name':'VARCHAR',
+                                        'score':'VARCHAR'}})
+                WHERE TRY_CAST(score AS DOUBLE) IS NOT NULL"""
+        ).fetchall()
+    }
+    want = {(int(i), n, float(s)) for i, n, s in want}
+    assert got == want
+    assert len(got) == 3
+    raws = sorted(r.raw_line for r in bad.collect())
+    assert raws == ["3,gamma,not_a_number", "5,epsilon,oops,extra"]
+    # the good-row plan must prune the corrupt column from its output
+    assert "_corrupt_record" not in good.columns
+
+
+def test_csv_file_stream_replay(spark, tmp_path):
+    # CSV micro-batch replay: one file per trigger, schema enforced.
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from msk_flink_streaming_cdk_spark.sources.files import stream_csv_dir
+
+    src = tmp_path / "csv_src"
+    src.mkdir()
+    for i in range(3):
+        (src / f"part{i}.csv").write_text(
+            "user_id,event_type\n" + f"{i},click\n{i + 10},view\n"
+        )
+    df = stream_csv_dir(
+        spark,
+        str(src),
+        StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+            ]
+        ),
+        max_files_per_trigger=1,
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("csv_replay")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM csv_replay").collect()
+    assert len(rows) == 6
+    assert {r.event_type for r in rows} == {"click", "view"}
