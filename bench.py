@@ -52,6 +52,11 @@ HEADLINE = [
     "embedding_kmeans_assign",
     "sketch_hll_users_by_type",
     "text_duplicate_passages",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q21_waiting_suppliers",
+    "scd2_user_value_history",
+    "text_seeded_shuffle",
 ]
 
 
