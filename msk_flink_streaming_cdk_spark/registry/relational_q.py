@@ -2616,3 +2616,69 @@ def window_first_last_frame(spark, sf_dir):
         F.last("o_totalprice").over(full).alias("latest_price"),
         F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
     )
+
+
+@register("approx_quantiles_audit")  # approx values are engine-specific
+def approx_quantiles_audit(spark, sf_dir):
+    """Self-auditing quantile sketch: percentile_approx next to the
+    exact percentile, with relative error and an in-tolerance flag, so
+    the driver's rows-only check sees real accuracy numbers (floors
+    pinned in tests/test_approx_aggs.py). At accuracy=10000 the rank
+    error is <= n/10000, so the 1% value-tolerance is generous. One
+    scan computes both sides; drop the exact leg in production."""
+    qs = [0.25, 0.5, 0.75, 0.95]
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.percentile_approx("o_totalprice", qs, 10000).alias("approx"),
+        F.expr(
+            "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        ).alias("exact"),
+    )
+    z = agg.select(
+        F.posexplode(F.arrays_zip("approx", "exact")).alias("pos", "pair")
+    )
+    rel_err = F.abs(
+        F.col("pair.approx") - F.col("pair.exact")
+    ) / F.col("pair.exact")
+    return z.select(
+        F.element_at(F.lit(qs), F.col("pos") + 1).alias("quantile"),
+        F.round("pair.approx", 4).alias("approx_value"),
+        F.round("pair.exact", 4).alias("exact_value"),
+        F.round(rel_err, 6).alias("rel_err"),
+        (rel_err < 0.01).alias("within_tolerance"),
+    )
+
+
+_SQL_PIPELINE = """
+    WITH cust_orders AS (
+      SELECT o_custkey AS custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS lifetime_value
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, custkey, n_orders, lifetime_value,
+             ntile(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY lifetime_value DESC, custkey)
+               AS decile
+      FROM cust_orders JOIN customer ON custkey = c_custkey
+    )
+    SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(lifetime_value AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS segment_value
+    FROM ranked
+    GROUP BY c_mktsegment, decile
+"""
+
+
+@register("sql_front_door_pipeline", oracle=_SQL_PIPELINE)
+def sql_front_door_pipeline(spark, sf_dir):
+    """SQL-surface parity, end to end: ONE ANSI SQL string — CTEs, an
+    aggregate, a join, an NTILE window, and a re-aggregation — runs
+    verbatim through spark.sql() and as the DuckDB oracle. Customer
+    lifetime-value deciles per market segment. The strongest form of
+    the parity claim: not 'equivalent DataFrame code', the same query
+    text."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PIPELINE)

@@ -59,3 +59,11 @@ def test_approx_topk_words_matches_exact_counts(spark, sf_small):
     assert all(r.count_exact for r in rows), [
         (r.word, r.est_count, r.exact_count) for r in rows
     ]
+
+
+def test_approx_quantiles_audit_within_tolerance(spark, sf_small):
+    rows = QUERIES["approx_quantiles_audit"](spark, sf_small).collect()
+    assert [r.quantile for r in rows] == [0.25, 0.5, 0.75, 0.95]
+    assert all(r.within_tolerance for r in rows), [
+        (r.quantile, r.rel_err) for r in rows
+    ]
