@@ -1700,3 +1700,47 @@ def text_token_balanced_mixture(spark, sf_dir):
             / 10000
         ).alias("sample_rate"),
     )
+
+
+@register(
+    "udtf_sentence_split",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, '.') AS parts
+               FROM documents WHERE doc_id < 200),
+         s AS (SELECT doc_id, unnest(parts) AS part,
+                      unnest(generate_series(1, len(parts))) AS i
+               FROM d)
+    SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx,
+           trim(part) AS sentence
+    FROM s WHERE trim(part) <> ''
+    """,
+)
+def udtf_sentence_split(spark, sf_dir):
+    """Python UDTF surface (Spark 3.5+): a table function that explodes
+    each document into trimmed sentences with their positions, invoked
+    through SQL LATERAL. The class is defined inside this function so
+    cloudpickle ships it by VALUE — a module-level UDTF pickles by
+    reference and breaks when workers can't import the package. One
+    row in, N rows out, streamed through Arrow; the oracle is DuckDB's
+    unnest of the same split."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, sent_idx: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):
+            for i, part in enumerate((text or "").split(".")):
+                s = part.strip()
+                if s:
+                    yield doc_id, i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sent_idx, s.sentence
+        FROM udtf_docs d, LATERAL sentence_split(d.doc_id, d.text) s
+        WHERE d.doc_id < 200
+        """
+    )

@@ -2682,3 +2682,49 @@ def sql_front_door_pipeline(spark, sf_dir):
     text."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_PIPELINE)
+
+
+@register(
+    "grouped_map_centered_balance",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+             * CAST(round(c_acctbal * 100) AS BIGINT)
+           - CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  OVER (PARTITION BY c_mktsegment) AS BIGINT)
+             AS centered_cents
+    FROM customer
+    """,
+)
+def grouped_map_centered_balance(spark, sf_dir):
+    """applyInPandas vs SQL window, bit-exact: per-segment integer
+    centering n*x - sum(x) in cents computed inside an Arrow
+    grouped-map UDF, checked against the equivalent window expression.
+    Integer arithmetic means ANY divergence (row routing, Arrow
+    conversion, dtype) fails the hash — no float tolerance hiding
+    bugs. See operators/grouped.py::centered_balance_by_segment."""
+    from ..operators.grouped import centered_balance_by_segment
+
+    return centered_balance_by_segment(_t(spark, sf_dir, "customer"))
+
+
+@register(
+    "cogrouped_activity_counts",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+               FROM orders GROUP BY 1),
+         e AS (SELECT user_id AS custkey, count(*) AS n_events
+               FROM events GROUP BY 1)
+    SELECT COALESCE(o.custkey, e.custkey) AS custkey,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events
+    FROM o FULL JOIN e ON o.custkey = e.custkey
+    """,
+)
+def cogrouped_activity_counts(spark, sf_dir):
+    """cogroup().applyInPandas — the per-key two-sided pandas merge —
+    semantically pinned to a full-outer join of per-key counts. See
+    operators/grouped.py::cogrouped_activity_counts."""
+    from ..operators.grouped import cogrouped_activity_counts as op
+
+    return op(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "events"))
