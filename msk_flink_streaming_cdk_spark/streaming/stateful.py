@@ -197,6 +197,7 @@ def interval_join(
     lower: str,
     upper: str,
     watermark: str = "30 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join:
     right_time in [left_time - lower, left_time + upper].
@@ -204,7 +205,15 @@ def interval_join(
     Both sides carry watermarks so the join state is bounded — the
     engine drops right-side state older than
     watermark + band (Structured Streaming's documented state cleanup
-    for time-bound stream-stream joins)."""
+    for time-bound stream-stream joins).
+
+    ``how='left_outer'`` emits unmatched left rows null-padded — but
+    only once the watermark has passed the row's join band, since
+    until then a match could still arrive; outer results therefore
+    trail the inner ones by the watermark delay (documented Structured
+    Streaming outer-join semantics, and why the time bound is
+    MANDATORY for outer stream-stream joins: without it the row could
+    never be declared unmatched)."""
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)
     cond = (
@@ -212,4 +221,4 @@ def interval_join(
         & (rw[right_time] >= lw[left_time] - F.expr(f"INTERVAL {lower}"))
         & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond).drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])

@@ -367,3 +367,67 @@ def test_transform_with_state_running_stats(spark, tmp_path):
         final[r.sensor_id] = (r.n_events, r.sum_temp, r.max_temp)
     assert final["1"] == (3, 89.0, 32.0)
     assert final["2"] == (2, 59.0, 31.0)
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    # Outer stream-stream join: unmatched left rows must emit
+    # null-padded, but only AFTER the watermark passes their join band
+    # (until then a match could still arrive). Right batches at t=200
+    # and t=400 push the watermark past the t=60 left rows so the
+    # unmatched key "9" flushes.
+    # the GLOBAL watermark is the min over all inputs, so the left
+    # stream needs its own pusher row — otherwise its watermark pins
+    # the global one at 30 and nothing ever evicts. The t=600 pusher
+    # itself stays in state (watermark never passes 600): not emitted.
+    left_src = _write_batches(
+        spark,
+        tmp_path,
+        [[("1", 100, 60), ("9", 100, 60)], [("7", 100, 600)]],
+        subdir="left",
+    )
+    right_src = _write_batches(
+        spark,
+        tmp_path,
+        # outer-join eviction runs a batch BEHIND the watermark
+        # advance, so two trailing pusher batches guarantee a trigger
+        # executes after the watermark passes t=60.
+        [[("1", 1, 40)], [("1", 2, 200)], [("1", 3, 400)], [("1", 4, 600)]],
+        subdir="right",
+    )
+    left = stream_parquet_dir(spark, left_src, SENSOR_READING).select(
+        F.col("sensor_id").alias("key"),
+        F.col("event_time").alias("l_time"),
+    )
+    right = stream_parquet_dir(
+        spark, right_src, SENSOR_READING, max_files_per_trigger=1
+    ).select(
+        F.col("sensor_id").alias("key"),
+        F.col("temperature").alias("click_id"),
+        F.col("event_time").alias("r_time"),
+    )
+    joined = interval_join(
+        left,
+        right,
+        key="key",
+        left_time="l_time",
+        right_time="r_time",
+        lower="30 seconds",
+        upper="0 seconds",
+        how="left_outer",
+    )
+    q = (
+        joined.select("key", "click_id")
+        .writeStream.format("memory")
+        .queryName("ssj_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj_outer_test").collect()
+    }
+    # "1"@60 matches click 1 @40 (in [30,60]); clicks @200/@400 are
+    # outside every band; "9"@60 has no right rows -> null-padded.
+    assert got == {("1", 1), ("9", None)}, got
