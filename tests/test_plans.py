@@ -169,6 +169,18 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_small):
         ("dedup_ngram_jaccard_pairs", 4),
         ("top20_orders_by_price", 0),
         ("text_token_counts", 0),
+        ("q4_order_priority", 3),
+        ("q7_volume_shipping", 3),
+        ("q12_urgency_by_linestatus", 3),
+        ("q14_promo_revenue", 2),
+        ("q16_supplier_variety", 4),
+        ("q21_waiting_suppliers", 10),
+        ("scd2_user_value_history", 2),
+        ("text_seeded_shuffle", 2),
+        ("sql_front_door_pipeline", 4),
+        ("cogrouped_activity_counts", 4),
+        ("grouped_map_centered_balance", 2),
+        ("text_rolling_md5_fingerprints", 0),
     ],
 )
 def test_exchange_budget(spark, sf_small, name, budget):
