@@ -1744,3 +1744,70 @@ def udtf_sentence_split(spark, sf_dir):
         WHERE d.doc_id < 200
         """
     )
+
+
+@register(
+    "pipeline_training_manifest",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]'))
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents),
+    kept AS (
+      SELECT min(doc_id) AS doc_id FROM q
+      WHERE n_ws_tokens >= 30 AND alpha_ratio > 0.5
+      GROUP BY fp),
+    assigned AS (
+      SELECT q.doc_id, q.source, q.n_ws_tokens,
+             CASE WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM q JOIN kept USING (doc_id))
+    SELECT split, count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_ws_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY split
+    """,
+)
+def pipeline_training_manifest(spark, sf_dir):
+    """Capstone pipeline: quality filter → exact dedup (keep first) →
+    content-addressed split assignment → the per-split manifest
+    (docs / sources / token budget) a training run reads before
+    touching data. Every stage is the already-verified registered
+    operator; the oracle re-derives the whole DAG in one SQL
+    statement. Output is 3 rows regardless of corpus size — the
+    aggregates partial map-side; nothing wide ever shuffles."""
+    docs = _docs(spark, sf_dir)
+    q = docs.select(
+        "doc_id",
+        "source",
+        whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        quality_score_cols(F.col("text"))["alpha_ratio"].alias("alpha_ratio"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    kept = (
+        q.filter((F.col("n_ws_tokens") >= 30) & (F.col("alpha_ratio") > 0.5))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    assigned = q.join(kept, "doc_id").select(
+        "source",
+        "n_ws_tokens",
+        F.when(h < "cd", "train")
+        .when(h < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_ws_tokens").alias("n_tokens"),
+    )

@@ -2726,3 +2726,35 @@ def cogrouped_activity_counts(spark, sf_dir):
     from ..operators.grouped import cogrouped_activity_counts as op
 
     return op(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "events"))
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      / 10) AS BIGINT) AS k_bucket,
+           count(*) AS n_events,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def json_variant_extract(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): props parsed ONCE into
+    the binary variant encoding with parse_json, fields then extracted
+    with variant_get — for repeated multi-field access this beats
+    get_json_object, which re-parses the JSON text per call. Same
+    aggregate as the oracle's JSON-string extraction, so the whole
+    variant encode/decode round-trip is value-checked."""
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.floor(k / 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
