@@ -2758,3 +2758,43 @@ def json_variant_extract(spark, sf_dir):
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "chained_window_peak_counts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts)/60)*60 AS BIGINT)
+                            * 1000000) AS w_start,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           make_timestamp(CAST(floor(epoch(w_start)/600)*600 AS BIGINT)
+                          * 1000000) AS period_start,
+           max(n) AS peak_per_minute
+    FROM c GROUP BY 1, 2
+    """,
+)
+def chained_window_peak_counts(spark, sf_dir):
+    """Chained time-window aggregation: per-minute event counts
+    re-windowed into 10-minute peaks — window() applied to a WINDOW
+    COLUMN (Spark 3.4+), the batch twin of streaming's multiple
+    stateful operators in one query. The re-aggregation input is
+    already one row per (type, minute), so the second shuffle moves
+    the reduced series, not events."""
+    ev = _t(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.window("ts", "60 seconds").alias("w")
+    ).agg(F.count("*").alias("n"))
+    return (
+        per_min.groupBy(
+            "event_type", F.window(F.col("w"), "600 seconds").alias("p")
+        )
+        .agg(F.max("n").alias("peak_per_minute"))
+        .select(
+            "event_type",
+            F.col("p.start").alias("period_start"),
+            "peak_per_minute",
+        )
+    )

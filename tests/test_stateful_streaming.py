@@ -431,3 +431,46 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     # "1"@60 matches click 1 @40 (in [30,60]); clicks @200/@400 are
     # outside every band; "9"@60 has no right rows -> null-padded.
     assert got == {("1", 1), ("9", None)}, got
+
+
+def test_chained_windowed_aggregations_stream(spark, tmp_path):
+    # Multiple stateful operators in ONE streaming query (Spark 3.4+):
+    # 30s counts re-windowed into 60s peaks, append mode. Only periods
+    # the watermark has fully passed may emit.
+    batches = [
+        [("1", 30, 0), ("1", 31, 10), ("1", 32, 35), ("1", 30, 50)],
+        [("1", 30, 70)],
+        [("1", 27, 300)],
+        [("1", 27, 600)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, subdir="chain")
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    ).withWatermark("event_time", "5 seconds")
+    per_30s = readings.groupBy(
+        F.col("sensor_id"), F.window("event_time", "30 seconds").alias("w")
+    ).agg(F.count("*").alias("n"))
+    peaks = (
+        per_30s.groupBy(
+            F.col("sensor_id"), F.window(F.col("w"), "60 seconds").alias("p")
+        )
+        .agg(F.max("n").alias("peak"))
+        .select("sensor_id", F.col("p.start").alias("period"), "peak")
+    )
+    q = (
+        peaks.writeStream.format("memory")
+        .queryName("chained_win")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.sensor_id, r.period, r.peak)
+        for r in spark.sql("SELECT * FROM chained_win").collect()
+    }
+    # minute 0: 30s windows hold counts 2 ([0,30): t=0,10) and 2
+    # ([30,60): t=35,50) -> peak 2; minute 1: count 1 ([60,90): t=70)
+    # -> peak 1. The t=600 period is not watermark-closed: absent.
+    assert (("1", T0, 2) in got) and (("1", T0 + timedelta(seconds=60), 1) in got), got
+    assert all(p < T0 + timedelta(seconds=600) for (_, p, _) in got), got
