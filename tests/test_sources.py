@@ -224,3 +224,43 @@ def test_csv_file_stream_replay(spark, tmp_path):
     rows = spark.sql("SELECT * FROM csv_replay").collect()
     assert len(rows) == 6
     assert {r.event_type for r in rows} == {"click", "view"}
+
+
+def test_python_datasource_sensor_gen(spark):
+    # Spark 4 Python DataSource API: the reference producer shape as a
+    # registered format — partition-parallel, seed-deterministic, and
+    # per-row addressable (values re-derivable without Spark).
+    from msk_flink_streaming_cdk_spark.sources.pydatasource import (
+        SensorGenDataSource,
+        sensor_row,
+    )
+
+    spark.dataSource.register(SensorGenDataSource)
+    df = (
+        spark.read.format("sensor_gen")
+        .option("n", 99)
+        .option("seed", 7)
+        .option("numPartitions", 4)
+        .load()
+    )
+    rows = df.orderBy("event_time").collect()
+    assert len(rows) == 99
+    assert df.rdd.getNumPartitions() == 4
+    assert {r.sensor_id for r in rows} <= {"1", "2", "3", "4", "5"}
+    assert all(27 <= r.temperature <= 32 for r in rows)
+    # exact value parity with the local per-row derivation
+    for i in (0, 50, 98):
+        sid, temp, ts = sensor_row(7, i)
+        assert (rows[i].sensor_id, rows[i].temperature, rows[i].event_time) \
+            == (sid, temp, ts)
+    # determinism: a second read yields identical rows
+    again = (
+        spark.read.format("sensor_gen")
+        .option("n", 99)
+        .option("seed", 7)
+        .option("numPartitions", 2)  # partitioning must not change data
+        .load()
+        .orderBy("event_time")
+        .collect()
+    )
+    assert rows == again
