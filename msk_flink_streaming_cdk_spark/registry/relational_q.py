@@ -2798,3 +2798,542 @@ def chained_window_peak_counts(spark, sf_dir):
             "peak_per_minute",
         )
     )
+
+
+# --- TPC-H shape suite, part 2: the remaining plan shapes -------------------
+# With these, every one of the 22 classic decision-support plan shapes
+# has a fixture-adapted analogue in the registry (Q1≈agg_pricing_
+# summary, Q3/Q5/Q10/Q18 earlier, Q4/Q7/Q12/Q14/Q16/Q21 above).
+# Missing stock columns (partsupp, commit/receipt dates, phone,
+# shipmode, supplycost) are substituted with fixture equivalents; each
+# docstring names the substitution. What is preserved is the PLAN
+# shape — that's what the optimizer-coverage claim rests on.
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 10
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — the pure-pushdown microbenchmark: single scan,
+    three range predicates (all reaching the parquet reader), one
+    decimal sum, no join and no group — at 100 TB this query IS the
+    scan, so anything that blocks pushdown shows up instantly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 10)
+    ).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * F.col("l_discount").cast(_DEC)
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_sales AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {_DISC_PRICE_SQL} AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+    SELECT o_year,
+           floor(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) * 10000) / 10000
+             AS mkt_share
+    FROM all_sales GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — national market share: the widest join in the
+    suite (8 relations, nation joined twice under aliases), reduced to
+    a conditional-share scalar per year. Dims broadcast; the
+    conditional numerator folds into the same partial aggregate as the
+    denominator, so the 8-way join output is consumed map-side. Share
+    truncated at 4 decimals with floor (no half-way digit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    pt = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_regionkey").alias("n1_region"),
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    vol = _disc_price_spark()
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0))
+    den = F.sum(vol)
+    return (
+        pt.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(r, F.col("n1_region") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.floor(
+                    num.cast("double") / den.cast("double") * 10000
+                )
+                / 10000
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2)))
+             - CAST(p_retailprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(9,2))
+               * CAST(0.5 AS DECIMAL(2,1))
+           ) AS DOUBLE), 2) AS profit
+    FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape — product-line profit by nation and year: LIKE
+    filter on the part dim, 5-way join, profit expression spanning
+    three tables' columns. Stock supplycost is absent, so cost is
+    proxied as half the part's retail price — same expression shape
+    (revenue minus quantity-scaled cost), exact decimal arithmetic
+    (precisions sized to stay within both engines' 38-digit cap)."""
+    dec = "decimal(12,2)"
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pt = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    profit = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    ) - F.col("p_retailprice").cast(dec) * F.col("l_quantity").cast(
+        "decimal(9,2)"
+    ) * F.lit(0.5).cast("decimal(2,1)")
+    return (
+        pt.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (SELECT l_partkey,
+                      sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+               FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(val) AS total FROM v)
+    SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
+    FROM v, t
+    WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) * 0.0006
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape — groups filtered against a GLOBAL aggregate
+    (HAVING sum > fraction of grand total). Distributed form: the
+    per-part aggregate computes once, its grand total re-aggregates
+    from the (small) per-part result — never a second fact scan — and
+    joins back as a broadcast scalar. The threshold compares exact
+    decimals cast to double on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("val")
+    )
+    t = v.agg(F.sum("val").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(
+            F.col("val").cast("double")
+            > F.col("total").cast("double") * 0.0006
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("val").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — distribution of per-customer order counts:
+    LEFT JOIN with the filter in the JOIN CONDITION (not WHERE — the
+    stock trap: a WHERE would silently turn the outer join inner and
+    drop zero-order customers), then a second aggregation over the
+    first's output. count(o_orderkey) counts non-null matches only."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                           "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey AS partkey,
+                       l_suppkey AS suppkey
+                FROM lineitem),
+         cand AS (SELECT p_partkey, s_suppkey, s_name, s_acctbal
+                  FROM part
+                    JOIN ps ON p_partkey = partkey
+                    JOIN supplier ON suppkey = s_suppkey
+                  WHERE p_type = 'LARGE' AND p_size < 10)
+    SELECT p_partkey, s_name, s_acctbal
+    FROM cand c1
+    WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                       WHERE c2.p_partkey = c1.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — per-part argmin supplier (stock: min
+    supplycost from partsupp; here: min account balance among the
+    part's suppliers, linked through distinct lineitem pairs since the
+    fixture has no partsupp). The correlated '= (SELECT min ...)'
+    plans as a window-min + filter — one pass over the candidate set
+    instead of a per-row subquery, preserving ties exactly like the
+    correlated form."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    cand = (
+        p.join(ps, p.p_partkey == ps.partkey)
+        .join(s, ps.suppkey == s.s_suppkey)
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("p_partkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name,
+           round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape — top supplier via a reused derived view: the
+    quarterly revenue aggregate is computed ONCE and consumed twice
+    (row source + its own max as the filter scalar). Exact decimal
+    equality against the broadcast max preserves ties; stock Q15's
+    CREATE VIEW becomes the shared DataFrame subplan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0 * 100) / 100 AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — rows filtered against their own group's
+    average (correlated scalar agg on the same fact). Distributed
+    form: per-part averages aggregate once and join back — the fact
+    scans twice but never self-joins row-to-row. Quantities are
+    integer-valued, so their double sums (hence the 0.2*avg cut) are
+    EXACT and identical across engines; the final ratio truncates
+    via floor."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double")
+                    / 7.0
+                    * 100
+                )
+                / 100
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT round(CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity BETWEEN 5 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+           AND l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape — OR of conjunct blocks spanning BOTH join
+    sides: no single conjunct can be fully pushed, but the common
+    equi-key still hash-joins and Catalyst extracts the per-side
+    residuals (brand/size prune the part build side). The stock trap
+    is a plan that degrades to a nested loop on the disjunction — the
+    plan gate asserts it stays a hash join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    blk = lambda b, s1, s2, q1, q2: (
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s1, s2)
+        & F.col("l_quantity").between(q1, q2)
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            blk("Brand#1", 1, 10, 1, 20)
+            | blk("Brand#2", 5, 20, 5, 30)
+            | blk("Brand#3", 10, 40, 10, 40)
+        )
+        .agg(
+            F.round(F.sum(_disc_price_spark()).cast("double"), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q20_excess_share_suppliers",
+    oracle="""
+    WITH ps AS (SELECT l_partkey, l_suppkey,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sup_qty
+                FROM lineitem GROUP BY 1, 2),
+         pt AS (SELECT l_partkey,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))) AS tot_qty
+                FROM lineitem GROUP BY 1)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN ps ON l_suppkey = s_suppkey
+      JOIN pt USING (l_partkey)
+    WHERE n_name = 'NATION_1'
+      AND CAST(sup_qty AS DOUBLE) > CAST(tot_qty AS DOUBLE) * 0.1
+    """,
+)
+def q20_excess_share_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape — suppliers whose shipped quantity exceeds a
+    threshold share of a part's total (stock: availqty > half of
+    shipped; adapted to the fixture as supplier share > 10% of part
+    total). Two aggregates at different grains over one fact, joined
+    grain-to-grain — the nested-subquery formulation flattened into
+    the distributed plan. DISTINCT collapses multi-part qualifiers."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast(_DEC))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(qty.alias("sup_qty"))
+    pt = li.groupBy(F.col("l_partkey").alias("tp")).agg(
+        qty.alias("tot_qty")
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_1"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name")
+    )
+    return (
+        ps.join(pt, F.col("l_partkey") == F.col("tp"))
+        .filter(
+            F.col("sup_qty").cast("double")
+            > F.col("tot_qty").cast("double") * 0.1
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@register(
+    "q22_dormant_rich_customers",
+    oracle="""
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer
+                     WHERE c_acctbal > 0)
+    SELECT c_nationkey AS cntry, count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_nationkey IN (1, 3, 5, 7)
+      AND c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape — global-scalar filter + NOT EXISTS anti-join +
+    group rollup: above-average-balance customers in selected nations
+    with no urgent orders (stock's country-code phone prefix becomes
+    nationkey; 'no orders at all' is vacuous on this fixture — every
+    customer has orders — so the anti-join keys on urgent ones). The
+    average broadcasts as a one-row scalar; the anti-join prunes its
+    orders scan to urgent rows before shuffling."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0).agg(
+            F.avg("c_acctbal").alias("ab")
+        )
+    )
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        c.filter(F.col("c_nationkey").isin(1, 3, 5, 7))
+        .crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+    )

@@ -225,3 +225,54 @@ def test_split_assign_is_pure_scan(spark, sf_small):
 
     # Content-addressed split = map-only; any shuffle here is a bug.
     assert count_exchanges(QUERIES["text_split_assign"](spark, sf_small)) == 0
+
+
+def test_q6_predicates_reach_the_scan(spark, sf_small):
+    df = QUERIES["q6_forecast_revenue"](spark, sf_small)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_discount")
+    assert_pushed_filter(df, "l_quantity")
+    assert_read_schema_pruned(
+        df,
+        must_read=["l_extendedprice", "l_discount"],
+        must_not_read=["l_orderkey", "l_partkey", "l_returnflag"],
+    )
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_small):
+    # the classic Q19 failure mode is an NLJ on the OR-of-conjuncts
+    assert_no_nested_loop_join(
+        QUERIES["q19_disjunctive_predicates"](spark, sf_small)
+    )
+
+
+# q11 and q22 are exempt from the no-NLJ sweep: their global-scalar
+# threshold is a ONE-ROW broadcast crossJoin, which Spark prints as a
+# BroadcastNestedLoopJoin — against a single row that is the intended
+# O(n) scalar-broadcast plan, not a quadratic join. The gate below
+# instead pins that the broadcast side really is the one-row scalar.
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q13_order_count_distribution",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q20_excess_share_suppliers",
+    ],
+)
+def test_tpch_part2_no_nested_loop(spark, sf_small, name):
+    assert_no_nested_loop_join(QUERIES[name](spark, sf_small))
+
+
+@pytest.mark.parametrize(
+    "name", ["q11_important_stock", "q22_dormant_rich_customers"]
+)
+def test_global_scalar_broadcasts_one_row(spark, sf_small, name):
+    plan = formatted_plan(QUERIES[name](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the scalar side must be broadcast, never a shuffled cartesian
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
