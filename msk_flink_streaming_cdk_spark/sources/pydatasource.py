@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _START = datetime(2024, 1, 1)
@@ -76,11 +77,42 @@ class SensorGenReader(DataSourceReader):
             yield sensor_row(self.seed, idx)
 
 
+class SensorGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: the row index IS the offset. Each micro-batch
+    claims [idx, idx + rowsPerBatch); ``readBetweenOffsets`` re-derives
+    any committed range exactly (per-row addressing again), which is
+    what makes recovery exactly-once — a replayed batch regenerates
+    byte-identical rows instead of new random ones (the reference
+    producer, by contrast, can only at-least-once)."""
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 33))
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def read(self, start):
+        lo = start["idx"]
+        hi = lo + self.rows_per_batch
+        return (
+            iter([sensor_row(self.seed, i) for i in range(lo, hi)]),
+            {"idx": hi},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [sensor_row(self.seed, i)
+             for i in range(start["idx"], end["idx"])]
+        )
+
+
 class SensorGenDataSource(DataSource):
     """``format("sensor_gen")`` — reference-producer-shaped rows
     (sensor_id in 1..5 as string, temperature 27..32, 1 Hz event
-    times), options ``n`` (default one producer invocation = 99),
-    ``seed``, ``numPartitions``."""
+    times). Batch options: ``n`` (default one producer invocation =
+    99), ``seed``, ``numPartitions``. Streaming options: ``seed``,
+    ``rowsPerBatch``."""
 
     @classmethod
     def name(cls):
@@ -91,3 +123,6 @@ class SensorGenDataSource(DataSource):
 
     def reader(self, schema):
         return SensorGenReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SensorGenStreamReader(self.options)

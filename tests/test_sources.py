@@ -264,3 +264,48 @@ def test_python_datasource_sensor_gen(spark):
         .collect()
     )
     assert rows == again
+
+
+def test_python_datasource_streaming_offsets(spark, tmp_path):
+    # Streaming side of the custom source: offsets are row indices, so
+    # the delivered stream must be an exact, gapless, duplicate-free
+    # prefix of the deterministic row sequence (exactly-once).
+    import time
+
+    from msk_flink_streaming_cdk_spark.sources.pydatasource import (
+        SensorGenDataSource,
+        sensor_row,
+    )
+
+    spark.dataSource.register(SensorGenDataSource)
+    df = (
+        spark.readStream.format("sensor_gen")
+        .option("seed", 11)
+        .option("rowsPerBatch", 20)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline and n < 40:  # >= 2 micro-batches
+            n = spark.sql("SELECT count(*) FROM pyds_stream").first()[0]
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = (
+        spark.sql("SELECT * FROM pyds_stream")
+        .orderBy("event_time")
+        .collect()
+    )
+    assert len(rows) >= 40
+    assert len(rows) % 20 == 0  # whole batches only
+    for i, r in enumerate(rows):
+        sid, temp, ts = sensor_row(11, i)
+        assert (r.sensor_id, r.temperature, r.event_time) == (sid, temp, ts)
