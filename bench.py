@@ -57,6 +57,8 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "scd2_user_value_history",
     "text_seeded_shuffle",
+    "q6_forecast_revenue",
+    "q8_market_share",
 ]
 
 

@@ -174,7 +174,7 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_small):
         ("q12_urgency_by_linestatus", 3),
         ("q14_promo_revenue", 2),
         ("q16_supplier_variety", 4),
-        ("q21_waiting_suppliers", 10),
+        ("q21_waiting_suppliers", 7),
         ("scd2_user_value_history", 2),
         ("text_seeded_shuffle", 2),
         ("sql_front_door_pipeline", 4),
