@@ -1,0 +1,69 @@
+"""Empty-input robustness: every class of operator must degrade to an
+empty (or well-defined scalar) result on zero-row tables — not throw.
+
+At 100 TB, empty inputs are routine (a partition-pruned day with no
+data, a filter that matches nothing, a fresh table) and an operator
+that crashes on them takes the whole pipeline down.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from msk_flink_streaming_cdk_spark.registry import QUERIES
+from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+# One representative per operator family. Scalar aggregates legally
+# return one row on empty input (count() over nothing = a single 0);
+# everything else must return zero rows.
+EMPTY_OK_ONE_ROW = {
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+}
+REPRESENTATIVES = [
+    "q1_alerts_daily",            # windowed agg
+    "q3_shipping_priority",       # multi-join top-k
+    "q6_forecast_revenue",        # scalar agg
+    "q21_waiting_suppliers",      # semi-join pipeline
+    "window_running_total",       # OVER window
+    "scd2_user_value_history",    # lead/validity intervals
+    "dedup_exact_text",           # hash dedup
+    "dedup_ngram_jaccard_pairs",  # shingle band join
+    "dedup_minhash_lsh_pairs",    # minhash LSH
+    "similarity_cosine_topk",     # embedding top-k
+    "text_split_assign",          # map-only split
+    "text_token_balanced_mixture",  # grouped mixture rates
+    "pipeline_training_manifest",   # composed pipeline
+    "grouped_map_centered_balance",  # applyInPandas
+    "cogrouped_activity_counts",     # cogroup
+    "sliding_window_event_counts",   # sliding window
+    "session_window_user_sessions",  # session window
+]
+
+
+@pytest.fixture(scope="module")
+def sf_empty(spark, tmp_path_factory, sf_small):
+    path = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        load_table(spark, sf_small, t).limit(0).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(str(path), f"{t}.parquet"))
+    return str(path)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_query_survives_empty_tables(spark, sf_empty, name):
+    rows = QUERIES[name](spark, sf_empty).collect()
+    if name in EMPTY_OK_ONE_ROW:
+        assert len(rows) <= 1
+    else:
+        assert rows == []
