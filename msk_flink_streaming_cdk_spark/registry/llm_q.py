@@ -1811,3 +1811,41 @@ def pipeline_training_manifest(spark, sf_dir):
         F.countDistinct("source").alias("n_sources"),
         F.sum("n_ws_tokens").alias("n_tokens"),
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           floor(entropy(ch) * 10000) / 10000 AS char_entropy
+    FROM chars GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate detector (natural text sits ~4-4.5 bits;
+    repeated padding collapses toward 0, random bytes push toward 8).
+    Spark derives it from char counts (-sum(p*log2(p)) via two hash
+    aggregates); the oracle is DuckDB's native entropy() aggregate —
+    two independent formulations agreeing to 4 decimals. Truncated
+    with floor, not round."""
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    )
+    counts = d.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(w)
+    ent = counts.select(
+        "doc_id", (-p * F.log2(p)).alias("term")
+    ).groupBy("doc_id").agg(F.sum("term").alias("h"))
+    return ent.select(
+        "doc_id",
+        (F.floor(F.col("h") * 10000) / 10000).alias("char_entropy"),
+    )

@@ -67,3 +67,57 @@ def test_query_survives_empty_tables(spark, sf_empty, name):
         assert len(rows) <= 1
     else:
         assert rows == []
+
+
+def test_text_ops_survive_nulls_and_unicode(spark, tmp_path, sf_small):
+    # Adversarial documents: NULL text, empty string, whitespace-only,
+    # emoji, CJK (no whitespace tokens), RTL, a 1-char doc. Text
+    # operators must neither crash nor emit rows for untokenizable
+    # docs they claim to tokenize.
+    import os
+
+    weird = [
+        (0, None, "xx", "srcw", 0),
+        (1, "", "xx", "srcw", 0),
+        (2, "   \t\n  ", "xx", "srcw", 7),
+        (3, "héllo wörld 🎉🎉 café", "fr", "srcw", 20),
+        (4, "这是一个没有空格的中文句子用来测试", "zh", "srcw", 17),
+        (5, "مرحبا بالعالم hello", "ar", "srcw", 19),
+        (6, "a", "en", "srcw", 1),
+        (7, "normal english text with several words here", "en",
+         "srcw", 43),
+    ]
+    path = str(tmp_path / "weird")
+    os.makedirs(path)
+    spark.createDataFrame(
+        weird, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(os.path.join(path, "documents.parquet"))
+    # embeddings table is required by some loaders; reuse the fixture's
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    load_table(spark, sf_small, "embeddings").write.parquet(
+        os.path.join(path, "embeddings.parquet")
+    )
+
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+    for name in (
+        "text_token_counts",
+        "text_quality_scores",
+        "text_fingerprint_md5",
+        "text_split_assign",
+        "dedup_exact_text",
+        "text_chunk_sliding",
+        "text_rolling_md5_fingerprints",
+        "udtf_sentence_split",
+    ):
+        rows = QUERIES[name](spark, path).collect()  # must not raise
+        assert isinstance(rows, list)
+    # spot-check: token counter treats NULL/empty/CJK sanely
+    toks = {
+        r.doc_id: r
+        for r in QUERIES["text_token_counts"](spark, path).collect()
+    }
+    assert toks[4].n_ws_tokens == 1  # no whitespace -> one "token"
+    assert toks[7].n_ws_tokens == 7
