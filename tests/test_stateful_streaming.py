@@ -474,3 +474,89 @@ def test_chained_windowed_aggregations_stream(spark, tmp_path):
     # -> peak 1. The t=600 period is not watermark-closed: absent.
     assert (("1", T0, 2) in got) and (("1", T0 + timedelta(seconds=60), 1) in got), got
     assert all(p < T0 + timedelta(seconds=600) for (_, p, _) in got), got
+
+
+def test_windowed_agg_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    # True stop/restart: run 1 processes three batches and stops; new
+    # files then land; run 2 is a NEW query object resuming from the
+    # SAME checkpoint into the same parquet sink. Exactly-once across
+    # the restart = every finalized window appears exactly once with
+    # the right count — no replays of run-1 output, no losses.
+    import glob as _glob
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(src_path):
+        readings = stream_parquet_dir(
+            spark, src_path, SENSOR_READING, max_files_per_trigger=1
+        ).withWatermark("event_time", "5 seconds")
+        counts = (
+            readings.groupBy(
+                F.window("event_time", "30 seconds"), F.col("sensor_id")
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                "sensor_id",
+                F.col("window.start").alias("w_start"),
+                "n",
+            )
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batches1 = [
+        [("1", 30, 0), ("1", 31, 10)],   # window [0,30): 2 events
+        [("1", 32, 40)],                 # window [30,60): 1 event
+        [("1", 27, 100)],                # watermark push: finalizes both
+    ]
+    src = _write_batches(spark, tmp_path, batches1, subdir="restart")
+    run(src)
+    mid = [
+        (r.sensor_id, r.w_start, r.n)
+        for r in spark.read.parquet(sink).collect()
+    ]
+    assert (
+        ("1", T0, 2) in mid and ("1", T0 + timedelta(seconds=30), 1) in mid
+    ), mid
+
+    # new data lands while the query is DOWN; mtimes keep replay order
+    extra = _write_batches(
+        spark,
+        tmp_path,
+        [[("1", 28, 130)], [("1", 29, 300)]],
+        subdir="restart_extra",
+    )
+    import os
+    import time as _time
+
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(extra, "*.parquet")))):
+        dst = os.path.join(src, f"late_{i:03d}.parquet")
+        os.rename(f, dst)
+        m = _time.time() + i
+        os.utime(dst, (m, m))
+
+    run(src)  # second, independent query resuming the checkpoint
+    final = [
+        (r.sensor_id, r.w_start, r.n)
+        for r in spark.read.parquet(sink).collect()
+    ]
+    # run 1's windows NOT re-emitted (exactly once), t=100's and
+    # t=130's windows now finalized by the t=300 pusher
+    from collections import Counter
+
+    dupes = [k for k, c in Counter(final).items() if c > 1]
+    assert not dupes, final
+    want_new = {
+        ("1", T0 + timedelta(seconds=90), 1),   # t=100
+        ("1", T0 + timedelta(seconds=120), 1),  # t=130
+    }
+    assert want_new <= set(final), final
+    assert ("1", T0, 2) in final and len(final) == len(set(final))
