@@ -3343,3 +3343,35 @@ def q22_dormant_rich_customers(spark, sf_dir):
             ).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "asof_point_in_time_features",
+    oracle="""
+    SELECT c.event_id, c.user_id, f.feature_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+      ASOF LEFT JOIN
+         (SELECT user_id, ts, value AS feature_value FROM events
+          WHERE event_type = 'purchase') f
+      ON c.user_id = f.user_id AND c.ts >= f.ts
+    """,
+)
+def asof_point_in_time_features(spark, sf_dir):
+    """Point-in-time feature lookup — the feature-store join that
+    keeps training data leak-free: each click event gets the user's
+    latest purchase value AS OF the click's own timestamp, never a
+    later one (an ordinary join on user_id would leak future state
+    into training examples). Same one-shuffle union-trick core as
+    asof_join_backward; unmatched clicks keep NULL features
+    (left-outer ASOF)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    feats = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("feature_value")
+    )
+    return asof_join_backward(
+        clicks, feats, ["user_id"], "ts", "ts", ["feature_value"]
+    ).select("event_id", "user_id", "feature_value")
