@@ -3375,3 +3375,64 @@ def asof_point_in_time_features(spark, sf_dir):
     return asof_join_backward(
         clicks, feats, ["user_id"], "ts", "ts", ["feature_value"]
     ).select("event_id", "user_id", "feature_value")
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           quantile_cont(o_totalprice, 0.5) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS rolling_median_price
+    FROM orders
+    """,
+)
+def window_rolling_median(spark, sf_dir):
+    """Rolling median over a 3-row frame — an ORDER-STATISTIC window,
+    not a running sum: each frame must be re-sorted, which Spark only
+    supports through percentile(0.5) over an explicit ROWS frame
+    (median() itself refuses window frames). Continuous-quantile
+    interpolation matches DuckDB's quantile_cont."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.percentile("o_totalprice", F.lit(0.5))
+        .over(w)
+        .alias("rolling_median_price"),
+    )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_orderkey % 5, 0) AS safe_ratio,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+             AS priority_digit
+    FROM orders
+    """,
+)
+def scalar_try_arithmetic(spark, sf_dir):
+    """ANSI-safe error-free arithmetic: try_divide nulls out division
+    by zero and try_cast nulls out unparseable strings instead of
+    failing the job — the ingestion-grade alternative to exceptions at
+    row 10^12 of a 100 TB scan. DuckDB expresses the same semantics
+    with NULLIF and TRY_CAST."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5).alias(
+            "safe_ratio"
+        ),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("status_as_int"),
+        F.expr(
+            "try_cast(substr(o_orderpriority, 1, 1) AS INT)"
+        ).alias("priority_digit"),
+    )
