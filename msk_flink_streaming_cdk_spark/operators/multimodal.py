@@ -165,3 +165,40 @@ def sample_frames(
             yield out
 
     return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+SEGMENT_BYTES_PER_SEC = 32_000  # 16 kHz mono s16le
+
+
+def segment_audio(
+    assets: DataFrame, segment_ms: int = 10
+) -> DataFrame:
+    """Fixed-duration audio segmentation PLAN: byte-range boundaries
+    per segment computed from payload length and the PCM byte rate
+    (16 kHz mono s16le = 32 000 B/s) — the partitioning step that
+    precedes any real transcription/embedding stage. Pure Catalyst
+    (sequence + explode), no decode needed: segment boundaries are
+    arithmetic on lengths, so the whole stage stays JVM-side and the
+    heavy payload column is never carried past the length read."""
+    seg_bytes = SEGMENT_BYTES_PER_SEC * segment_ms // 1000
+    n_bytes = F.length("payload").cast("long")
+    n_segs = F.ceil(n_bytes / F.lit(float(seg_bytes))).cast("long")
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select(
+            "asset_id",
+            n_bytes.alias("n_bytes"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_segs - 1)
+            ).alias("seg_idx"),
+        )
+        .select(
+            "asset_id",
+            "seg_idx",
+            (F.col("seg_idx") * seg_bytes).alias("start_byte"),
+            F.least(
+                (F.col("seg_idx") + 1) * seg_bytes, F.col("n_bytes")
+            ).alias("end_byte"),
+            (F.col("seg_idx") * segment_ms).alias("start_ms"),
+        )
+    )

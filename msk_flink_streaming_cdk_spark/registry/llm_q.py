@@ -1849,3 +1849,37 @@ def text_char_entropy(spark, sf_dir):
         "doc_id",
         (F.floor(F.col("h") * 10000) / 10000).alias("char_entropy"),
     )
+
+
+@register(
+    "multimodal_audio_segments",
+    oracle="""
+    WITH a AS (SELECT doc_id AS asset_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents WHERE doc_id % 3 = 1),
+         s AS (SELECT asset_id, n_bytes,
+                      unnest(generate_series(
+                        0, CAST(ceil(n_bytes / 320.0) AS BIGINT) - 1))
+                        AS seg_idx
+               FROM a)
+    SELECT asset_id, seg_idx,
+           seg_idx * 320 AS start_byte,
+           least((seg_idx + 1) * 320, n_bytes) AS end_byte,
+           seg_idx * 10 AS start_ms
+    FROM s
+    """,
+)
+def multimodal_audio_segments(spark, sf_dir):
+    """Audio segmentation plan over the synthetic asset table: 10 ms
+    PCM segments (320 bytes at 16 kHz mono s16le) as byte ranges —
+    integer arithmetic end to end, so the mapInPandas-free plan is
+    fully oracle-checkable. The audio modality is doc_id % 3 == 1 by
+    the synth generator's cycling."""
+    from ..operators.multimodal import (
+        segment_audio,
+        synth_assets_from_documents,
+    )
+
+    return segment_audio(
+        synth_assets_from_documents(_docs(spark, sf_dir)), segment_ms=10
+    )
