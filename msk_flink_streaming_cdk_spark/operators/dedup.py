@@ -151,6 +151,64 @@ def minhash_signatures(
     return _parallelize(df).select(F.col(id_col).alias("doc_id"), sigs.alias("sig"))
 
 
+def hashed_shingles(
+    df: DataFrame,
+    k: int = DEFAULT_SHINGLE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelize: bool = True,
+) -> DataFrame:
+    """(doc_id, shingles) with shingles as xxhash64 longs — an equally
+    valid minhash family input, and long-array intersection is what
+    exact verification uses (see ngram_jaccard_pairs)."""
+    src = _parallelize(df) if parallelize else df
+    return src.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            shingle_col(F.col(text_col), k), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
+    )
+
+
+def minhash_bands(
+    sh: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH index rows from hashed-shingle
+    docs: minhash signature = min over xxhash64(shingle, p) per
+    permutation, hashed per band of r = num_perm/bands values. Works
+    identically on batch and STREAMING inputs (pure Catalyst HOFs), so
+    the same index builder serves the offline self-join and the
+    streaming admission gate."""
+    r = num_perm // bands
+    sigs = sh.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform("shingles", _perm_hash(p)))
+                for p in range(num_perm)
+            ]
+        ).alias("sig"),
+    )
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col("sig")[j * r + i] for i in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -170,45 +228,11 @@ def minhash_lsh_pairs(
     all-pairs. Exact verification re-joins the shingle sets only for
     candidates.
     """
-    r = num_perm // bands
-    # Hashed shingles (see ngram_jaccard_pairs): signatures become
-    # min over xxhash64(xxhash64(s), p) — an equally valid minhash
-    # family — and candidate verification intersects long arrays.
-    sh = _parallelize(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            shingle_col(F.col(text_col), k), lambda s: F.xxhash64(s)
-        ).alias("shingles"),
-    )
-    sigs = sh.select(
-        "doc_id",
-        "shingles",
-        F.array(
-            *[
-                F.array_min(F.transform("shingles", _perm_hash(p)))
-                for p in range(num_perm)
-            ]
-        ).alias("sig"),
-    )
+    sh = hashed_shingles(df, k, text_col, id_col)
     # Band join on (band_id, band_hash) carries only ids — the heavy
     # shingle arrays are re-joined per UNIQUE candidate pair afterwards
     # (at 100 TB the band shuffle is the dominant cost; keep it narrow).
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col("sig")[j * r + i] for i in range(r)]
-                        ).alias("band_hash"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    banded = minhash_bands(sh, num_perm, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

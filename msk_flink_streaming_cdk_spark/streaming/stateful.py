@@ -222,3 +222,33 @@ def interval_join(
         & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, cond, how).drop(rw[key])
+
+
+def near_dup_admission_gate(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming near-dup admission gate: incoming documents are
+    MinHash-banded IN the stream (pure Catalyst HOFs work unchanged
+    under readStream) and stream-static joined against the corpus's
+    precomputed LSH index — the contamination/dedup check a training
+    corpus runs BEFORE admitting new data, without re-scanning the
+    corpus per batch.
+
+    Emits one row per (incoming doc, corpus doc, band) collision; band
+    multiplicity is left to the consumer to collapse (a per-sink
+    ``dropDuplicates`` or downstream aggregate), keeping this operator
+    stateless — each micro-batch hash-joins against the (broadcast
+    or shuffled) static index and carries no streaming state at all.
+    """
+    from ..operators.dedup import hashed_shingles, minhash_bands
+
+    sh = hashed_shingles(new_docs, k, parallelize=False)
+    incoming = minhash_bands(sh, num_perm, bands)
+    index = corpus_bands.withColumnRenamed("doc_id", "corpus_doc_id")
+    return incoming.join(index, ["band_id", "band_hash"]).select(
+        F.col("doc_id").alias("new_doc_id"), "corpus_doc_id"
+    )

@@ -560,3 +560,60 @@ def test_windowed_agg_restart_from_checkpoint_exactly_once(spark, tmp_path):
     }
     assert want_new <= set(final), final
     assert ("1", T0, 2) in final and len(final) == len(set(final))
+
+
+def test_streaming_near_dup_admission_gate(spark, tmp_path, sf_small):
+    # New docs stream through a MinHash-LSH gate against the STATIC
+    # corpus index: a near-copy of a corpus document must collide, a
+    # novel document must pass clean.
+    import os
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_bands,
+    )
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        near_dup_admission_gate,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    corpus_bands = minhash_bands(hashed_shingles(docs))
+    victim = docs.orderBy("doc_id").first()
+    near_copy = victim.text + " extra tail words appended here"
+    novel = " ".join(f"zq{i}xw unique nonsense token" for i in range(40))
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(100000, near_copy), (100001, novel)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob as _glob
+
+    (f,) = _glob.glob(str(tmp_path / "stage" / "*.parquet"))
+    os.rename(f, os.path.join(src, "batch0.parquet"))
+
+    stream = stream_parquet_dir(
+        spark, src, docs.select("doc_id", "text").schema
+    )
+    gate = near_dup_admission_gate(stream, corpus_bands)
+    q = (
+        gate.writeStream.format("memory")
+        .queryName("ndg_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hits = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in spark.sql("SELECT * FROM ndg_test").collect()
+    }
+    flagged = {n for (n, _) in hits}
+    assert 100000 in flagged          # near-copy collides
+    assert 100001 not in flagged      # novel passes clean
+    assert (100000, victim.doc_id) in hits  # and with the right victim
