@@ -59,6 +59,9 @@ HEADLINE = [
     "text_seeded_shuffle",
     "q6_forecast_revenue",
     "q8_market_share",
+    "pipeline_training_manifest",
+    "grouped_map_centered_balance",
+    "funnel_view_click_purchase",
 ]
 
 

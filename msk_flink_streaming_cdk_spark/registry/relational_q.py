@@ -3436,3 +3436,72 @@ def scalar_try_arithmetic(spark, sf_dir):
             "try_cast(substr(o_orderpriority, 1, 1) AS INT)"
         ).alias("priority_digit"),
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+                 AND e.ts <= v.t_view + INTERVAL 3 DAY
+               GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                 AND e.ts <= c.t_click + INTERVAL 3 DAY
+               GROUP BY 1)
+    SELECT 1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END
+             AS funnel_stage,
+           count(*) AS n_users
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    GROUP BY 1
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered-funnel analysis with a 3-day conversion window: users
+    who viewed, then clicked AFTER the first view (within 3 days),
+    then purchased after that click (within 3 days) — strict
+    event-ORDER matching, not mere event presence (the distinction a
+    naive three-way membership join gets wrong). Built as three
+    cascaded min-aggregates, each conditioned on the previous stage's
+    timestamp; every stage's type filter pushes to the scan, and each
+    join key is the already-reduced user grain."""
+    ev = _t(spark, sf_dir, "events")
+    window = F.expr("INTERVAL 3 DAYS")
+
+    def stage(etype, prev, prev_t, out):
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_t))
+                & (F.col("ts") <= F.col(prev_t) + window)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = stage("click", v, "t_view", "t_click")
+    p = stage("purchase", c, "t_click", "t_purchase")
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .select(
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).alias("funnel_stage")
+        )
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_users"))
+    )
