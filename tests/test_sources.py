@@ -309,3 +309,50 @@ def test_python_datasource_streaming_offsets(spark, tmp_path):
     for i, r in enumerate(rows):
         sid, temp, ts = sensor_row(11, i)
         assert (r.sensor_id, r.temperature, r.event_time) == (sid, temp, ts)
+
+
+def test_binary_file_source_reads_media_payloads(spark, tmp_path):
+    # format("binaryFile") is the image/audio corpus ingest path: one
+    # row per file with (path, modificationTime, length, content).
+    # Hashes computed Spark-side must match local hashlib on the same
+    # bytes, and length pushdown must hold.
+    import hashlib
+
+    payloads = {
+        "a.img": b"\x89PNG fake image bytes \x00\x01\x02" * 10,
+        "b.img": b"RIFF fake wav bytes \x03\x04" * 25,
+        "c.txt": "unicode text payload héllo 🎉".encode(),
+    }
+    media = tmp_path / "media"
+    media.mkdir()
+    for name, blob in payloads.items():
+        (media / name).write_bytes(blob)
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(str(media))
+    )
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in df.select("path", "length", F.md5("content").alias("h"))
+        .collect()
+    }
+    assert set(rows) == {"a.img", "b.img"}  # glob filtered c.txt out
+    for name, r in rows.items():
+        assert r.length == len(payloads[name])
+        assert r.h == hashlib.md5(payloads[name]).hexdigest()
+
+
+def test_text_file_source_line_corpus(spark, tmp_path):
+    # spark.read.text: the raw-corpus ingest path (one row per line),
+    # with wholetext=True for document-per-file corpora.
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "d1.txt").write_text("line one\nline two\n")
+    (src / "d2.txt").write_text("only line\n")
+    lines = spark.read.text(str(src))
+    assert lines.count() == 3
+    whole = spark.read.text(str(src), wholetext=True)
+    docs = sorted(r.value for r in whole.collect())
+    assert docs == ["line one\nline two\n", "only line\n"]
