@@ -37,11 +37,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros,
-        # matching DuckDB's nanos→TIMESTAMP truncation.
+        # Older fixture builds store ts as parquet TIMESTAMP(NANOS):
+        # read as long nanos (spark.sql.legacy.parquet.nanosAsLong) and
+        # truncate to micros, matching DuckDB's nanos→TIMESTAMP truncation.
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet micros timestamps without isAdjustedToUTC read as
+    # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default. The
+    # engine binds naive wall-clock to UTC (session tz — SURVEY §7 risk
+    # 3), so NTZ→LTZ cast preserves every value while restoring the
+    # epoch/arithmetic surface (cast-to-bigint, unix_timestamp) that
+    # TIMESTAMP_NTZ forbids — same values the DuckDB oracle reads.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
