@@ -84,8 +84,21 @@ def _prev_round_queries() -> tuple[int | None, dict[str, float]]:
                 data = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        parsed = data.get("parsed", data)
+        # Driver records may carry the JSON line pre-parsed, or only as
+        # the raw "tail" text (parsed: null) — accept both.
+        parsed = data.get("parsed") or data
         queries = parsed.get("queries")
+        if not queries and isinstance(data.get("tail"), str):
+            # The recorded tail may be truncated mid-JSON; extract the
+            # flat {"name": sec, ...} object after the "queries" key.
+            m2 = re.search(r'"queries":\s*(\{[^{}]*\})', data["tail"])
+            if m2:
+                try:
+                    queries = json.loads(m2.group(1))
+                except json.JSONDecodeError:
+                    queries = None
+        if not isinstance(queries, dict):
+            queries = None
         if queries and (best_n is None or n > best_n):
             best_n, best = n, queries
     return best_n, best

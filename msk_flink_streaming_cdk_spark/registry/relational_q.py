@@ -1144,8 +1144,9 @@ def window_range_frame_avg30d(spark, sf_dir):
     """RANGE frame (value-based, not ROWS): trailing-30-day average
     order price per customer — the frame spec the ROWS queries can't
     express."""
-    # o_orderdate is TIMESTAMP_NTZ: cast via timestamp (session tz is
-    # UTC) to get epoch seconds — TIMESTAMP_NTZ→BIGINT is not castable.
+    # o_orderdate is already TIMESTAMP (LTZ) after load_table's NTZ
+    # normalization; the timestamp cast is a no-op kept for clarity
+    # before the epoch-seconds cast that the RANGE frame orders on.
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
@@ -3466,40 +3467,57 @@ def funnel_view_click_purchase(spark, sf_dir):
     who viewed, then clicked AFTER the first view (within 3 days),
     then purchased after that click (within 3 days) — strict
     event-ORDER matching, not mere event presence (the distinction a
-    naive three-way membership join gets wrong). Built as three
-    cascaded min-aggregates, each conditioned on the previous stage's
-    timestamp; every stage's type filter pushes to the scan, and each
-    join key is the already-reduced user grain."""
+    naive three-way membership join gets wrong).
+
+    Single-pass plan: one scan of the three funnel event types, one
+    shuffle to user grain, then a Catalyst HOF state machine over the
+    time-sorted per-user events (``aggregate`` over
+    ``array_sort(collect_list(...))``) — vs the naive form's three
+    scans + three shuffles + two joins. The first qualifying event in
+    time order IS the stage's min, so the fold reproduces the cascaded
+    min-aggregate semantics exactly (ties are strict-inequality-excluded
+    on both sides, so intra-timestamp order can't change the result).
+    Scale note: the shuffle carries every funnel-type event (projected
+    to user_id+ts+type, no map-side reduction), and per-user state is
+    the collected event array — for a pathologically hot user, cap with
+    ``slice`` after sort or fall back to the cascaded-join form."""
     ev = _t(spark, sf_dir, "events")
-    window = F.expr("INTERVAL 3 DAYS")
-
-    def stage(etype, prev, prev_t, out):
-        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
-        return (
-            e.join(prev, "user_id")
-            .filter(
-                (F.col("ts") > F.col(prev_t))
-                & (F.col("ts") <= F.col(prev_t) + window)
-            )
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
-        )
-
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = stage("click", v, "t_view", "t_click")
-    p = stage("purchase", c, "t_click", "t_purchase")
+    fold = """
+        aggregate(
+          evs,
+          named_struct('v', CAST(NULL AS TIMESTAMP),
+                       'c', CAST(NULL AS TIMESTAMP),
+                       'p', CAST(NULL AS TIMESTAMP)),
+          (s, x) -> CASE
+            WHEN x.event_type = 'view' AND s.v IS NULL
+              THEN named_struct('v', x.ts, 'c', s.c, 'p', s.p)
+            WHEN x.event_type = 'click' AND s.c IS NULL
+                 AND s.v IS NOT NULL AND x.ts > s.v
+                 AND x.ts <= s.v + INTERVAL 3 DAYS
+              THEN named_struct('v', s.v, 'c', x.ts, 'p', s.p)
+            WHEN x.event_type = 'purchase' AND s.p IS NULL
+                 AND s.c IS NOT NULL AND x.ts > s.c
+                 AND x.ts <= s.c + INTERVAL 3 DAYS
+              THEN named_struct('v', s.v, 'c', s.c, 'p', x.ts)
+            ELSE s
+          END)
+    """
     return (
-        v.join(c.select("user_id", "t_click"), "user_id", "left")
-        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias(
+                "evs"
+            )
+        )
+        .select(F.expr(fold).alias("s"))
+        .filter(F.col("s.v").isNotNull())
         .select(
             (
                 F.lit(1)
-                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
-                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("s.c").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("s.p").isNotNull(), 1).otherwise(0)
             ).alias("funnel_stage")
         )
         .groupBy("funnel_stage")

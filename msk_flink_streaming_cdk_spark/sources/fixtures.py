@@ -35,6 +35,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The NTZ→LTZ normalization below is value-preserving only when the
+    # session renders naive timestamps in UTC; fail loudly on an untuned
+    # session instead of silently shifting epochs vs the DuckDB oracle.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"fixture loader requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}); call session.tune(spark) or build via "
+            f"session.get_session()"
+        )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Older fixture builds store ts as parquet TIMESTAMP(NANOS):
@@ -48,6 +58,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # 3), so NTZ→LTZ cast preserves every value while restoring the
     # epoch/arithmetic surface (cast-to-bigint, unix_timestamp) that
     # TIMESTAMP_NTZ forbids — same values the DuckDB oracle reads.
+    # Scope: top-level columns only; no fixture nests timestamps inside
+    # struct/array/map (walk df.schema recursively if one ever does).
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))

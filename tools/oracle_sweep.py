@@ -1,0 +1,55 @@
+"""Driver-style correctness sweep: every oracle-backed registered query
+vs DuckDB at an arbitrary SF (default sf0.01 — the driver's gate scale).
+
+Usage: python tools/oracle_sweep.py [sf_dir] [name_substring ...]
+
+Prints one line per query (ok / MISMATCH / ERR) and a summary; exits
+non-zero on any failure so it can gate commits.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["TZ"] = "UTC"
+time.tzset()
+
+from msk_flink_streaming_cdk_spark.registry import ORACLES, QUERIES
+from msk_flink_streaming_cdk_spark.session import get_spark
+from tests.oracle import compare
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    subs = sys.argv[2:]
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
+    names = [
+        n
+        for n in sorted(QUERIES)
+        if n in ORACLES and (not subs or any(s in n for s in subs))
+    ]
+    failed = []
+    for i, name in enumerate(names, 1):
+        t0 = time.time()
+        try:
+            compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+            print(f"[{i}/{len(names)}] ok   {name} ({time.time()-t0:.1f}s)", flush=True)
+        except Exception as exc:
+            failed.append(name)
+            kind = "ERR " if not isinstance(exc, AssertionError) else "FAIL"
+            print(f"[{i}/{len(names)}] {kind} {name}: {exc}", flush=True)
+            if kind == "ERR ":
+                traceback.print_exc()
+    print(f"\n{len(names) - len(failed)}/{len(names)} green at {sf_dir}")
+    if failed:
+        print("failed:", ", ".join(failed))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
