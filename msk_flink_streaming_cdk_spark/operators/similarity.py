@@ -384,3 +384,150 @@ def kmeans_lloyd_int(emb: DataFrame, n_iters: int = 2) -> DataFrame:
             "dist2"
         ),
     )
+
+
+def _pq_codebooks(
+    sample: np.ndarray, m: int, ksub: int, n_iters: int
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd k-means codebooks (m, ksub,
+    dim/m) over an L2-normalized training sample. Init is evenly
+    strided sample rows (no RNG), so encode/score replays are
+    bit-stable run to run."""
+    n, dim = sample.shape
+    sub = dim // m
+    books = np.empty((m, ksub, sub))
+    for j in range(m):
+        X = sample[:, j * sub : (j + 1) * sub]
+        idx = (np.arange(ksub) * max(1, n // ksub)) % n
+        C = X[idx].astype(np.float64).copy()
+        for _ in range(n_iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    C[c] = X[mask].mean(0)
+        books[j] = C
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-batch PQ encoder: normalize the vector, then per subspace
+    emit the nearest codeword index — one numpy pass per batch, m
+    small ints per row out (the 32x-compressed representation that
+    makes 100 TB of embeddings fit an ANN index)."""
+    m, ksub, sub = books.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 16,
+    n_iters: int = 4,
+    rerank: int = 16,
+    train_stride: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization (ADC) — the
+    memory-bound third leg next to sign-LSH and IVF.
+
+    - Train: per-subspace k-means codebooks on a driver-held sample
+      (``train_stride`` caps it — at 100 TB train on a fixed-size
+      sample, e.g. 64k rows; the codebook is m*ksub*(dim/m) floats,
+      kilobytes, broadcast implicitly inside the encode UDF).
+    - Encode: one corpus scan -> m small ints per row (asymmetric
+      distance computation keeps queries exact, corpus quantized).
+    - Score: per query a (m*ksub) dot-product lookup table, evaluated
+      as a Catalyst ``aggregate`` over the code array — JVM-side, no
+      Python in the scoring scan.
+    - Re-rank: top k*rerank ADC candidates per query re-scored with
+      exact cosine (embeddings re-join by id), then exact top-k.
+    """
+    sample_rows = (
+        corpus.filter((F.col(id_col) % train_stride) == 0)
+        .select(vec_col)
+        .collect()
+    )
+    sample = np.stack([np.asarray(r[0]) for r in sample_rows]).astype(
+        np.float64
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    books = _pq_codebooks(sample, m, ksub, n_iters)
+    encode = _pq_encode_udf(books)
+
+    codes = corpus.select(
+        F.col(id_col).alias("vec_id"), encode(F.col(vec_col)).alias("codes")
+    )
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    spark = corpus.sparkSession
+    luts = []
+    for r in qrows:
+        q = np.asarray(r[query_vec_col], dtype=np.float64)
+        q /= max(float(np.linalg.norm(q)), 1e-12)
+        lut = np.einsum(
+            "mkd,md->mk", books, q.reshape(m, -1)
+        )  # (m, ksub) partial dot products
+        luts.append((r[query_id_col], [float(x) for x in lut.ravel()]))
+    lut_df = spark.createDataFrame(luts, ["query_id", "lut"])
+
+    adc = (
+        codes.join(F.broadcast(lut_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
+                f"(acc, j) -> acc + element_at(lut, "
+                f"j * {ksub} + element_at(codes, j + 1) + 1))"
+            ).alias("adc"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id")
+    )
+    cand = (
+        adc.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= k * rerank)
+        .select("query_id", "vec_id")
+    )
+    paired = cand.join(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        "vec_id",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("query_vec"),
+            )
+        ),
+        "query_id",
+    )
+    scored = paired.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity_col(F.col("embedding"), F.col("query_vec")).alias(
+            "cosine"
+        ),
+    )
+    return _topk_per_query(scored, k)

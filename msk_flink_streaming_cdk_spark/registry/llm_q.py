@@ -1883,3 +1883,140 @@ def multimodal_audio_segments(spark, sf_dir):
     return segment_audio(
         synth_assets_from_documents(_docs(spark, sf_dir)), segment_ms=10
     )
+
+
+# --- round 3: semantic dedup + corpus quality gates ---------------------------
+
+# The deterministic integer-quantized nearest-centroid assignment from
+# embedding_kmeans_assign, as a reusable oracle CTE prefix (DuckDB).
+_KMEANS_ASSIGN_CTES = """
+    ex AS (
+      SELECT vec_id, label, i AS dim, embedding[i] AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+    exi AS (
+      SELECT vec_id, label, dim,
+             CAST(floor(CAST(v AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS iv
+      FROM ex),
+    cent AS (
+      SELECT label AS c_label, dim,
+             CAST(floor(CAST(sum(iv) AS DOUBLE) / count(*) + 0.5)
+                  AS BIGINT) AS ic
+      FROM exi GROUP BY label, dim),
+    d AS (
+      SELECT e.vec_id, c.c_label,
+             sum((e.iv - c.ic) * (e.iv - c.ic)) AS dist2i
+      FROM exi e JOIN cent c USING (dim)
+      GROUP BY e.vec_id, c.c_label),
+    assign AS (
+      SELECT vec_id, c_label AS assigned_label
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dist2i, c_label) AS rn FROM d)
+      WHERE rn = 1)
+"""
+
+_DDB_COSINE = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle="WITH "
+    + _KMEANS_ASSIGN_CTES
+    + """,
+    v AS (SELECT a.vec_id, a.assigned_label, e.embedding
+          FROM assign a JOIN embeddings e USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM v a JOIN v b
+        ON a.assigned_label = b.assigned_label AND a.vec_id < b.vec_id
+      WHERE round("""
+    + _DDB_COSINE.format(a="a.embedding", b="b.embedding")
+    + """, 6) >= 0.4)
+    SELECT vec_id, assigned_label FROM v
+    WHERE vec_id NOT IN (SELECT vec_b FROM pairs)
+    """,
+)
+def dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    cluster the embedding space, then drop the higher vec_id of every
+    within-cluster pair with cosine >= 0.4, keeping one representative
+    per semantic neighborhood. The clustering reuses the deterministic
+    integer-quantized nearest-centroid assignment (embedding_kmeans_
+    assign), which is what makes the WHOLE pipeline — clustering
+    included — SQL-replayable and oracle-checked, unlike float kmeans.
+
+    Scale shape: the only quadratic step is WITHIN a cluster
+    (sum of c_i^2, never n^2) — at 100 TB you raise k so max cluster
+    size stays bounded, and the pair join is an equi-join on the
+    cluster id; cosine is rounded to 6dp on both sides so the
+    threshold cut is engine-stable."""
+    from ..functions.vectors import cosine_similarity_col
+
+    assign = embedding_kmeans_assign(spark, sf_dir).select(
+        "vec_id", "assigned_label"
+    )
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    v = assign.join(emb, "vec_id")
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.assigned_label") == F.col("b.assigned_label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine_similarity_col(
+                    F.col("a.embedding"), F.col("b.embedding")
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+    )
+    drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return assign.join(drops, "vec_id", "left_anti").select(
+        "vec_id", "assigned_label"
+    )
+
+
+@register("similarity_pq_ann_topk")  # approximate → rows-only
+def similarity_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN top-5 (ADC + exact re-rank) for the
+    same 10 query vectors the other ANN legs answer — the
+    memory-compressed index family (codes are m=16 nibble-range ints
+    per vector vs 64 floats, 8x smaller at byte packing).
+    Deterministic: strided-init k-means codebooks, no RNG."""
+    from ..operators.similarity import pq_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq_ann_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@register("similarity_pq_recall")  # audit metric → rows-only
+def similarity_pq_recall(spark, sf_dir):
+    """Recall@5 of PQ-ANN against brute-force cosine for the same 10
+    query vectors — the quality dial for the compression trade
+    (m x ksub vs recall), driver-visible like the LSH/IVF audits."""
+    from ..operators.similarity import pq_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return _pair_metrics(
+        cosine_topk_bruteforce(emb, queries, k=5),
+        pq_ann_topk(emb, queries, k=5),
+        ["query_id", "vec_id"],
+    )

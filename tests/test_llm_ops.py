@@ -200,3 +200,50 @@ def test_int8_quantization_error_bound(spark, sf_small):
             r.max_abs_err,
             r.scale,
         )
+
+
+def test_pq_ann_recall_vs_bruteforce(spark, sf_small):
+    # PQ-ANN (ADC + exact re-rank) must keep high recall at the
+    # default m=16/ksub=16/rerank=16 dials; codebooks are
+    # strided-init deterministic, so this is a stable bound.
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+    r = QUERIES["similarity_pq_recall"](spark, sf_small).collect()[0]
+    assert r.n_exact > 0
+    assert r.recall >= 0.8, f"PQ recall@5 {r.recall:.2f}"
+
+
+def test_semantic_prune_drops_only_near_neighbors(spark, sf_small):
+    # Every dropped vector must have a surviving same-cluster partner
+    # with cosine >= the 0.4 threshold (the SemDeDup invariant: pruning
+    # never removes a semantic singleton).
+    import numpy as np
+
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    kept = QUERIES["dedup_semantic_prune"](spark, sf_small).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=float)
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    }
+    assign = {
+        r.vec_id: r.assigned_label
+        for r in QUERIES["embedding_kmeans_assign"](spark, sf_small).collect()
+    }
+    kept_ids = {r.vec_id for r in kept}
+    assert kept_ids  # never prunes everything
+    dropped = set(emb) - kept_ids
+
+    def cos(a, b):
+        return float(
+            emb[a] @ emb[b] / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b]))
+        )
+
+    for d in dropped:
+        partners = [
+            v
+            for v in emb
+            if v != d and assign[v] == assign[d] and round(cos(v, d), 6) >= 0.4
+        ]
+        assert partners, f"vec {d} dropped without a near neighbor"
