@@ -9,6 +9,7 @@ are rows-only for the driver and quality-gated in
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -2019,4 +2020,177 @@ def similarity_pq_recall(spark, sf_dir):
         cosine_topk_bruteforce(emb, queries, k=5),
         pq_ann_topk(emb, queries, k=5),
         ["query_id", "vec_id"],
+    )
+
+
+@register(
+    "text_gopher_quality_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round(list_aggregate(list_transform(words, x -> len(x)),
+                                  'avg'), 6) AS mean_word_len,
+             round(CAST(len(list_distinct(words)) AS DOUBLE)
+                   / len(words), 6) AS unique_ratio,
+             CAST(list_contains(words, 'the') AS INT)
+               + CAST(list_contains(words, 'a') AS INT)
+               + CAST(list_contains(words, 'and') AS INT)
+               + CAST(list_contains(words, 'of') AS INT)
+               + CAST(list_contains(words, 'to') AS INT) AS stopword_hits
+      FROM w)
+    SELECT doc_id, n_words, mean_word_len, unique_ratio, stopword_hits,
+           (n_words BETWEEN 20 AND 1000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND unique_ratio >= 0.2
+            AND stopword_hits >= 1) AS passes
+    FROM sig
+    """,
+)
+def text_gopher_quality_filter(spark, sf_dir):
+    """Gopher-style document quality gate (Rae et al. 2021 rule
+    family, thresholds adapted to the fixture's vocabulary): word
+    count bounds, mean word length in [3,10], distinct-word ratio
+    (the repetition rule), and stopword presence — each signal a
+    Catalyst array/HOF expression, zero Python, so the filter runs at
+    scan speed on a 100 TB corpus and the boolean composes into
+    pipeline_clean_corpus-style gates."""
+    w = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    n = F.size("words")
+    mean_len = F.round(
+        F.aggregate(
+            F.transform("words", F.length),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / n,
+        6,
+    )
+    uniq = F.round(F.size(F.array_distinct("words")).cast("double") / n, 6)
+    stop = sum(
+        F.array_contains("words", s).cast("int")
+        for s in ["the", "a", "and", "of", "to"]
+    )
+    sig = w.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        uniq.alias("unique_ratio"),
+        stop.alias("stopword_hits"),
+    )
+    return sig.select(
+        "*",
+        (
+            F.col("n_words").between(20, 1000)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("unique_ratio") >= 0.2)
+            & (F.col("stopword_hits") >= 1)
+        ).alias("passes"),
+    )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, avg(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             FROM daily GROUP BY 1),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+              FROM span),
+    j AS (SELECT s.user_id, s.day, d.v
+          FROM spine s LEFT JOIN daily d USING (user_id, day)),
+    f AS (SELECT user_id, day, v,
+      last_value(v IGNORE NULLS) OVER
+        (PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+        (PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      first_value(v IGNORE NULLS) OVER
+        (PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+        (PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j)
+    SELECT user_id, day,
+           round(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv)
+                      * date_diff('day', pd, day)
+                      / date_diff('day', pd, nd) END, 6) AS value_filled,
+           (v IS NULL) AS interpolated
+    FROM f
+    """,
+)
+def timeseries_interpolate_linear(spark, sf_dir):
+    """Gap-filling with LINEAR interpolation (the step past
+    timeseries_gapfill_daily's spine join): per-user daily purchase
+    averages on a dense daily spine, missing days reconstructed from
+    the straight line between the neighboring observed days.
+
+    Plan shape: one agg to the (user, day) grain, a per-user sequence
+    explode for the spine (fan-out bounded by span days), and TWO
+    window passes (last/first IGNORE NULLS forward + backward) over
+    the same (user, day) sort — Catalyst executes both frames off one
+    shuffle+sort, so the whole fill is a single exchange past the
+    agg; no self-joins, no Python. Spine endpoints are observed days,
+    so the interpolation is always bracketed (no extrapolation
+    branch)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("v"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    return f.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+            ),
+            6,
+        ).alias("value_filled"),
+        F.col("v").isNull().alias("interpolated"),
     )

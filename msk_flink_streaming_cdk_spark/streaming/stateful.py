@@ -252,3 +252,48 @@ def near_dup_admission_gate(
     return incoming.join(index, ["band_id", "band_hash"]).select(
         F.col("doc_id").alias("new_doc_id"), "corpus_doc_id"
     )
+
+
+TOPK_OUTPUT_SCHEMA = "sensor_id string, n_seen long, topk array<long>"
+_TOPK_STATE_SCHEMA = "n long, heap array<long>"
+
+
+def make_topk_fn(k: int = 3):
+    """Stateful per-key top-k update: state is the current k largest
+    temperatures (a bounded list — state size is O(k) per key forever,
+    the property that makes this safe on an unbounded stream). Rows
+    fold in event-time order; emits the refreshed top-k per batch."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        n, heap = state.get if state.exists else (0, [])
+        heap = list(heap)
+        for pdf in pdfs:
+            for temp in pdf.sort_values("event_time")["temperature"]:
+                n += 1
+                heap.append(int(temp))
+                heap = sorted(heap, reverse=True)[:k]
+        state.update((n, heap))
+        yield pd.DataFrame(
+            {"sensor_id": [sensor_id], "n_seen": [n], "topk": [heap]}
+        )
+
+    return update
+
+
+def topk_by_key(readings: DataFrame, k: int = 3) -> DataFrame:
+    """Per-sensor running top-k temperatures on a stream — the
+    bounded-state form of a streaming ORDER BY ... LIMIT k per key
+    (which Structured Streaming's built-ins can't express in update
+    mode). Use outputMode('update')."""
+    return readings.groupBy("sensor_id").applyInPandasWithState(
+        make_topk_fn(k),
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

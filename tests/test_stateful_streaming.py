@@ -617,3 +617,32 @@ def test_streaming_near_dup_admission_gate(spark, tmp_path, sf_small):
     assert 100000 in flagged          # near-copy collides
     assert 100001 not in flagged      # novel passes clean
     assert (100000, victim.doc_id) in hits  # and with the right victim
+
+
+def test_topk_state_bounded_across_batches(spark, tmp_path):
+    from msk_flink_streaming_cdk_spark.streaming.stateful import topk_by_key
+
+    batches = [
+        [("1", 30, 0), ("1", 32, 10), ("1", 28, 15), ("2", 27, 5)],
+        [("1", 31, 20), ("1", 29, 25), ("2", 33, 30)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, subdir="topk")
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = (
+        topk_by_key(readings, k=3)
+        .writeStream.format("memory")
+        .queryName("topk_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql("SELECT * FROM topk_test").collect():
+        final[r.sensor_id] = (r.n_seen, list(r.topk))
+    # sensor 1 saw 30,32,28,31,29 -> top3 = [32,31,30]; state kept only
+    # 3 values between batches (bounded-state invariant).
+    assert final["1"] == (5, [32, 31, 30])
+    assert final["2"] == (2, [33, 27])
