@@ -62,6 +62,10 @@ HEADLINE = [
     "pipeline_training_manifest",
     "grouped_map_centered_balance",
     "funnel_view_click_purchase",
+    "dedup_semantic_prune",
+    "similarity_pq_ann_topk",
+    "text_gopher_quality_filter",
+    "timeseries_interpolate_linear",
 ]
 
 

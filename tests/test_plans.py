@@ -276,3 +276,40 @@ def test_global_scalar_broadcasts_one_row(spark, sf_small, name):
     # the scalar side must be broadcast, never a shuffled cartesian
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_gopher_filter_is_pure_scan(spark, sf_small):
+    # Quality gating must run at scan speed: no shuffle anywhere.
+    from msk_flink_streaming_cdk_spark.plans.checks import count_exchanges
+
+    df = QUERIES["text_gopher_quality_filter"](spark, sf_small)
+    assert count_exchanges(df) == 0
+    assert_no_nested_loop_join(df)
+
+
+def test_funnel_single_shuffle_to_user_grain(spark, sf_small):
+    # The HOF state-machine funnel: one shuffle to the user grain, one
+    # for the final stage histogram (+2-phase partials) — never the
+    # naive 3-scan/3-shuffle/2-join cascade.
+    from msk_flink_streaming_cdk_spark.plans.checks import count_exchanges
+
+    df = QUERIES["funnel_view_click_purchase"](spark, sf_small)
+    assert count_exchanges(df) <= 4
+    assert_no_nested_loop_join(df)
+
+
+def test_interpolate_windows_share_one_sort(spark, sf_small):
+    # Forward and backward IGNORE NULLS passes must ride the same
+    # (user_id, day) shuffle-sort; budget pins agg + spine + join +
+    # window = 4 exchanges.
+    from msk_flink_streaming_cdk_spark.plans.checks import count_exchanges
+
+    df = QUERIES["timeseries_interpolate_linear"](spark, sf_small)
+    assert count_exchanges(df) <= 4
+    assert_no_nested_loop_join(df)
+
+
+def test_semantic_prune_pair_join_is_equi(spark, sf_small):
+    # The within-cluster pair join must be an equi-join on the cluster
+    # id (hash-partitionable at 100 TB), never a nested loop.
+    assert_no_nested_loop_join(QUERIES["dedup_semantic_prune"](spark, sf_small))
