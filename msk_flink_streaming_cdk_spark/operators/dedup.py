@@ -96,13 +96,18 @@ def ngram_jaccard_pairs(
     # (and therefore the Jaccard value) are identical modulo 64-bit
     # collisions (~1e-9 over the fixture vocabularies), and long-array
     # intersection is several times cheaper than string-array.
-    sh = _parallelize(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(length_col).alias("n_len"),
-        F.floor(F.col(length_col) / length_band).alias("bucket"),
-        F.transform(
-            shingle_col(F.col(text_col), k), lambda s: F.xxhash64(s)
-        ).alias("shingles"),
+    sh = (
+        _parallelize(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(length_col).alias("n_len"),
+            F.floor(F.col(length_col) / length_band).alias("bucket"),
+            F.transform(
+                shingle_col(F.col(text_col), k), lambda s: F.xxhash64(s)
+            ).alias("shingles"),
+        )
+        # both join sides read this frame: shingle once, not twice
+        .localCheckpoint(eager=False)
     )
     # Equi-join on the bucket key with the probe side exploded to its
     # 3 adjacent buckets: a BETWEEN range predicate would force a
@@ -228,7 +233,15 @@ def minhash_lsh_pairs(
     all-pairs. Exact verification re-joins the shingle sets only for
     candidates.
     """
-    sh = hashed_shingles(df, k, text_col, id_col)
+    # The shingle frame feeds three consumers (both band-join sides via
+    # `banded`, plus the verification re-joins): materialize it once
+    # instead of recomputing the shingling per consumer. At 100 TB this
+    # is the standard persist-vs-recompute call — local checkpoint
+    # storage is O(corpus shingles); drop it (recompute) only if
+    # executor storage is the scarcer resource.
+    sh = hashed_shingles(df, k, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     # Band join on (band_id, band_hash) carries only ids — the heavy
     # shingle arrays are re-joined per UNIQUE candidate pair afterwards
     # (at 100 TB the band shuffle is the dominant cost; keep it narrow).
