@@ -343,9 +343,14 @@ def simhash_hamming_pairs(
     64-bit SimHashes. Candidate generation bands the hash into 4
     16-bit chunks (pigeonhole: distance <=3 ⇒ some chunk equal), so
     the join is an equi-join on (chunk_id, chunk_value)."""
-    hashed = _parallelize(df).select(
-        F.col(id_col).alias("doc_id"),
-        simhash64(F.col(text_col)).alias("simhash"),
+    hashed = (
+        _parallelize(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            simhash64(F.col(text_col)).alias("simhash"),
+        )
+        # both chunk-join sides read this: run the sketch UDF once
+        .localCheckpoint(eager=False)
     )
     chunks = hashed.select(
         "doc_id",

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
-from ..functions.vectors import cosine_similarity_col
+from ..functions.vectors import cosine_similarity_col, dot_product_col
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -118,12 +118,14 @@ def embedding_cosine_pairs(
     )
     # Band join carries ids only (same lesson as MinHash: keep the
     # bucket shuffle narrow); embeddings re-join per UNIQUE pair.
+    # Both self-join sides read this frame: checkpoint so the Arrow
+    # bucketing UDF runs once over the corpus, not twice.
     hashed = vecs.select(
         "vec_id",
         F.posexplode(bucket_udf(F.col("embedding"))).alias(
             "table_id", "bucket"
         ),
-    )
+    ).localCheckpoint(eager=False)
     a, b = hashed.alias("a"), hashed.alias("b")
     cand = (
         a.join(
@@ -138,21 +140,32 @@ def embedding_cosine_pairs(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    paired = cand.join(
-        vecs.select(
-            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    # Verify with a dot product over pre-normalized vectors: n
+    # normalizations once, instead of dot + 2 norms per candidate pair.
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    unit = vecs.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias(
+            "u"
         ),
+    )
+    paired = cand.join(
+        unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("u_a")),
         "vec_a",
     ).join(
-        vecs.select(
-            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
-        ),
+        unit.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("u_b")),
         "vec_b",
     )
     return paired.select(
         "vec_a",
         "vec_b",
-        cosine_similarity_col(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        dot_product_col(F.col("u_a"), F.col("u_b")).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
