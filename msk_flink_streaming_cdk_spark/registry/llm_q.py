@@ -2210,3 +2210,102 @@ def timeseries_interpolate_linear(spark, sf_dir):
         ).alias("value_filled"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+@register(
+    "pipeline_strip_duplicate_passages",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    g AS (SELECT doc_id, i AS s, array_to_string(w[i:i+15], ' ') AS passage
+          FROM w, unnest(generate_series(1, len(w)-15)) t(i)
+          WHERE len(w) >= 16),
+    dup AS (SELECT passage
+            FROM (SELECT DISTINCT doc_id, passage FROM g)
+            GROUP BY passage HAVING count(*) > 1),
+    cov AS (SELECT DISTINCT doc_id, s FROM g JOIN dup USING (passage)),
+    pos AS (SELECT doc_id, p, w[p] AS word
+            FROM w, unnest(generate_series(1, len(w))) t(p)),
+    kept AS (SELECT pos.doc_id, pos.p, pos.word
+             FROM pos WHERE NOT EXISTS (
+               SELECT 1 FROM cov
+               WHERE cov.doc_id = pos.doc_id
+                 AND pos.p BETWEEN cov.s AND cov.s + 15))
+    SELECT w.doc_id,
+           coalesce(string_agg(kept.word, ' ' ORDER BY kept.p), '')
+             AS cleaned_text,
+           CAST(len(w.w) - count(kept.p) AS BIGINT) AS n_removed
+    FROM w LEFT JOIN kept ON w.doc_id = kept.doc_id
+    GROUP BY w.doc_id, len(w.w)
+    """,
+)
+def pipeline_strip_duplicate_passages(spark, sf_dir):
+    """The REMOVAL counterpart of text_duplicate_passages (exact
+    substring dedup a la 'Deduplicating Training Data Makes Language
+    Models Better'): every word position covered by a 16-gram that
+    appears in more than one document is stripped; emits the cleaned
+    text plus how many words were cut.
+
+    Plan shape: the gram explode and the duplicate-passage agg are the
+    same two passes the detector runs; the rebuild then joins each
+    doc's covered START positions back (collect_set — bounded by grams
+    per doc) and filters the word array with an INDEXED Catalyst HOF —
+    the document is never exploded to word rows on the Spark side
+    (the oracle does explode positions; DuckDB has no indexed array
+    filter). At 100 TB the passage agg keys on xxhash64(passage) and
+    docs shard by doc_id; no step is quadratic."""
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+        )
+        .localCheckpoint(eager=False)  # feeds gram build AND rebuild
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 16,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 15),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.array_join(F.slice("w", i, 16), " ").alias(
+                            "passage"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<s:int,passage:string>>"))
+        ).alias("g"),
+    ).select("doc_id", "g.s", "g.passage")
+    dup = (
+        grams.select("doc_id", "passage")
+        .distinct()
+        .groupBy("passage")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("passage")
+    )
+    covered = (
+        grams.join(dup, "passage")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("starts"))
+    )
+    joined = base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    kept = F.filter(
+        "w",
+        lambda x, i: ~F.exists(
+            "starts", lambda s: (i + 1 >= s) & (i + 1 <= s + 15)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("cleaned_text"),
+        (F.size("w") - F.size(kept)).cast("long").alias("n_removed"),
+    )
