@@ -247,3 +247,60 @@ def test_observed_metrics_surface_in_progress(spark, tmp_path):
         (p.get("numInputRows"), p.get("observedMetrics"))
         for p in q.recentProgress
     ]
+
+
+def test_streaming_observe_metrics_surface(spark, tmp_path):
+    # df.observe() rides the micro-batch for free (no extra pass) and
+    # surfaces per-batch ingest metrics in StreamingQueryProgress —
+    # the ops hook a 100 TB pipeline uses to alert on volume/quality
+    # drift without a second aggregation job.
+    import glob
+    import os
+    import time as _t
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from msk_flink_streaming_cdk_spark.schemas import SENSOR_READING
+    from msk_flink_streaming_cdk_spark.sources.files import stream_parquet_dir
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("1", 31, 0), ("1", 28, 10), ("2", 33, 20), ("2", 29, 30)]
+    data = [(s, t, t0 + timedelta(seconds=o)) for s, t, o in rows]
+    src = os.path.join(str(tmp_path), "observe_src")
+    os.makedirs(src, exist_ok=True)
+    part = os.path.join(str(tmp_path), "observe_part")
+    spark.createDataFrame(data, SENSOR_READING).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(part)
+    (f,) = glob.glob(os.path.join(part, "*.parquet"))
+    os.rename(f, os.path.join(src, "b0.parquet"))
+
+    readings = stream_parquet_dir(spark, src, SENSOR_READING)
+    observed = readings.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("temperature") > 30).cast("long")).alias("n_hot"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "obs_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # progress events are async after termination; poll briefly
+    metrics = None
+    for _ in range(50):
+        for p in q.recentProgress:
+            om = p.get("observedMetrics", {}) if isinstance(p, dict) else {}
+            if "ingest" in om:
+                metrics = om["ingest"]
+        if metrics:
+            break
+        _t.sleep(0.1)
+    assert metrics is not None, "no observed metrics in progress"
+    assert metrics["n_rows"] == 4
+    assert metrics["n_hot"] == 2
