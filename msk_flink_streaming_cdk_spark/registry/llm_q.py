@@ -2309,3 +2309,49 @@ def pipeline_strip_duplicate_passages(spark, sf_dir):
         F.array_join(kept, " ").alias("cleaned_text"),
         (F.size("w") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+@register(
+    "text_quality_percentile_gate",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, source,
+             round(CAST(len(list_distinct(string_split(text, ' ')))
+                        AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS unique_ratio
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source, unique_ratio,
+             round(percent_rank() OVER (PARTITION BY source
+                   ORDER BY unique_ratio, doc_id), 6) AS q_rank
+      FROM sig)
+    SELECT doc_id, source, unique_ratio, q_rank,
+           q_rank >= 0.25 AS kept
+    FROM ranked
+    """,
+)
+def text_quality_percentile_gate(spark, sf_dir):
+    """Per-source RELATIVE quality cut (keep everything at or above
+    the source's 25th percentile of distinct-word ratio) — the
+    domain-aware curation step an absolute threshold can't express:
+    a boilerplate-heavy source keeps its best quarter even though its
+    absolute scores trail a clean source's worst.
+
+    One window pass per source partition; percent_rank orders by
+    (score, doc_id) so tie handling is engine-deterministic. At
+    100 TB the source partitions shuffle independently — no global
+    sort, no driver-side quantile collection."""
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    sig = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
+        ).alias("unique_ratio"),
+    )
+    w = Window.partitionBy("source").orderBy("unique_ratio", "doc_id")
+    ranked = sig.select(
+        "*", F.round(F.percent_rank().over(w), 6).alias("q_rank")
+    )
+    return ranked.select("*", (F.col("q_rank") >= 0.25).alias("kept"))
