@@ -297,3 +297,38 @@ def topk_by_key(readings: DataFrame, k: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def embedding_admission_gate(
+    new_vecs: DataFrame,
+    corpus_hashed: DataFrame,
+    n_bits: int = 6,
+    n_tables: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Streaming semantic-dup admission gate: incoming embedding rows
+    are sign-LSH bucketed IN the stream (the same Arrow bucketing UDF
+    the batch path uses works unchanged under readStream) and
+    stream-static joined against the corpus's precomputed
+    (table_id, bucket) index — the embedding-space counterpart of
+    ``near_dup_admission_gate``. Emits one (new_vec_id,
+    corpus_vec_id, table_id) collision row per bucket hit; exact
+    cosine re-ranking happens on the (small) collision stream, not
+    here. Stateless per micro-batch: no streaming state, the index is
+    a static DataFrame refreshed by recreating the query."""
+    from ..operators.similarity import _bucket_udf, hyperplanes
+
+    bucket_udf = _bucket_udf(
+        [hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
+    )
+    incoming = new_vecs.select(
+        F.col("vec_id").alias("new_vec_id"),
+        F.posexplode(bucket_udf(F.col("embedding"))).alias(
+            "table_id", "bucket"
+        ),
+    )
+    index = corpus_hashed.withColumnRenamed("vec_id", "corpus_vec_id")
+    return incoming.join(index, ["table_id", "bucket"]).select(
+        "new_vec_id", "corpus_vec_id", "table_id"
+    )

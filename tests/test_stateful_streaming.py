@@ -646,3 +646,56 @@ def test_topk_state_bounded_across_batches(spark, tmp_path):
     # 3 values between batches (bounded-state invariant).
     assert final["1"] == (5, [32, 31, 30])
     assert final["2"] == (2, [33, 27])
+
+
+def test_embedding_admission_gate_flags_known_vectors(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from msk_flink_streaming_cdk_spark.operators.similarity import (
+        _bucket_udf,
+        hyperplanes,
+    )
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        embedding_admission_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    # static corpus index: hash every corpus vector once
+    bucket_udf = _bucket_udf(
+        [hyperplanes(64, 6, 42 + 1000 * t) for t in range(16)]
+    )
+    corpus_hashed = emb.select(
+        "vec_id",
+        F.posexplode(bucket_udf(F.col("embedding"))).alias(
+            "table_id", "bucket"
+        ),
+    )
+    # stream two EXACT corpus vectors (relabeled) + nothing else: an
+    # identical vector collides with its twin in every table.
+    probe = emb.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    src = os.path.join(str(tmp_path), "emb_src")
+    probe.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(probe.schema).parquet(src)
+    out = embedding_admission_gate(stream, corpus_hashed)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("emb_gate_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT new_vec_id, corpus_vec_id, count(*) AS n FROM emb_gate_test "
+        "GROUP BY 1, 2"
+    ).collect()
+    hits = {(r.new_vec_id, r.corpus_vec_id): r.n for r in rows}
+    # each probe must collide with its identical twin in ALL 16 tables
+    assert hits.get((10000, 0)) == 16
+    assert hits.get((10001, 1)) == 16
