@@ -487,7 +487,9 @@ def fuzzy_name_pairs(
             ).alias(f"bk{drop}")
             for drop in range(4)
         ],
-    )
+        # 4 blocking joins x 2 sides read this frame: scan + key-build
+        # once instead of 8 times
+    ).localCheckpoint(eager=False)
     cands = None
     for drop in range(4):
         a = with_keys.select(
