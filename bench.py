@@ -66,6 +66,8 @@ HEADLINE = [
     "similarity_pq_ann_topk",
     "text_gopher_quality_filter",
     "timeseries_interpolate_linear",
+    "pipeline_strip_duplicate_passages",
+    "text_quality_percentile_gate",
 ]
 
 

@@ -332,3 +332,75 @@ def embedding_admission_gate(
     return incoming.join(index, ["table_id", "bucket"]).select(
         "new_vec_id", "corpus_vec_id", "table_id"
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, funnel_stage int, t_view timestamp, "
+    "t_click timestamp, t_purchase timestamp"
+)
+_FUNNEL_STATE_SCHEMA = (
+    "t_view timestamp, t_click timestamp, t_purchase timestamp"
+)
+
+
+def make_funnel_fn(window_seconds: int = 3 * 86400):
+    """Stateful ordered-funnel update (view -> click -> purchase, each
+    within ``window_seconds`` of the previous stage): the streaming
+    form of the batch HOF state machine in funnel_view_click_purchase.
+    State is three timestamps per user — O(1) forever. Rows fold in
+    event-time order WITHIN a batch; cross-batch late events that
+    precede an already-locked stage are ignored (the batch query is
+    the exact-replay authority; this is the low-latency view)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        tv, tc, tp = state.get if state.exists else (None, None, None)
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("ts").iterrows():
+                et, ts = row["event_type"], row["ts"]
+                if et == "view" and tv is None:
+                    tv = ts
+                elif (
+                    et == "click"
+                    and tc is None
+                    and tv is not None
+                    and tv < ts <= tv + pd.Timedelta(seconds=window_seconds)
+                ):
+                    tc = ts
+                elif (
+                    et == "purchase"
+                    and tp is None
+                    and tc is not None
+                    and tc < ts <= tc + pd.Timedelta(seconds=window_seconds)
+                ):
+                    tp = ts
+        state.update((tv, tc, tp))
+        stage = 1 + (tc is not None) + (tp is not None) if tv else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "funnel_stage": [stage],
+                "t_view": [tv],
+                "t_click": [tc],
+                "t_purchase": [tp],
+            }
+        )
+
+    return update
+
+
+def funnel_by_user(events: DataFrame, window_seconds: int = 3 * 86400) -> DataFrame:
+    """Per-user streaming funnel progression; emits the user's current
+    stage (0 = no view yet, 3 = full conversion) each micro-batch the
+    user appears in. Use outputMode('update')."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_funnel_fn(window_seconds),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -699,3 +699,69 @@ def test_embedding_admission_gate_flags_known_vectors(spark, tmp_path):
     # each probe must collide with its identical twin in ALL 16 tables
     assert hits.get((10000, 0)) == 16
     assert hits.get((10001, 1)) == 16
+
+
+def test_streaming_funnel_stages_across_batches(spark, tmp_path):
+    import glob
+    import os
+    import time as _t
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from msk_flink_streaming_cdk_spark.streaming.stateful import funnel_by_user
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1)
+    # user 1 converts across batches; user 2's click comes BEFORE its
+    # first view (order matters — membership would wrongly stage it);
+    # user 3 clicks outside the 3-day window.
+    batches = [
+        [(1, "view", 0), (2, "click", 5), (3, "view", 10)],
+        [(1, "click", 3600), (2, "view", 7200), (3, "click", 4 * 86400)],
+        [(1, "purchase", 7200), (2, "purchase", 9000)],
+    ]
+    src = os.path.join(str(tmp_path), "funnel_src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        data = [(u, e, t0 + timedelta(seconds=o)) for (u, e, o) in rows]
+        part = os.path.join(str(tmp_path), f"funnel_part_{i}")
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        (f,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        os.rename(f, dst)
+        mtime = _t.time() - 1000 + i * 10
+        os.utime(dst, (mtime, mtime))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        funnel_by_user(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql("SELECT * FROM funnel_stream_test").collect():
+        final[r.user_id] = r.funnel_stage  # last write per user wins
+    assert final[1] == 3  # view -> click -> purchase across 3 batches
+    # user 2: click-before-view never counts; purchase needs a click
+    assert final[2] == 1
+    assert final[3] == 1  # click outside the window
