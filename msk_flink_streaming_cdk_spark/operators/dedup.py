@@ -513,3 +513,71 @@ def fuzzy_name_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    max_df: int = 20,
+    k: int = DEFAULT_SHINGLE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs:
+    |A∩B| / min(|A|,|B|) >= threshold — the sub-document duplication
+    signal (a small doc quoted inside a big one) that Jaccard's
+    length-band blocking structurally cannot catch (the pair's
+    lengths differ by construction).
+
+    Blocking is an inverted shingle index restricted to RARE shingles
+    (2 <= document frequency <= max_df): candidates share at least one
+    rare shingle, an equi-join on the shingle key whose fan-out per
+    key is bounded by max_df — never all-pairs. High-containment
+    pairs share many shingles, so requiring one of them to be rare is
+    a mild recall assumption; the oracle replays the SAME blocking, so
+    the driver check is exact parity, and the docstring states the
+    heuristic honestly.
+    """
+    base = hashed_shingles(df, k, text_col, id_col).localCheckpoint(
+        eager=False  # feeds the index build AND both verify re-joins
+    )
+    ex = base.select("doc_id", F.explode("shingles").alias("s"))
+    rare = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("s")
+    )
+    rex = ex.join(rare, "s")
+    cand = (
+        rex.alias("a")
+        .join(
+            rex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    paired = cand.join(
+        base.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        base.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        ),
+        "doc_b",
+    )
+    containment = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.least(F.size("sh_a"), F.size("sh_b")),
+        6,
+    )
+    return paired.select(
+        "doc_a", "doc_b", containment.alias("containment")
+    ).filter(F.col("containment") >= threshold)

@@ -2355,3 +2355,49 @@ def text_quality_percentile_gate(spark, sf_dir):
         "*", F.round(F.percent_rank().over(w), 6).alias("q_rank")
     )
     return ranked.select("*", (F.col("q_rank") >= 0.25).alias("kept"))
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5
+                  THEN list_distinct([array_to_string(w[i:i+4], ' ')
+                                      for i in range(1, len(w)-4+1)])
+                  ELSE [array_to_string(w, ' ')] END AS shingles
+      FROM words),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s)
+             WHERE df BETWEEN 2 AND 20),
+    rex AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM rex a JOIN rex b
+               ON a.s = b.s AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT doc_a, doc_b,
+             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                   / least(len(sa.shingles), len(sb.shingles)), 6)
+               AS containment
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, containment FROM scored
+    WHERE containment >= 0.6
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (|A∩B| / min set size):
+    catches a short document embedded in a longer one — the case the
+    length-banded Jaccard blocker is blind to by construction.
+    Blocking = inverted index over rare shingles (df <= 20), an
+    equi-join with per-key fan-out bounded by the df cap; the oracle
+    replays the identical blocking so the check is exact parity.
+    Shingles compare as xxhash64 longs engine-side and raw strings
+    oracle-side — identical counts modulo 64-bit collisions."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir))

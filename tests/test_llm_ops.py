@@ -247,3 +247,36 @@ def test_semantic_prune_drops_only_near_neighbors(spark, sf_small):
             if v != d and assign[v] == assign[d] and round(cos(v, d), 6) >= 0.4
         ]
         assert partners, f"vec {d} dropped without a near neighbor"
+
+
+def test_containment_catches_subdocument_quote(spark):
+    # A short doc fully quoted inside a much longer one: Jaccard is low
+    # (union is large) and the length band excludes the pair entirely,
+    # but containment = 1.0 — the case this operator exists for.
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, quote, len(quote)),
+            (2, f"{filler} {quote}", len(filler) + 1 + len(quote)),
+            (3, "totally unrelated words only here", 33),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(docs, threshold=0.6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert all(3 not in p for p in got)
+    # the Jaccard path (length-banded) cannot see the same pair
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert (1, 2) not in jac
