@@ -68,6 +68,7 @@ HEADLINE = [
     "timeseries_interpolate_linear",
     "pipeline_strip_duplicate_passages",
     "text_quality_percentile_gate",
+    "dedup_containment_pairs",
 ]
 
 
