@@ -81,3 +81,122 @@ def test_salted_join_equals_plain_join(spark, left, right, buckets):
     got = sorted(map(tuple, salted.select(*cols).collect()))
     want = sorted(map(tuple, plain.select(*cols).collect()))
     assert got == want
+
+
+_event = st.tuples(
+    st.integers(min_value=0, max_value=2),          # user
+    st.sampled_from(["view", "click", "purchase"]),  # type
+    st.integers(min_value=0, max_value=10 * 86400),  # offset seconds
+)
+_events = st.lists(_event, min_size=0, max_size=16)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=_SLOW)
+@given(events=_events)
+def test_funnel_state_machine_matches_bruteforce(spark, events):
+    # The single-pass HOF funnel must equal the literal cascaded-min
+    # definition on arbitrary event soup (duplicate timestamps, stages
+    # out of order, missing stages). Collapse duplicate (user, type,
+    # ts) rows: the fold and the min-cascade are both idempotent in
+    # them, but dedup keeps the reference simple.
+    from msk_flink_streaming_cdk_spark.registry.relational_q import (
+        funnel_view_click_purchase,
+    )
+
+    events = sorted(set(events))
+    win = 3 * 86400
+
+    # brute force: t_view = min view ts; t_click = min click in
+    # (t_view, t_view+3d]; t_purchase = min purchase in (t_click, +3d].
+    def stage_of(user):
+        ts = sorted(t for u, e, t in events if u == user and e == "view")
+        if not ts:
+            return None
+        tv = ts[0]
+        clicks = sorted(
+            t for u, e, t in events
+            if u == user and e == "click" and tv < t <= tv + win
+        )
+        if not clicks:
+            return 1
+        tc = clicks[0]
+        buys = sorted(
+            t for u, e, t in events
+            if u == user and e == "purchase" and tc < t <= tc + win
+        )
+        return 3 if buys else 2
+
+    want = {}
+    for u in {u for u, _, _ in events}:
+        s = stage_of(u)
+        if s is not None:
+            want[s] = want.get(s, 0) + 1
+
+    rows = [
+        (i, T0 + timedelta(seconds=t), u, e, 0.0, "{}")
+        for i, (u, e, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.funnel_stage: r.n_users
+            for r in funnel_view_click_purchase(spark, d).collect()
+        }
+    assert got == want, (got, want, events)
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_doc = st.lists(_word, min_size=1, max_size=12)
+_docs_strategy = st.lists(_doc, min_size=0, max_size=6)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=_SLOW)
+@given(docs=_docs_strategy)
+def test_containment_matches_bruteforce_with_same_blocking(spark, docs):
+    # containment_pairs must equal the brute-force definition UNDER THE
+    # SAME rare-shingle blocking (the blocking is part of the operator
+    # contract; the oracle replays it too).
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=0.5, max_df=3).collect()
+    }
+
+    def shingles(t):
+        w = t.lower().strip().split()
+        if len(w) >= 5:
+            return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+        return {" ".join(w)}
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    from collections import Counter
+
+    dfreq = Counter(s for ss in sh.values() for s in ss)
+    rare = {s for s, c in dfreq.items() if 2 <= c <= 3}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a < b and (sh[a] & sh[b] & rare):
+                c = round(
+                    len(sh[a] & sh[b]) / min(len(sh[a]), len(sh[b])), 6
+                )
+                if c >= 0.5:
+                    want[(a, b)] = c
+    assert got == want, (got, want, texts)
