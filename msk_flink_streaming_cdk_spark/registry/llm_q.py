@@ -2401,3 +2401,55 @@ def dedup_containment_pairs(spark, sf_dir):
     from ..operators.dedup import containment_pairs
 
     return containment_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "pipeline_near_dedup_keep_longest",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, peer) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(peer) AS component_id
+             FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.doc_id, c.component_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component_id
+               ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id))
+    SELECT doc_id, component_id, CAST(n_chars AS BIGINT) AS n_chars,
+           rn = 1 AS kept
+    FROM ranked
+    """,
+)
+def pipeline_near_dedup_keep_longest(spark, sf_dir):
+    """Curation POLICY on top of the near-dup clusters: keep the
+    LONGEST document of each component (ties break to the smaller
+    doc_id) instead of the smallest id — the policy used when
+    near-dups are truncations/excerpts of one canonical page and
+    information retention matters more than stable ids. One
+    row_number window over the (tiny) component frame decides the
+    keeper; the expensive parts (pair graph, components) are the same
+    shared stages the other dedup queries run."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    labels = connected_components(pairs)
+    sized = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    ).join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return sized.select(
+        "doc_id",
+        "component_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.row_number().over(w) == 1).alias("kept"),
+    )

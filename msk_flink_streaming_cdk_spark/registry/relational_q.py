@@ -3523,3 +3523,49 @@ def funnel_view_click_purchase(spark, sf_dir):
         .groupBy("funnel_stage")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+      FROM events)
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.active_week) / 7
+                AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM cohort c JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (signup week x weeks-since):
+    the product-analytics staple next to the funnel. Two aggregations
+    to the user/user-week grain plus one join back — every step keyed
+    on user_id, so at 100 TB the whole thing is user-hash shuffles
+    with map-side partial aggregation; no window over the full event
+    stream. Week truncation is ISO-Monday on both engines and offsets
+    divide exactly (week-trunc deltas are multiples of 7 days)."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
