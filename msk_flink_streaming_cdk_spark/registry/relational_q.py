@@ -3569,3 +3569,64 @@ def cohort_weekly_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS monetary
+      FROM orders GROUP BY 1)
+    SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, CAST(monetary AS DOUBLE) AS monetary,
+           ntile(5) OVER (ORDER BY recency_days, c_custkey) AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS m_score
+    FROM base
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quintiles per
+    customer) — the classic CRM composite. One agg to customer grain;
+    the global anchor date is a one-row broadcast scalar subquery; the
+    three ntiles are global windows over the (already reduced)
+    customer frame with (metric, custkey) total orders so bucket
+    boundaries are engine-deterministic. Monetary sums in
+    decimal(18,2) per the repo's money convention. Note the global
+    ntile is a single-partition sort of the CUSTOMER-grain frame — at
+    100 TB segment within a region/market partition (or swap ntile
+    for percent_rank bucketing) to avoid the one-reducer sort."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            F.datediff("anchor", "last_order").cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            F.col("monetary").cast("double").alias("monetary"),
+        )
+    )
+    wr = Window.orderBy("recency_days", "c_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "c_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "c_custkey")
+    return base.select(
+        "*",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
