@@ -69,6 +69,8 @@ HEADLINE = [
     "pipeline_strip_duplicate_passages",
     "text_quality_percentile_gate",
     "dedup_containment_pairs",
+    "cohort_weekly_retention",
+    "customer_rfm_segments",
 ]
 
 
