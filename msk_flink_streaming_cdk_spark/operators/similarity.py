@@ -191,8 +191,8 @@ def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    centroid_stride: int = 50,
-    nprobe: int = 5,
+    n_lists: int = 128,
+    nprobe: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -201,12 +201,13 @@ def ivf_ann_topk(
     """Approximate cosine top-k via an IVF (inverted-file) index — the
     cell-probe alternative to sign-LSH (``lsh_ann_topk``).
 
-    Codebook: a deterministic subset of corpus vectors
-    (``vec_id % centroid_stride == 0``) stands in for trained k-means
-    centroids — same partitioning mechanics, no iterative training.
-    The codebook is intentionally SMALL (IVF's contract: n/stride ≈
-    n_lists ≪ n) so collecting it driver-side is the same bounded
-    pattern as broadcasting a dim table, then:
+    Codebook: a deterministic subset of corpus vectors stands in for
+    trained k-means centroids — same partitioning mechanics, no
+    iterative training. The subset stride is DERIVED from a corpus
+    count so the codebook holds ~``n_lists`` vectors at ANY corpus
+    size (IVF's contract: n_lists ≪ n) — the driver-side collect is
+    O(n_lists), the same bounded pattern as broadcasting a dim table,
+    never O(corpus). Then:
 
     - corpus rows are assigned to their nearest centroid with one
       Arrow-batch numpy matmul per partition (no n×C row blow-up);
@@ -214,12 +215,17 @@ def ivf_ann_topk(
     - candidates = equi-join on centroid_id (cell population bounds
       fan-out), re-ranked by exact cosine.
 
-    At 100 TB the codebook stays fixed-size (e.g. 4-16k lists), so
-    assignment remains a single scan and the cell join remains an
-    equi-join — no all-pairs product at any corpus size.
+    At 100 TB raise ``n_lists`` to 4-16k: the count is parquet
+    metadata (no scan), assignment remains a single corpus scan, and
+    the cell join remains an equi-join — no all-pairs product and no
+    O(n) driver state at any corpus size. Recall scales with the
+    probed fraction ``nprobe / n_lists`` (default 25%); on clustered
+    real-world embeddings fewer probes suffice — the synthetic
+    near-uniform fixture is IVF's worst case.
     """
+    stride = max(1, corpus.count() // n_lists)
     cent = (
-        corpus.filter((F.col(id_col) % centroid_stride) == 0)
+        corpus.filter((F.col(id_col) % stride) == 0)
         .select(id_col, vec_col)
         .collect()
     )
@@ -453,7 +459,7 @@ def pq_ann_topk(
     ksub: int = 16,
     n_iters: int = 4,
     rerank: int = 16,
-    train_stride: int = 1,
+    train_rows: int = 16384,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -462,10 +468,13 @@ def pq_ann_topk(
     """Approximate cosine top-k via product quantization (ADC) — the
     memory-bound third leg next to sign-LSH and IVF.
 
-    - Train: per-subspace k-means codebooks on a driver-held sample
-      (``train_stride`` caps it — at 100 TB train on a fixed-size
-      sample, e.g. 64k rows; the codebook is m*ksub*(dim/m) floats,
-      kilobytes, broadcast implicitly inside the encode UDF).
+    - Train: per-subspace k-means codebooks on a driver-held sample of
+      AT MOST ``train_rows`` corpus vectors, chosen deterministically
+      by xxhash64 order (a content-seeded uniform sample). The collect
+      is O(train_rows) — fixed-size regardless of corpus scale — and
+      the plan is TakeOrderedAndProject (per-partition top-k merge,
+      no full sort shuffle). The codebook itself is m*ksub*(dim/m)
+      floats, kilobytes, broadcast implicitly inside the encode UDF.
     - Encode: one corpus scan -> m small ints per row (asymmetric
       distance computation keeps queries exact, corpus quantized).
     - Score: per query a (m*ksub) dot-product lookup table, evaluated
@@ -475,8 +484,13 @@ def pq_ann_topk(
       exact cosine (embeddings re-join by id), then exact top-k.
     """
     sample_rows = (
-        corpus.filter((F.col(id_col) % train_stride) == 0)
-        .select(vec_col)
+        corpus.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col)).alias("_h"),
+        )
+        .orderBy("_h", "_v")
+        .limit(train_rows)
+        .select("_v")
         .collect()
     )
     sample = np.stack([np.asarray(r[0]) for r in sample_rows]).astype(

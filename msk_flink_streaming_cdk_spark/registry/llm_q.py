@@ -824,7 +824,8 @@ def similarity_ann_recall(spark, sf_dir):
 @register("similarity_ivf_recall")  # audit metric → rows-only
 def similarity_ivf_recall(spark, sf_dir):
     """Recall@5 of IVF-ANN against brute-force cosine for the same 10
-    query vectors (deterministic codebook: vec_id % stride)."""
+    query vectors (deterministic codebook: count-derived stride caps
+    it at ~n_lists vectors regardless of corpus size)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),

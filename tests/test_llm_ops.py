@@ -106,7 +106,7 @@ def test_quality_audit_queries_pin_floors(spark, sf_small):
         "dedup_minhash_recall": 0.99,  # LSH+exact-verify finds every pair
         "dedup_simhash_recall": 0.5,
         "similarity_ann_recall": 0.5,
-        "similarity_ivf_recall": 0.5,
+        "similarity_ivf_recall": 0.6,  # 25% probe fraction on uniform vecs
         "dedup_embedding_recall": 0.4,
     }
     for name, floor in floors.items():
