@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from .text import fingerprint_md5
+from .util import materialize_once
 from .util import parallelize_narrow as _parallelize
 
 DEFAULT_SHINGLE = 5
@@ -107,7 +108,7 @@ def ngram_jaccard_pairs(
             ).alias("shingles"),
         )
         # both join sides read this frame: shingle once, not twice
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     # Equi-join on the bucket key with the probe side exploded to its
     # 3 adjacent buckets: a BETWEEN range predicate would force a
@@ -236,12 +237,10 @@ def minhash_lsh_pairs(
     # The shingle frame feeds three consumers (both band-join sides via
     # `banded`, plus the verification re-joins): materialize it once
     # instead of recomputing the shingling per consumer. At 100 TB this
-    # is the standard persist-vs-recompute call — local checkpoint
-    # storage is O(corpus shingles); drop it (recompute) only if
-    # executor storage is the scarcer resource.
-    sh = hashed_shingles(df, k, text_col, id_col).localCheckpoint(
-        eager=False
-    )
+    # is the standard persist-vs-recompute call — cache storage is
+    # O(corpus shingles); drop it (recompute) only if executor storage
+    # is the scarcer resource.
+    sh = materialize_once(hashed_shingles(df, k, text_col, id_col))
     # Band join on (band_id, band_hash) carries only ids — the heavy
     # shingle arrays are re-joined per UNIQUE candidate pair afterwards
     # (at 100 TB the band shuffle is the dominant cost; keep it narrow).
@@ -350,7 +349,7 @@ def simhash_hamming_pairs(
             simhash64(F.col(text_col)).alias("simhash"),
         )
         # both chunk-join sides read this: run the sketch UDF once
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     chunks = hashed.select(
         "doc_id",
@@ -448,6 +447,94 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 50,
+    return_rounds: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — the opt-in path for graphs with DEEP
+    components, where plain min-label propagation needs diameter
+    rounds but star contraction converges in O(log^2 n).
+
+    Each round is two (groupBy min + equi-join) passes over the edge
+    list — the same shuffle shape per round as label propagation, but
+    every round HALVES long paths instead of shaving one hop:
+
+    - large-star(u): every neighbor v > u re-points to
+      m = min(N(u) ∪ {u});
+    - small-star(u): orient edges toward the larger endpoint, then
+      every smaller-or-equal neighbor (and u itself) points to m.
+
+    At fixpoint edges form stars (node -> component minimum), which IS
+    the label assignment. Edges are localCheckpoint'ed per round —
+    lineage truncation is the point here (the iterative-plan case
+    ``materialize_once`` documents); a driver-side fixpoint probe ends
+    the loop, same as ``connected_components``.
+
+    Returns (node, label); with ``return_rounds`` also the number of
+    alternation rounds taken (the convergence-speed observable the
+    chain-graph test pins).
+    """
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # Large-star: directed neighborhoods both ways.
+        d = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = d.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            d.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star: orient every edge toward its larger endpoint.
+        d2 = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = d2.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d2.join(mins2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("edge")
+            )
+            .select("edge.u", "edge.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(e).limit(1).count()
+            + e.exceptAll(small).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            break
+    # Star fixpoint: every edge is (node, component-min); centers
+    # label themselves.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    centers = e.select(F.col("v").alias("node"), F.col("v").alias("label"))
+    out = labels.union(centers).distinct()
+    return (out, rounds) if return_rounds else out
+
+
 def fuzzy_name_pairs(
     df: DataFrame,
     id_col: str,
@@ -489,7 +576,7 @@ def fuzzy_name_pairs(
         ],
         # 4 blocking joins x 2 sides read this frame: scan + key-build
         # once instead of 8 times
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_once)
     cands = None
     for drop in range(4):
         a = with_keys.select(
@@ -538,9 +625,8 @@ def containment_pairs(
     the driver check is exact parity, and the docstring states the
     heuristic honestly.
     """
-    base = hashed_shingles(df, k, text_col, id_col).localCheckpoint(
-        eager=False  # feeds the index build AND both verify re-joins
-    )
+    # feeds the index build AND both verify re-joins
+    base = materialize_once(hashed_shingles(df, k, text_col, id_col))
     ex = base.select("doc_id", F.explode("shingles").alias("s"))
     rare = (
         ex.groupBy("s")

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from ..functions.vectors import cosine_similarity_col, dot_product_col
+from .util import materialize_once
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -118,14 +119,14 @@ def embedding_cosine_pairs(
     )
     # Band join carries ids only (same lesson as MinHash: keep the
     # bucket shuffle narrow); embeddings re-join per UNIQUE pair.
-    # Both self-join sides read this frame: checkpoint so the Arrow
+    # Both self-join sides read this frame: persist so the Arrow
     # bucketing UDF runs once over the corpus, not twice.
     hashed = vecs.select(
         "vec_id",
         F.posexplode(bucket_udf(F.col("embedding"))).alias(
             "table_id", "bucket"
         ),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_once)
     a, b = hashed.alias("a"), hashed.alias("b")
     cand = (
         a.join(
@@ -142,6 +143,9 @@ def embedding_cosine_pairs(
     )
     # Verify with a dot product over pre-normalized vectors: n
     # normalizations once, instead of dot + 2 norms per candidate pair.
+    # The norm is materialized as a column first — referencing the
+    # O(dim) aggregate inside the transform lambda would re-evaluate
+    # it per element (O(dim^2) per row).
     norm = F.sqrt(
         F.aggregate(
             "embedding",
@@ -149,11 +153,11 @@ def embedding_cosine_pairs(
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    unit = vecs.select(
+    unit = vecs.withColumn("n", norm).select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias(
-            "u"
-        ),
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("n")
+        ).alias("u"),
     )
     paired = cand.join(
         unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("u_a")),

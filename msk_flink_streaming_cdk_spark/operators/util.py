@@ -2,7 +2,24 @@
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Persist a frame that multiple downstream consumers will read.
+
+    ``persist(MEMORY_AND_DISK)`` rather than ``localCheckpoint``:
+    lineage is PRESERVED, so losing an executor recomputes the lost
+    blocks instead of failing the job — the right default for the
+    100 TB posture (a local checkpoint's blocks live only on the
+    executor that wrote them; one lost node kills the query). Disk
+    spill keeps large materializations from evicting under memory
+    pressure. Use ``localCheckpoint`` only where lineage TRUNCATION
+    is the goal (iterative algorithms whose plans would otherwise
+    grow per round, e.g. connected components).
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def parallelize_narrow(df: DataFrame) -> DataFrame:

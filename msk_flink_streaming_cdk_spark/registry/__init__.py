@@ -44,6 +44,7 @@ PRIORITY: list[str] = [
     "dedup_minhash_recall",
     # LLM-pipeline operators without a prior driver row.
     "dedup_connected_components",
+    "dedup_connected_components_star",
     "similarity_cosine_topk",
     "similarity_ivf_ann_topk",
     "pipeline_clean_corpus",

@@ -40,6 +40,7 @@ from ..operators.text import (
     rolling_hash_col,
     whitespace_token_count,
 )
+from ..operators.util import materialize_once
 from ..sources.fixtures import load_table
 from ._core import register
 
@@ -569,6 +570,48 @@ def dedup_connected_components(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_connected_components_star",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, peer) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(peer) AS component_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """,
+)
+def dedup_connected_components_star(spark, sf_dir):
+    """Same clusters as dedup_connected_components, computed with
+    alternating large-star/small-star contraction
+    (``operators/dedup.py::connected_components_star``) — the
+    O(log^2 n)-round path for deep-chain components. Identical output
+    contract (min-id labels), so the same recursive-closure oracle
+    checks both; the two engine paths are also property-tested against
+    each other on random graphs."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components_star
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    labels = connected_components_star(pairs)
+    w = Window.partitionBy("component_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("component_id"),
+        )
+        .withColumn("component_size", F.count("*").over(w))
+    )
+
+
 @register("dedup_minhash_lsh_pairs")  # xxhash64-based → rows-only
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs (the 100 TB path), exact-Jaccard
@@ -1073,9 +1116,10 @@ def embedding_kmeans_assign(spark, sf_dir):
     the fan-out is only x k (never x k x d; the per-dim join form
     would shuffle the exploded fact k*d-fold at 100 TB). Distances
     accumulate in exact decimal, so argmin order is engine-identical;
-    ties break on label."""
-    from pyspark.sql import Window
-
+    ties break on label. The argmin is a hash aggregation over a
+    lexicographic struct min — partial-aggregated map-side, so the
+    shuffle carries n rows, not the n*k scored rows a sort-window
+    argmin would move."""
     e = _emb(spark, sf_dir)
     def _iv8(x):
         return F.floor(x.cast("double") * F.lit(1e8) + F.lit(0.5))
@@ -1118,18 +1162,16 @@ def embedding_kmeans_assign(spark, sf_dir):
             ).alias("dist2i"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy("dist2i", "c_label")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "label",
-            F.col("c_label").alias("assigned_label"),
-            F.round(F.col("dist2i").cast("double") / F.lit(1e16), 6).alias(
-                "dist2"
-            ),
-        )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.min(F.struct("dist2i", "c_label")).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        F.col("best.c_label").alias("assigned_label"),
+        F.round(F.col("best.dist2i").cast("double") / F.lit(1e16), 6).alias(
+            "dist2"
+        ),
     )
 
 
@@ -1953,7 +1995,7 @@ def dedup_semantic_prune(spark, sf_dir):
     cluster id. Vectors are L2-normalized ONCE before the pair join
     (n normalizations instead of 2x per pair — measured 2x faster),
     and the per-vector (id, cluster, unit-vector) frame is
-    localCheckpoint'ed so the expensive assignment subplan runs once
+    persisted (materialize_once) so the assignment subplan runs once
     instead of three times (both self-join sides + the anti-join
     base). Cosine stays a sequential-sum HOF dot product, rounded to
     6dp on both sides, so the threshold cut is engine-stable."""
@@ -1970,16 +2012,20 @@ def dedup_semantic_prune(spark, sf_dir):
             lambda a, x: a + x.cast("double") * x.cast("double"),
         )
     )
+    # Materialize the norm as its own column FIRST: referencing the
+    # O(dim) aggregate inside the transform lambda would re-evaluate
+    # it per array element (O(dim^2) per row).
     v = (
         assign.join(emb, "vec_id")
+        .withColumn("n", norm)
         .select(
             "vec_id",
             "assigned_label",
-            F.transform("embedding", lambda x: x.cast("double") / norm).alias(
-                "u"
-            ),
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("n")
+            ).alias("u"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     a, b = v.alias("a"), v.alias("b")
     pairs = (
@@ -1996,7 +2042,9 @@ def dedup_semantic_prune(spark, sf_dir):
         )
         .filter(F.col("cos") >= 0.4)
     )
-    drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    # No distinct before the anti-join: left_anti ignores duplicate
+    # build-side rows, so deduping first would just add a shuffle.
+    drops = pairs.select(F.col("vec_b").alias("vec_id"))
     return v.join(drops, "vec_id", "left_anti").select(
         "vec_id", "assigned_label"
     )
@@ -2262,7 +2310,7 @@ def pipeline_strip_duplicate_passages(spark, sf_dir):
             "doc_id",
             F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
         )
-        .localCheckpoint(eager=False)  # feeds gram build AND rebuild
+        .transform(materialize_once)  # feeds gram build AND rebuild
     )
     grams = base.select(
         "doc_id",

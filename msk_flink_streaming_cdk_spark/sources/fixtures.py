@@ -43,7 +43,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(
             f"fixture loader requires spark.sql.session.timeZone=UTC "
             f"(got {tz!r}); call session.tune(spark) or build via "
-            f"session.get_session()"
+            f"session.get_spark()"
         )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":

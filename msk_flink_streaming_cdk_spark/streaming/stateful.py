@@ -359,6 +359,10 @@ def make_funnel_fn(window_seconds: int = 3 * 86400):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         tv, tc, tp = state.get if state.exists else (None, None, None)
+        # State restoration can surface missing timestamps as pd.NaT
+        # (truthy, but fails `is None` checks) — normalize to None so
+        # the stage guards and the stage count below stay correct.
+        tv, tc, tp = (None if t is None or pd.isna(t) else t for t in (tv, tc, tp))
         for pdf in pdfs:
             for _, row in pdf.sort_values("ts").iterrows():
                 et, ts = row["event_type"], row["ts"]
@@ -379,7 +383,9 @@ def make_funnel_fn(window_seconds: int = 3 * 86400):
                 ):
                     tp = ts
         state.update((tv, tc, tp))
-        stage = 1 + (tc is not None) + (tp is not None) if tv else 0
+        stage = (
+            0 if tv is None else 1 + (tc is not None) + (tp is not None)
+        )
         yield pd.DataFrame(
             {
                 "user_id": [user_id],

@@ -139,6 +139,52 @@ def test_connected_components_multi_hop_chain(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7)}
 
 
+def test_star_components_match_propagation_on_random_graphs(spark):
+    # Large-star/small-star contraction must produce the exact same
+    # (node, component-min) labeling as min-label propagation on
+    # arbitrary graphs — seeded Erdős–Rényi-ish samples with isolated
+    # pairs, cliques, and chains mixed in.
+    import random
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(1234)
+    for n, n_edges in [(30, 15), (60, 50), (80, 200)]:
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        edges = [(x, y) for x, y in edges if x != y]
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        prop = {(r.node, r.label) for r in connected_components(df).collect()}
+        star = {
+            (r.node, r.label)
+            for r in connected_components_star(df).collect()
+        }
+        assert star == prop, f"n={n} m={n_edges}"
+
+
+def test_star_components_chain_converges_in_log_rounds(spark):
+    # The reason the star variant exists: a path graph has diameter n,
+    # so propagation needs ~n rounds, while star contraction halves
+    # path lengths every round — O(log^2 n). Pin the observable.
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    labels, rounds = connected_components_star(chain, return_rounds=True)
+    rows = labels.collect()
+    assert len(rows) == n + 1
+    assert all(r.label == 0 for r in rows)
+    assert rounds <= 12, f"chain-{n} took {rounds} rounds"
+
+
 def test_fuzzy_name_pairs_matches_bruteforce(spark):
     # Pigeonhole quarter-blocking must find EVERY same-length pair at
     # Levenshtein distance <= 1 (the blocking is exact for 1 edit, not
