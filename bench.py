@@ -71,6 +71,11 @@ HEADLINE = [
     "dedup_containment_pairs",
     "cohort_weekly_retention",
     "customer_rfm_segments",
+    "text_contamination_bloom",
+    "text_token_budget_pack",
+    "text_bm25_topk",
+    "embedding_pca_project",
+    "dedup_connected_components_star",
 ]
 
 

@@ -330,6 +330,100 @@ def lsh_ann_topk(
     return _topk_per_query(scored, k)
 
 
+def pca_power_project(
+    corpus: DataFrame,
+    n_components: int = 2,
+    n_iters: int = 400,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto their top principal components.
+
+    Distributed shape (the MLlib pattern, re-built on mapInPandas):
+
+    1. One corpus scan computes PER-PARTITION sufficient statistics
+       (count, sum vector, Gram matrix X'X) as a single Arrow batch
+       numpy pass — the only data that ever leaves an executor is one
+       (1 + d + d*d)-double row per partition, so the driver collect
+       is O(partitions * d^2), independent of row count.
+    2. The driver assembles the d x d covariance (tiny: d=64 -> 32 KB)
+       and runs deterministic power iteration with deflation for the
+       top ``n_components`` eigenvectors — no RNG: init is the
+       normalized all-ones vector, sign is fixed so each component's
+       largest-magnitude coordinate is positive.
+    3. Components broadcast back as array literals; the projection is
+       a JVM-side HOF dot product per row — a second scan, no shuffle.
+
+    At 100 TB this is two scans and an O(partitions) collect — the
+    covariance path never materializes an n x n or n x d^2 anything.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    d_probe = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    stats_schema = StructType(
+        [
+            StructField("cnt", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("g", ArrayType(DoubleType())),
+        ]
+    )
+
+    def partial_stats(batches):
+        cnt, s, g = 0, None, None
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cnt += len(X)
+            s = X.sum(0) if s is None else s + X.sum(0)
+            g = X.T @ X if g is None else g + X.T @ X
+        if cnt:
+            yield pd.DataFrame(
+                {"cnt": [cnt], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = corpus.select(vec_col).mapInPandas(partial_stats, stats_schema)
+    rows = parts.collect()
+    n = sum(r["cnt"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    G = np.sum(
+        [np.asarray(r["g"]).reshape(d_probe, d_probe) for r in rows], axis=0
+    )
+    mu = s / n
+    cov = (G - n * np.outer(mu, mu)) / max(n - 1, 1)
+
+    comps = []
+    C = cov.copy()
+    for _ in range(n_components):
+        v = np.ones(d_probe) / np.sqrt(d_probe)
+        for _ in range(n_iters):
+            v = C @ v
+            v /= max(np.linalg.norm(v), 1e-12)
+        lam = float(v @ C @ v)
+        if v[np.argmax(np.abs(v))] < 0:  # deterministic sign
+            v = -v
+        comps.append((v, lam))
+        C = C - lam * np.outer(v, v)  # deflation
+
+    centered = F.zip_with(
+        vec_col,
+        F.array(*[F.lit(float(x)) for x in mu]),
+        lambda x, m: x.cast("double") - m,
+    )
+    out = corpus.withColumn("_c", centered)
+    projections = [
+        dot_product_col(
+            F.col("_c"), F.array(*[F.lit(float(x)) for x in v])
+        ).alias(f"pc{i + 1}")
+        for i, (v, _) in enumerate(comps)
+    ]
+    return out.select(F.col(id_col).alias("vec_id"), *projections)
+
+
 def kmeans_lloyd_int(emb: DataFrame, n_iters: int = 2) -> DataFrame:
     """Iterative Lloyd k-means over the embedding column, EXACT and
     engine-reproducible: vectors quantize to scale-8 integers via

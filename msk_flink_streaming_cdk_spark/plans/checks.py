@@ -60,14 +60,35 @@ def assert_no_nested_loop_join(df: DataFrame) -> None:
         assert bad not in plan, f"{bad} in plan:\n{plan}"
 
 
+def count_nodes(df: DataFrame, node: str) -> int:
+    """Number of DISTINCT physical-plan nodes named ``node`` in the
+    query's own plan tree, EXCLUDING subtrees under InMemoryRelation:
+    a persisted frame's build plan executes once at cache fill (and
+    its printed form even changes once AQE has finalized it), so its
+    exchanges are not part of this query's per-run shuffle budget.
+    Node ids are deduplicated, so a subtree printed once per consumer
+    still counts once."""
+    import re
+
+    tree = formatted_plan(df).split("\n\n", 1)[0]
+    ids: set[str] = set()
+    skip_deeper_than: int | None = None
+    for ln in tree.splitlines():
+        indent = len(ln) - len(ln.lstrip(" :+-"))
+        if skip_deeper_than is not None:
+            if indent > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if "InMemoryRelation (" in ln:
+            skip_deeper_than = indent
+            continue
+        hit = re.search(rf"(?:^|[+\-:]\s|\s){node} \((\d+)\)", ln)
+        if hit:
+            ids.add(hit.group(1))
+    return len(ids)
+
+
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan (before AQE
-    runtime coalescing)."""
-    plan = formatted_plan(df)
-    return sum(
-        1
-        for ln in plan.splitlines()
-        if ln.strip().startswith("Exchange")
-        or " Exchange" in ln
-        and "Reused" not in ln
-    )
+    """Number of distinct shuffle exchanges in the physical plan
+    (before AQE runtime coalescing; BroadcastExchange excluded)."""
+    return count_nodes(df, "Exchange")

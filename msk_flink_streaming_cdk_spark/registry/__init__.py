@@ -26,6 +26,11 @@ PRIORITY: list[str] = [
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
+    # Round-4 additions.
+    "text_contamination_bloom",
+    "text_token_budget_pack",
+    "text_bm25_topk",
+    "embedding_pca_project",
     # Round-3 additions (never driver-checked before round 4).
     "dedup_semantic_prune",
     "similarity_pq_ann_topk",

@@ -2502,3 +2502,264 @@ def pipeline_near_dedup_keep_longest(spark, sf_dir):
         F.col("n_chars").cast("long").alias("n_chars"),
         (F.row_number().over(w) == 1).alias("kept"),
     )
+
+
+# --- round 4: bloom decontamination, budget packing, BM25, PCA ---------------
+
+
+@register(
+    "text_contamination_bloom",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(w[i:i+7], ' ')
+                         for i in generate_series(1, len(w)-7)]) AS g
+          FROM w WHERE len(w) >= 8),
+    b AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+    SELECT g.doc_id, count(DISTINCT g.g) AS n_overlap
+    FROM g JOIN b USING (g) WHERE g.doc_id % 50 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def text_contamination_bloom(spark, sf_dir):
+    """Benchmark decontamination through a BLOOM pre-filter: identical
+    answer to text_contamination_8gram (the oracle IS the exact
+    query — the bloom must be output-transparent), but corpus grams
+    are first screened against a fixed-size bitmap of the benchmark's
+    gram hashes, and only survivors reach the exact verify join.
+
+    Scale story: the bitmap is m/64 longs (8 KB here) built with one
+    bit_or aggregation and shipped as an array literal — O(m) driver
+    state regardless of benchmark size — while the exact join's input
+    shrinks to true overlaps + bloom false positives. At 100 TB the
+    verify join's shuffle is what the bloom is protecting: corpus
+    grams that miss any of the 3 probe bits (most of them) never
+    enter it. Raise m with benchmark size to hold the fp rate."""
+    from ..operators.text import word_ngram_keys
+    from ..operators.util import parallelize_narrow
+
+    m_bits = 1 << 16
+    n_hashes = 3
+    grams = parallelize_narrow(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngram_keys(F.col("text"), n=8))
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+
+    bits = bench.select(
+        F.explode(F.array(*positions(F.col("g")))).alias("pos")
+    ).select(
+        (F.col("pos") / 64).cast("int").alias("word_idx"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+        ).alias("bit"),
+    )
+    packed = {
+        r["word_idx"]: r["bits"]
+        for r in bits.groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    }
+    bitmap = F.array(
+        *[F.lit(packed.get(i, 0)).cast("long") for i in range(m_bits // 64)]
+    )
+    probe = None
+    for p in positions(F.col("g")):
+        hit = (
+            F.element_at(bitmap, (p / 64).cast("int") + 1).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+            != 0
+        )
+        probe = hit if probe is None else (probe & hit)
+    candidates = grams.filter(F.col("doc_id") % 50 != 0).filter(probe)
+    return (
+        candidates.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("g").alias("n_overlap"))
+    )
+
+
+@register(
+    "text_token_budget_pack",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len(string_split_regex(trim(text), '\s+'))
+                           AS BIGINT) AS n_tokens
+               FROM documents),
+    o AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                     ORDER BY n_tokens DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM t)
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM o WHERE cum_tokens <= 2000
+    """,
+)
+def text_token_budget_pack(spark, sf_dir):
+    """Per-source token-budget enforcement: greedily admit documents
+    (longest first, ties to the smaller doc_id) until each source's
+    cumulative token count reaches the budget — the mixture-capping
+    step that stops one giant source from dominating a training run.
+
+    One window per source partition: shuffle by source, sort inside
+    the partition, running sum, filter. At 100 TB the skew risk is a
+    single giant source — salt the sort by pre-aggregating long
+    tails or cap per (source, date) instead; the admission rule stays
+    a one-pass cumsum either way."""
+    from ..operators.text import whitespace_token_count
+    from pyspark.sql import Window
+
+    budget = 2000
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        whitespace_token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+    stats AS (SELECT count(*) AS n, sum(dl) AS total_dl FROM dl),
+    q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+    tf AS (SELECT w.doc_id, q.term,
+                  CAST(len(list_filter(w.w, x -> x = q.term)) AS BIGINT)
+                    AS tf
+           FROM w, q),
+    df AS (SELECT term, count(*) FILTER (WHERE tf > 0) AS df
+           FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                   / (CAST(s.total_dl AS DOUBLE) / s.n))))
+               AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+      WHERE tf.tf > 0
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) top-20 documents for a fixed 3-term
+    query — the lexical-retrieval leg next to the TF-IDF and
+    embedding-cosine rankers. All corpus statistics (N, avgdl, df)
+    come from scalar/grouped aggregates on ONE tokenized projection;
+    the per-(doc, term) tf is a JVM HOF filter count, the score a
+    closed-form expression, and the top-k a TakeOrdered — no UDFs,
+    no shuffle beyond the df aggregate and the final top-k merge."""
+    terms = ["spark", "join", "window"]
+    k1, b = 1.2, 0.75
+    w = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+    )
+    dl = w.select("doc_id", F.size("w").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("total_dl")
+    )
+    tf = w.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.size(
+                            F.filter("w", lambda x: x == F.lit(t))
+                        ).cast("long").alias("tf"),
+                    )
+                    for t in terms
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.term", "e.tf")
+    df_ = (
+        tf.filter(F.col("tf") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = (
+        tf.filter(F.col("tf") > 0)
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    1
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        (1 - b)
+                        + b
+                        * F.col("dl")
+                        / (
+                            F.col("total_dl").cast("double")
+                            / F.col("n")
+                        )
+                    )
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
+@register("embedding_pca_project")  # float eigenvectors → rows-only
+def embedding_pca_project(spark, sf_dir):
+    """Top-2 principal-component projection of the embedding corpus
+    (``operators/similarity.py::pca_power_project``): per-partition
+    Gram/sum sufficient statistics via one mapInPandas scan, driver
+    power iteration on the 64x64 covariance, JVM HOF projection.
+    Rows-only for the driver; pytest pins the projection against
+    numpy's exact eigendecomposition."""
+    from ..operators.similarity import pca_power_project
+
+    return pca_power_project(_emb(spark, sf_dir), n_components=2).select(
+        "vec_id",
+        F.round("pc1", 6).alias("pc1"),
+        F.round("pc2", 6).alias("pc2"),
+    )

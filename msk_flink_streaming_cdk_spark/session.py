@@ -38,6 +38,12 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for any toPandas()/pandas_udf path (vectorized transfer).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Runtime bloom-filter join pruning: when one join side is
+    # selectively filtered, inject a bloom of its keys into the other
+    # side's scan — at 100 TB this prunes most of a fact-table shuffle
+    # before it happens (the built-in form of the bloom pattern
+    # text_contamination_bloom hand-builds for a non-join shape).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # ANSI off: match Flink/DuckDB permissive casts in oracle queries.
     "spark.sql.ansi.enabled": "false",
     # The driver's events fixture stores TIMESTAMP(NANOS) parquet, which

@@ -326,3 +326,62 @@ def test_containment_catches_subdocument_quote(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_pca_projection_matches_numpy(spark, sf_small):
+    # The distributed sufficient-statistics path (partial Gram via
+    # mapInPandas + driver power iteration) must reproduce numpy's
+    # exact covariance eigenvectors: compare projections up to the
+    # eigenvector sign, which the operator pins deterministically.
+    import numpy as np
+
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    got = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in QUERIES["embedding_pca_project"](spark, sf_small).collect()
+    }
+    X = np.stack(
+        [
+            np.asarray(r.embedding, dtype=float)
+            for r in load_table(spark, sf_small, "embeddings")
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    ids = [
+        r.vec_id
+        for r in load_table(spark, sf_small, "embeddings")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    C = np.cov(X, rowvar=False)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1]
+    mu = X.mean(0)
+    for comp_i in range(2):
+        v = vecs[:, order[comp_i]]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        proj = (X - mu) @ v
+        got_i = np.array([got[i][comp_i] for i in ids])
+        assert np.allclose(got_i, proj, atol=1e-4), f"pc{comp_i+1}"
+
+
+def test_bloom_decontamination_is_output_transparent(spark, sf_small):
+    # The bloom pre-filter must not change the answer: false positives
+    # die in the exact verify join, false negatives are impossible
+    # (every true member sets all its bits). Equality with the exact
+    # 8-gram query is the whole contract.
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+    exact = {
+        (r.doc_id, r.n_overlap)
+        for r in QUERIES["text_contamination_8gram"](spark, sf_small).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_overlap)
+        for r in QUERIES["text_contamination_bloom"](spark, sf_small).collect()
+    }
+    assert bloom == exact

@@ -157,29 +157,33 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_small):
 @pytest.mark.parametrize(
     "name,budget",
     [
-        ("agg_pricing_summary", 2),
-        ("q1_alerts_daily", 2),
-        ("q3_shipping_priority", 2),
-        ("q10_returned_items", 2),
-        ("q18_large_volume_orders", 2),
-        ("join_orders_per_segment", 2),
-        ("window_running_total", 2),
-        ("session_window_user_sessions", 2),
-        ("dedup_exact_text", 2),
-        ("dedup_ngram_jaccard_pairs", 4),
+        # Budgets are DISTINCT shuffle-exchange nodes (count_nodes on
+        # the formatted detail headers) — a persisted subtree's
+        # exchange counts once however many consumers scan the cache.
+        ("agg_pricing_summary", 1),
+        ("q1_alerts_daily", 1),
+        ("q3_shipping_priority", 1),
+        ("q10_returned_items", 1),
+        ("q18_large_volume_orders", 1),
+        ("join_orders_per_segment", 1),
+        ("window_running_total", 1),
+        ("session_window_user_sessions", 1),
+        ("dedup_exact_text", 1),
+        # 0: its one shuffle lives in the persisted shingle build
+        ("dedup_ngram_jaccard_pairs", 0),
         ("top20_orders_by_price", 0),
         ("text_token_counts", 0),
-        ("q4_order_priority", 3),
-        ("q7_volume_shipping", 3),
-        ("q12_urgency_by_linestatus", 3),
-        ("q14_promo_revenue", 2),
-        ("q16_supplier_variety", 4),
-        ("q21_waiting_suppliers", 7),
-        ("scd2_user_value_history", 2),
-        ("text_seeded_shuffle", 2),
-        ("sql_front_door_pipeline", 4),
-        ("cogrouped_activity_counts", 4),
-        ("grouped_map_centered_balance", 2),
+        ("q4_order_priority", 1),
+        ("q7_volume_shipping", 1),
+        ("q12_urgency_by_linestatus", 1),
+        ("q14_promo_revenue", 1),
+        ("q16_supplier_variety", 2),
+        ("q21_waiting_suppliers", 3),
+        ("scd2_user_value_history", 1),
+        ("text_seeded_shuffle", 1),
+        ("sql_front_door_pipeline", 2),
+        ("cogrouped_activity_counts", 2),
+        ("grouped_map_centered_balance", 1),
         ("text_rolling_md5_fingerprints", 0),
     ],
 )
@@ -311,5 +315,21 @@ def test_interpolate_windows_share_one_sort(spark, sf_small):
 
 def test_semantic_prune_pair_join_is_equi(spark, sf_small):
     # The within-cluster pair join must be an equi-join on the cluster
-    # id (hash-partitionable at 100 TB), never a nested loop.
-    assert_no_nested_loop_join(QUERIES["dedup_semantic_prune"](spark, sf_small))
+    # id (hash-partitionable at 100 TB), never a nested loop. The ONE
+    # permitted nested-loop is the k-row broadcast of the centroid
+    # frame inside the (persisted, visible-in-plan) assignment subplan
+    # — bounded fan-out x k, the standard broadcast-dim pattern.
+    from msk_flink_streaming_cdk_spark.plans.checks import (
+        count_nodes,
+        formatted_plan,
+    )
+
+    df = QUERIES["dedup_semantic_prune"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1, plan
+    # The pair join itself keys on the cluster id.
+    key_lines = [
+        ln for ln in plan.splitlines() if "keys [" in ln.lower()
+    ]
+    assert any("assigned_label" in ln for ln in key_lines), key_lines
