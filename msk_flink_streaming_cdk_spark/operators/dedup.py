@@ -485,6 +485,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_prev = e.count()
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -520,11 +521,14 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # Both sides are distinct sets, so equal cardinality plus
+        # one-way containment is full equality — one exceptAll probe
+        # per round, not two.
+        n_new = small.count()
         changed = (
-            small.exceptAll(e).limit(1).count()
-            + e.exceptAll(small).limit(1).count()
+            1 if n_new != n_prev else small.exceptAll(e).limit(1).count()
         )
-        e = small
+        e, n_prev = small, n_new
         if changed == 0:
             break
     # Star fixpoint: every edge is (node, component-min); centers

@@ -2763,3 +2763,46 @@ def embedding_pca_project(spark, sf_dir):
         F.round("pc1", 6).alias("pc1"),
         F.round("pc2", 6).alias("pc2"),
     )
+
+
+@register(
+    "text_zscore_by_source",
+    oracle="""
+    WITH s AS (SELECT source, count(*) AS n,
+                      sum(n_chars) AS s1,
+                      sum(n_chars * n_chars) AS s2
+               FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source,
+           round((d.n_chars - CAST(s1 AS DOUBLE) / n)
+                 / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6)
+             AS z_chars
+    FROM documents d JOIN s USING (source)
+    """,
+)
+def text_zscore_by_source(spark, sf_dir):
+    """Per-source z-score normalization of document length — the
+    group-relative form of the quality gates (a 400-char doc is short
+    for a books source, long for a chat source). Moments come from
+    EXACT integer sums (count / sum / sum-of-squares), so the partial
+    aggregation order can't perturb the float result: the double
+    arithmetic starts from identical integers on any engine, making
+    the 6dp rounding oracle-stable where a naive stddev_samp
+    aggregate would not be.
+
+    Shape: one grouped integer aggregate (k sources out) broadcast
+    back over the scan — no window, no second pass."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return d.join(F.broadcast(s), "source").select(
+        "doc_id",
+        "source",
+        F.round((F.col("n_chars") - mean) / F.sqrt(var), 6).alias("z_chars"),
+    )

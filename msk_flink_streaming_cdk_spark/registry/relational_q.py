@@ -3630,3 +3630,46 @@ def customer_rfm_segments(spark, sf_dir):
         F.ntile(5).over(wf).alias("f_score"),
         F.ntile(5).over(wm).alias("m_score"),
     )
+
+
+@register(
+    "winsorize_order_prices",
+    oracle="""
+    WITH lim AS (SELECT o_orderpriority,
+                        quantile_cont(o_totalprice, 0.05) AS p05,
+                        quantile_cont(o_totalprice, 0.95) AS p95
+                 FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderkey, o.o_orderpriority,
+           round(least(greatest(o_totalprice, p05), p95), 6) AS winsorized,
+           (o_totalprice < p05 OR o_totalprice > p95) AS clipped
+    FROM orders o JOIN lim USING (o_orderpriority)
+    """,
+)
+def winsorize_order_prices(spark, sf_dir):
+    """Grouped winsorization: clamp each order's price to its
+    priority group's exact [p05, p95] band and flag the clipped tail
+    rows — the outlier treatment that precedes stable aggregate
+    statistics. Spark's exact ``percentile`` interpolates identically
+    to DuckDB's ``quantile_cont``, so the clamp is oracle-exact.
+
+    Shape: one grouped exact-percentile aggregate (k rows out) +
+    one broadcast join back to the fact scan. At 100 TB swap the
+    exact percentile for ``percentile_approx`` and re-check the
+    tolerance — the plan (agg + broadcast-join) is unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    lim = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    return o.join(F.broadcast(lim), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(
+            F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")),
+            6,
+        ).alias("winsorized"),
+        (
+            (F.col("o_totalprice") < F.col("p05"))
+            | (F.col("o_totalprice") > F.col("p95"))
+        ).alias("clipped"),
+    )
