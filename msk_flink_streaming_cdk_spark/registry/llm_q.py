@@ -2542,11 +2542,15 @@ def text_contamination_bloom(spark, sf_dir):
 
     m_bits = 1 << 16
     n_hashes = 3
-    grams = parallelize_narrow(_docs(spark, sf_dir)).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_ngram_keys(F.col("text"), n=8))
-        ).alias("g"),
+    # Three consumers read the gram frame (bitmap build, candidate
+    # filter, verify join) — shingle once.
+    grams = materialize_once(
+        parallelize_narrow(_docs(spark, sf_dir)).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngram_keys(F.col("text"), n=8))
+            ).alias("g"),
+        )
     )
     bench = (
         grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
@@ -2805,4 +2809,84 @@ def text_zscore_by_source(spark, sf_dir):
         "doc_id",
         "source",
         F.round((F.col("n_chars") - mean) / F.sqrt(var), 6).alias("z_chars"),
+    )
+
+
+@register(
+    "text_temperature_mixture",
+    oracle="""
+    WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s),
+    w AS (SELECT source, n_tokens,
+                 CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / tot), 8)
+                      AS DECIMAL(18,8)) AS wt
+          FROM s, tot),
+    z AS (SELECT sum(wt) AS z FROM w),
+    r AS (SELECT source, n_tokens,
+                 floor(least(
+                     1.0,
+                     floor(CAST(wt AS DOUBLE) / CAST(z AS DOUBLE)
+                           * (tot * 0.5))
+                     / n_tokens) * 10000) / 10000 AS rate
+          FROM w, z, tot)
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))
+               AS BIGINT) / 72057594037927936.0 < r.rate
+    """,
+)
+def text_temperature_mixture(spark, sf_dir):
+    """Temperature-sampled mixture (tau = 0.5): per-source admission
+    rates proportional to share^tau — the standard up-weighting of
+    small sources in a pretraining mix (rate_i caps at 1, targets a
+    50%-of-corpus token budget), then per-document deterministic
+    admission by md5(doc_id) threshold, so the sample is stable under
+    reruns and repartitioning.
+
+    Engine-parity mechanics: tau=0.5 is an IEEE-exact sqrt (no libm
+    pow divergence); the normalizer Z sums 8dp-rounded DECIMALs so
+    partial-aggregation order can't wiggle a half-way digit; rates
+    floor-truncate at 4dp; the admission uniform is a 56-bit md5
+    prefix, identical hex arithmetic in both engines. One grouped
+    scan + two scalar broadcasts + an md5-filtered scan — the fact
+    table never shuffles."""
+    s = _docs(spark, sf_dir).groupBy("source").agg(
+        F.sum("n_chars").alias("n_tokens")
+    )
+    tot = s.agg(F.sum("n_tokens").alias("tot"))
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "tot",
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("tot")), 8
+        ).cast("decimal(18,8)").alias("wt"),
+    )
+    z = w.agg(F.sum("wt").alias("z"))
+    r = w.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.floor(
+                    F.col("wt").cast("double") / F.col("z").cast("double")
+                    * (F.col("tot") * 0.5)
+                )
+                / F.col("n_tokens"),
+            )
+            * 10000
+        ).cast("double").alias("rate4"),
+    ).select("source", (F.col("rate4") / 10000).alias("rate"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("double")
+        / F.lit(72057594037927936.0)
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .join(F.broadcast(r), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", "rate")
     )
