@@ -2890,3 +2890,53 @@ def text_temperature_mixture(spark, sf_dir):
         .filter(u < F.col("rate"))
         .select("doc_id", "source", "rate")
     )
+
+
+@register(
+    "dedup_graph_triangle_count",
+    oracle=f"""
+    WITH {_NGRAM_PAIRS_CTES},
+    e AS (SELECT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+          FROM pairs GROUP BY 1, 2),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY doc_id
+    """,
+)
+def dedup_graph_triangle_count(spark, sf_dir):
+    """Per-document triangle participation in the near-dup graph — the
+    clustering-coefficient signal that separates tight dup CLIQUES
+    (every pair similar: safe to keep one) from similarity CHAINS
+    (A~B~C but A!~C: collapsing to one doc loses content).
+
+    Canonical distributed triangle enumeration: orient every edge
+    low->high id, join edges on the shared middle vertex (wedges),
+    then close each wedge against the edge list — two equi-joins on
+    ids, no adjacency matrix, no n^2. Orientation bounds wedge fan-out
+    by out-degree, the standard skew guard at scale."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    e = materialize_once(
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        ).distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )

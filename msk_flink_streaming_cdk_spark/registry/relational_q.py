@@ -3673,3 +3673,53 @@ def winsorize_order_prices(spark, sf_dir):
             | (F.col("o_totalprice") > F.col("p95"))
         ).alias("clipped"),
     )
+
+
+@register(
+    "histogram_equidepth_prices",
+    oracle="""
+    WITH c AS (SELECT quantile_cont(o_totalprice,
+                        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+               FROM orders),
+    b AS (SELECT o_totalprice,
+                 1 + (o_totalprice > q[1])::INT + (o_totalprice > q[2])::INT
+                   + (o_totalprice > q[3])::INT + (o_totalprice > q[4])::INT
+                   + (o_totalprice > q[5])::INT + (o_totalprice > q[6])::INT
+                   + (o_totalprice > q[7])::INT AS bucket
+          FROM orders, c)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def histogram_equidepth_prices(spark, sf_dir):
+    """Equi-DEPTH price histogram (8 octile buckets) — the profiling
+    twin of the equi-width `histogram_price_buckets`. A global-sort
+    NTILE would serialize 100 TB through one partition; instead the 7
+    exact octile cut points come from one percentile aggregate (Spark
+    `percentile` == DuckDB `quantile_cont`, interpolation-identical),
+    broadcast back, and bucket assignment is a comparison sum on the
+    scan — two narrow passes, no global sort at any size."""
+    o = _t(spark, sf_dir, "orders")
+    probs = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+    cuts = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {p})").alias(f"q{i+1}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, 8):
+        bucket = bucket + (F.col("o_totalprice") > F.col(f"q{i}")).cast("int")
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select(F.col("o_totalprice"), bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )
