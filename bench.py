@@ -76,6 +76,11 @@ HEADLINE = [
     "text_bm25_topk",
     "embedding_pca_project",
     "dedup_connected_components_star",
+    "dedup_graph_triangle_count",
+    "histogram_equidepth_prices",
+    "winsorize_order_prices",
+    "text_zscore_by_source",
+    "text_temperature_mixture",
 ]
 
 

@@ -365,7 +365,16 @@ def pca_power_project(
         StructType,
     )
 
-    d_probe = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    probe_row = corpus.select(F.size(vec_col).alias("d")).first()
+    if probe_row is None:  # empty corpus: empty projection, stable schema
+        return corpus.select(
+            F.col(id_col).alias("vec_id"),
+            *[
+                F.lit(None).cast("double").alias(f"pc{i + 1}")
+                for i in range(n_components)
+            ],
+        )
+    d_probe = probe_row["d"]
     stats_schema = StructType(
         [
             StructField("cnt", LongType()),

@@ -47,6 +47,13 @@ REPRESENTATIVES = [
     "cogrouped_activity_counts",     # cogroup
     "sliding_window_event_counts",   # sliding window
     "session_window_user_sessions",  # session window
+    "dedup_connected_components_star",  # iterative star contraction
+    "dedup_graph_triangle_count",    # graph wedge joins
+    "embedding_pca_project",         # mapInPandas sufficient stats
+    "text_contamination_bloom",      # driver-built bitmap + verify join
+    "text_bm25_topk",                # corpus-stats retrieval
+    "text_temperature_mixture",      # scalar-normalized mixture rates
+    "histogram_equidepth_prices",    # percentile-cut bucketing
 ]
 
 
