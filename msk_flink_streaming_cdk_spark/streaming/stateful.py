@@ -410,3 +410,95 @@ def funnel_by_user(events: DataFrame, window_seconds: int = 3 * 86400) -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUTPUT_SCHEMA = (
+    "shard long, item string, est_count long, max_err long"
+)
+_HH_STATE_SCHEMA = (
+    "items array<string>, counts array<long>, errs array<long>"
+)
+
+
+def make_heavy_hitters_fn(m: int = 8):
+    """Space-saving heavy-hitter update (Metwally et al. 2005): per
+    shard, keep at most ``m`` (item, count, err) monitors. A new item
+    beyond capacity EVICTS the current minimum and inherits its count
+    as both estimate floor and error bound. Guarantees, forever, with
+    O(m) state per shard: est_count >= true_count >= est_count -
+    max_err, and any item with true frequency > n/m is in the summary
+    — the classic bounded-memory answer to "top sellers on an
+    unbounded stream" that exact counting (unbounded keys) can't
+    give. Rows fold in event-time order within a batch."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        items, counts, errs = (
+            state.get if state.exists else ([], [], [])
+        )
+        mon = {
+            it: [int(c), int(e)]
+            for it, c, e in zip(items, counts, errs)
+        }
+        for pdf in pdfs:
+            for it in pdf.sort_values("event_time")["item"]:
+                it = str(it)
+                if it in mon:
+                    mon[it][0] += 1
+                elif len(mon) < m:
+                    mon[it] = [1, 0]
+                else:
+                    # evict the minimum; deterministic tie-break on item
+                    ev = min(mon.items(), key=lambda kv: (kv[1][0], kv[0]))
+                    c_min = ev[1][0]
+                    del mon[ev[0]]
+                    mon[it] = [c_min + 1, c_min]
+        out = sorted(
+            mon.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )
+        state.update(
+            (
+                [it for it, _ in out],
+                [c for _, (c, _) in out],
+                [e for _, (_, e) in out],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(out),
+                "item": [it for it, _ in out],
+                "est_count": [c for _, (c, _) in out],
+                "max_err": [e for _, (_, e) in out],
+            }
+        )
+
+    return update
+
+
+def heavy_hitters_by_shard(
+    events: DataFrame, m: int = 8, shards: int = 4
+) -> DataFrame:
+    """Streaming heavy hitters with bounded state: items hash to
+    ``shards`` parallel space-saving summaries (state O(shards * m)
+    total); a downstream consumer unions the per-shard monitors for
+    the global view (estimates stay per-item exact because an item
+    always lands on one shard). ``events`` needs (item, event_time);
+    outputMode('update')."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        F.pmod(F.xxhash64("item"), F.lit(shards)).alias("shard"),
+        F.col("item").cast("string").alias("item"),
+        "event_time",
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        make_heavy_hitters_fn(m),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

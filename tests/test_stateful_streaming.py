@@ -765,3 +765,104 @@ def test_streaming_funnel_stages_across_batches(spark, tmp_path):
     # user 2: click-before-view never counts; purchase needs a click
     assert final[2] == 1
     assert final[3] == 1  # click outside the window
+
+
+def test_heavy_hitters_space_saving_guarantees(spark, tmp_path):
+    """Space-saving invariants under replay: est >= true >= est - err
+    for every monitored item, and every item with shard-local
+    frequency > n/m is present in the final summary — with O(m) state
+    per shard however many distinct items stream through."""
+    import collections
+
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        heavy_hitters_by_shard,
+    )
+
+    # Skewed item stream: a few heavy items + a long tail, far more
+    # distinct items than m=4 monitors per shard.
+    seq = (
+        ["apple"] * 9
+        + ["banana"] * 7
+        + ["cherry"] * 5
+        + [f"tail{i}" for i in range(12)]
+        + ["apple", "banana"] * 3
+    )
+    batches = [seq[:18], seq[18:]]
+    path = os.path.join(str(tmp_path), "hh_src")
+    os.makedirs(path, exist_ok=True)
+    for i, items in enumerate(batches):
+        rows = [
+            (it, T0 + timedelta(seconds=10 * i + j / 100))
+            for j, it in enumerate(items)
+        ]
+        df = spark.createDataFrame(
+            rows, "item string, event_time timestamp"
+        ).coalesce(1)
+        part = os.path.join(str(tmp_path), f"hh_part_{i}")
+        df.write.mode("overwrite").parquet(part)
+        (src,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(path, f"batch_{i:03d}.parquet")
+        os.rename(src, dst)
+        mtime = time.time() - 1000 + i * 10
+        os.utime(dst, (mtime, mtime))
+
+    stream = stream_parquet_dir(
+        spark,
+        path,
+        "item string, event_time timestamp",
+        max_files_per_trigger=1,
+    )
+    outs = {}
+
+    def sink(df, bid):
+        outs[bid] = df.collect()
+
+    q = (
+        heavy_hitters_by_shard(stream, m=4, shards=2)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # Final summary per shard = its rows from the last batch that
+    # emitted it (every batch emits every touched shard).
+    final = {}
+    for bid in sorted(outs):
+        for r in outs[bid]:
+            final.setdefault(r.shard, {})
+            if bid == max(
+                b for b in outs if any(x.shard == r.shard for x in outs[b])
+            ):
+                final[r.shard][r.item] = (r.est_count, r.max_err)
+
+    truth = collections.Counter(seq)
+    shard_of = {
+        r.item: r.shard
+        for r in spark.createDataFrame(
+            [(it,) for it in truth], "item string"
+        )
+        .select(
+            "item",
+            F.pmod(F.xxhash64("item"), F.lit(2)).alias("shard"),
+        )
+        .collect()
+    }
+    shard_n = collections.Counter()
+    for it, c in truth.items():
+        shard_n[shard_of[it]] += c
+
+    for shard, mons in final.items():
+        assert len(mons) <= 4  # bounded state
+        for it, (est, err) in mons.items():
+            assert est >= truth[it], (it, est, truth[it])
+            assert est - err <= truth[it], (it, est, err, truth[it])
+    # Guarantee: true frequency > n_shard/m implies presence.
+    for it, c in truth.items():
+        s = shard_of[it]
+        if c > shard_n[s] / 4:
+            assert it in final[s], (it, c, shard_n[s], final[s])
