@@ -3703,13 +3703,15 @@ def histogram_equidepth_prices(spark, sf_dir):
     broadcast back, and bucket assignment is a comparison sum on the
     scan — two narrow passes, no global sort at any size."""
     o = _t(spark, sf_dir, "orders")
-    probs = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+    # ONE percentile aggregate with an array of probabilities — seven
+    # scalar percentile expressions would each run their own sort-agg
+    # pass over the column.
     cuts = o.agg(
-        *[
-            F.expr(f"percentile(o_totalprice, {p})").alias(f"q{i+1}")
-            for i, p in enumerate(probs)
-        ]
-    )
+        F.expr(
+            "percentile(o_totalprice, "
+            "array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))"
+        ).alias("q")
+    ).select(*[F.col("q")[i].alias(f"q{i+1}") for i in range(7)])
     bucket = F.lit(1)
     for i in range(1, 8):
         bucket = bucket + (F.col("o_totalprice") > F.col(f"q{i}")).cast("int")
