@@ -2940,3 +2940,119 @@ def dedup_graph_triangle_count(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(w[i:i+7], ' ')
+                         for i in generate_series(1, len(w)-7)]) AS g
+          FROM w WHERE len(w) >= 8),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT)
+             AS n_novel,
+           round(CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM g JOIN firsts f USING (g)
+    GROUP BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Order-dependent novelty score: the fraction of a document's
+    distinct 8-grams whose FIRST corpus occurrence (by doc_id order)
+    is this document — near 1 for fresh content, near 0 for
+    recombinations of earlier text. The streaming-curation signal
+    ("how much does this add to what we already kept?") computed in
+    batch.
+
+    Shape: distinct grams per doc (array_distinct before explode — no
+    global dedup shuffle), one groupBy gram for the first-occurrence
+    index, an equi-join back, one per-doc count. Gram identity is
+    xxhash64 (8 bytes vs the string); the oracle replays over raw
+    gram strings — counts agree because the per-doc gram SETS agree."""
+    from ..operators.text import word_ngram_keys
+    from ..operators.util import parallelize_narrow
+
+    grams = materialize_once(
+        parallelize_narrow(_docs(spark, sf_dir)).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngram_keys(F.col("text"), n=8))
+            ).alias("g"),
+        )
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.count(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "text_prefix_boilerplate_groups",
+    oracle=r"""
+    WITH p AS (SELECT doc_id, source,
+                      array_to_string(
+                        string_split_regex(lower(trim(text)), '\s+')[1:8],
+                        ' ') AS prefix8
+               FROM documents),
+    grp AS (SELECT prefix8, count(*) AS group_size, min(doc_id) AS canonical
+            FROM p GROUP BY prefix8 HAVING count(*) >= 2)
+    SELECT p.doc_id, p.source, g.group_size,
+           CAST(g.canonical AS BIGINT) AS canonical,
+           p.doc_id = g.canonical AS is_canonical
+    FROM p JOIN grp g USING (prefix8)
+    """,
+)
+def text_prefix_boilerplate_groups(spark, sf_dir):
+    """Shared-prefix boilerplate detection: documents opening with the
+    same 8-word prefix (templated headers, scraped navigation) grouped
+    together, the lowest doc_id marked canonical — the cheap
+    high-precision sibling of full near-dup detection (one narrow key
+    per doc, one groupBy, no pair join at all).
+
+    At 100 TB this is the first-pass filter run BEFORE shingle-based
+    dedup: one 8-word key per document, hash-aggregated, broadcast of
+    only the >=2 groups back over the scan."""
+    p = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 8),
+            " ",
+        ).alias("prefix8"),
+    )
+    grp = (
+        p.groupBy("prefix8")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("canonical"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+    return p.join(grp, "prefix8").select(
+        "doc_id",
+        "source",
+        "group_size",
+        F.col("canonical").cast("long").alias("canonical"),
+        (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
+    )
