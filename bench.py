@@ -81,6 +81,9 @@ HEADLINE = [
     "winsorize_order_prices",
     "text_zscore_by_source",
     "text_temperature_mixture",
+    "text_ngram_novelty",
+    "text_prefix_boilerplate_groups",
+    "quality_logistic_fit",
 ]
 
 

@@ -3056,3 +3056,51 @@ def text_prefix_boilerplate_groups(spark, sf_dir):
         F.col("canonical").cast("long").alias("canonical"),
         (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
     )
+
+
+@register("quality_logistic_fit")  # float IRLS coefficients → rows-only
+def quality_logistic_fit(spark, sf_dir):
+    """Distributed logistic-regression quality model
+    (``operators/mlfit.py::logistic_irls``): predict long-document
+    membership (n_chars > 300) from [log1p(word count), mean word
+    length] — the trainable generalization of the hand-tuned quality
+    gates. Each IRLS iteration is one scan reducing every partition
+    to a 3x3 normal-equations block; the driver solves k=3 linear
+    systems, coefficients broadcast back and scoring stays in
+    Catalyst. Rows-only for the driver; pytest pins coefficients
+    against a single-node numpy IRLS and accuracy >= 0.8."""
+    from ..operators.mlfit import logistic_irls, logistic_score_col
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.log1p(
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("log_words"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+            / F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("mean_wl"),
+        (F.col("n_chars") > 300).cast("double").alias("y"),
+    )
+    beta, n = logistic_irls(d, ["log_words", "mean_wl"], "y")
+    score = logistic_score_col(
+        beta, [F.col("log_words"), F.col("mean_wl")]
+    )
+    acc = (
+        d.select(
+            ((score > 0.5).cast("double") == F.col("y"))
+            .cast("double")
+            .alias("hit")
+        )
+        .agg(F.avg("hit"))
+        .first()[0]
+    )
+    acc = 0.0 if acc is None else acc  # empty corpus
+    rows = [
+        ("intercept", round(float(beta[0]), 6)),
+        ("log_words", round(float(beta[1]), 6)),
+        ("mean_wl", round(float(beta[2]), 6)),
+        ("train_accuracy", round(float(acc), 6)),
+        ("n_rows", float(n)),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")

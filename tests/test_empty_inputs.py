@@ -29,6 +29,9 @@ EMPTY_OK_ONE_ROW = {
     "q17_small_quantity_revenue",
     "q19_disjunctive_predicates",
 }
+# Model-fit queries emit a fixed-size coefficient table (zeros on an
+# empty corpus) — well-defined, just not zero rows.
+EMPTY_OK_COEF_TABLE = {"quality_logistic_fit": 5}
 REPRESENTATIVES = [
     "q1_alerts_daily",            # windowed agg
     "q3_shipping_priority",       # multi-join top-k
@@ -54,6 +57,9 @@ REPRESENTATIVES = [
     "text_bm25_topk",                # corpus-stats retrieval
     "text_temperature_mixture",      # scalar-normalized mixture rates
     "histogram_equidepth_prices",    # percentile-cut bucketing
+    "quality_logistic_fit",          # IRLS on sufficient statistics
+    "text_ngram_novelty",            # gram first-occurrence join
+    "text_prefix_boilerplate_groups",  # narrow-key grouping
 ]
 
 
@@ -72,6 +78,9 @@ def test_query_survives_empty_tables(spark, sf_empty, name):
     rows = QUERIES[name](spark, sf_empty).collect()
     if name in EMPTY_OK_ONE_ROW:
         assert len(rows) <= 1
+    elif name in EMPTY_OK_COEF_TABLE:
+        assert len(rows) == EMPTY_OK_COEF_TABLE[name]
+        assert all(r.value == 0.0 for r in rows)
     else:
         assert rows == []
 

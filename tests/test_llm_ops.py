@@ -385,3 +385,49 @@ def test_bloom_decontamination_is_output_transparent(spark, sf_small):
         for r in QUERIES["text_contamination_bloom"](spark, sf_small).collect()
     }
     assert bloom == exact
+
+
+def test_logistic_irls_matches_single_node_reference(spark, sf_small):
+    # The distributed sufficient-statistics IRLS must agree with a
+    # single-node numpy implementation of the SAME algorithm (zero
+    # init, 8 damped-Newton steps, ridge 1e-3) to float tolerance,
+    # and actually separate the classes it was given.
+    import numpy as np
+
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    got = {
+        r.term: r.value
+        for r in QUERIES["quality_logistic_fit"](spark, sf_small).collect()
+    }
+    docs = load_table(spark, sf_small, "documents").collect()
+    X = np.column_stack(
+        [
+            np.ones(len(docs)),
+            [np.log1p(len(r.text.strip().split())) for r in docs],
+            [
+                len(r.text.replace(" ", "")) / len(r.text.strip().split())
+                for r in docs
+            ],
+        ]
+    )
+    y = np.array([1.0 if r.n_chars > 300 else 0.0 for r in docs])
+    beta = np.zeros(3)
+    for _ in range(8):
+        eta = X @ beta
+        p = 1 / (1 + np.exp(-np.clip(eta, -30, 30)))
+        w = np.maximum(p * (1 - p), 1e-9)
+        z = eta + (y - p) / w
+        A = X.T @ (X * w[:, None])
+        beta = np.linalg.solve(A + 1e-3 * np.eye(3), X.T @ (w * z))
+    assert abs(got["intercept"] - beta[0]) < 1e-4, (got, beta)
+    assert abs(got["log_words"] - beta[1]) < 1e-4
+    assert abs(got["mean_wl"] - beta[2]) < 1e-4
+    assert got["train_accuracy"] >= 0.8
+    # determinism across runs
+    again = {
+        r.term: r.value
+        for r in QUERIES["quality_logistic_fit"](spark, sf_small).collect()
+    }
+    assert again == got
