@@ -31,6 +31,21 @@ PRIORITY: list[str] = [
     "text_token_budget_pack",
     "text_bm25_topk",
     "embedding_pca_project",
+    "quality_logistic_fit",
+    "text_ngram_novelty",
+    "text_prefix_boilerplate_groups",
+    "dedup_graph_triangle_count",
+    "text_temperature_mixture",
+    "text_zscore_by_source",
+    "winsorize_order_prices",
+    "histogram_equidepth_prices",
+    "dedup_graph_pagerank",
+    "timeseries_ewma_kernel",
+    "timeseries_ohlc_hourly",
+    "timeseries_rolling_zscore",
+    "text_weighted_sample_topk",
+    "dq_column_profile",
+    "dq_key_skew_profile",
     # Round-3 additions (never driver-checked before round 4).
     "dedup_semantic_prune",
     "similarity_pq_ann_topk",
@@ -67,16 +82,15 @@ PRIORITY: list[str] = [
     "pipeline_training_manifest",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
-    # Relational/streaming shapes without a prior driver row.
+    # Relational/streaming shapes without a prior driver row (the rest
+    # of this round-2-era tail — json_variant_extract,
+    # dq_orphan_foreign_keys, cogrouped_activity_counts,
+    # udtf_sentence_split, session_window_dynamic_gap,
+    # chained_window_peak_counts — rotates into the window next round;
+    # all remain pytest-oracle-green every round).
     "scd2_user_value_history",
     "asof_point_in_time_features",
     "window_rolling_median",
-    "json_variant_extract",
-    "dq_orphan_foreign_keys",
-    "cogrouped_activity_counts",
-    "udtf_sentence_split",
-    "session_window_dynamic_gap",
-    "chained_window_peak_counts",
 ]
 
 

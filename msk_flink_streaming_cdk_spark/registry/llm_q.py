@@ -3104,3 +3104,333 @@ def quality_logistic_fit(spark, sf_dir):
         ("n_rows", float(n)),
     ]
     return spark.createDataFrame(rows, "term string, value double")
+
+
+# --- graph analytics / time-series / sampling (round 4, cont.) ---------------
+
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 4
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Chained-CTE DuckDB replay of integer-scaled PageRank: the same
+    edge CTEs as the Jaccard near-dup queries, then one (contrib, rank)
+    CTE pair per iteration. All-integer arithmetic (micro-rank units,
+    ``//`` division) so partial-aggregation order can never wiggle a
+    bit — the replay is exact, not tolerance-based."""
+    ctes = [
+        f"WITH {_NGRAM_PAIRS_CTES},",
+        "und AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        " UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),",
+        "deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg"
+        " FROM und GROUP BY u),",
+        "nn AS (SELECT count(*) AS n FROM deg),",
+        f"r0 AS (SELECT u AS id, {_PR_SCALE} // n AS r FROM deg, nn),",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS (SELECT e.v AS id, sum(r.r // d.deg) AS s"
+            f" FROM und e JOIN r{p} r ON e.u = r.id"
+            f" JOIN deg d ON d.u = e.u GROUP BY e.v),"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT r{p}.id,"
+            f" ({_PR_SCALE * 3 // 20} // n)"
+            f" + (17 * COALESCE(c{i}.s, 0)) // 20 AS r"
+            f" FROM r{p} LEFT JOIN c{i} USING (id), nn),"
+        )
+    body = "\n    ".join(ctes)[:-1]  # drop trailing comma of last CTE
+    return (
+        body
+        + f"\n    SELECT id AS doc_id,"
+        f" round(r / {_PR_SCALE}.0, 6) AS pagerank FROM r{iters}"
+    )
+
+
+@register("dedup_graph_pagerank", oracle=_pagerank_oracle(_PR_ITERS))
+def dedup_graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the near-dup graph — the canonical-pick
+    signal for dedup cluster policies (keep the most-central duplicate
+    rather than the longest/first; complements
+    ``dedup_graph_triangle_count``'s clique-vs-chain signal).
+
+    Pregel-in-DataFrames: edges (both orientations) and degrees are
+    materialized ONCE and reused every iteration; each of the 4
+    iterations is one equi-join of the rank frame to the edge list on
+    the source id plus one groupBy(dst) sum — shuffle keyed the same
+    way every round, no adjacency matrix, no driver-side graph state.
+    Ranks are integer micro-units (floor division) so the result is
+    bit-exact under any aggregation order — same numbers on 32 threads
+    or 1000 executors; damping 0.85 = 17/20 in integer math."""
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    und = materialize_once(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+    )
+    deg = materialize_once(und.groupBy("u").agg(F.count("*").alias("deg")))
+    nn = deg.agg(F.count("*").alias("n"))
+    r = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("u").alias("id"),
+        F.expr(f"{_PR_SCALE} div n").alias("r"),
+        "n",
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            und.join(r.select(F.col("id").alias("u"), "r"), "u")
+            .join(deg, "u")
+            .groupBy("v")
+            .agg(F.sum(F.expr("r div deg")).alias("s"))
+        )
+        r = (
+            r.select("id", "n")
+            .join(contrib.withColumnRenamed("v", "id"), "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    f"({_PR_SCALE * 3 // 20} div n)"
+                    " + (17 * coalesce(s, 0L)) div 20"
+                ).alias("r"),
+                "n",
+            )
+        )
+    return r.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.col("r") / F.lit(float(_PR_SCALE)), 6).alias("pagerank"),
+    )
+
+
+_EWMA_K = 8  # kernel length; 0.5**7 ~ 0.008 tail weight
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n           ".join(
+        f"lag(value, {k}) OVER w AS l{k}" for k in range(1, _EWMA_K)
+    )
+    num = " + ".join(
+        ["value * 1.0"]
+        + [f"coalesce(l{k}, 0) * {0.5 ** k!r}" for k in range(1, _EWMA_K)]
+    )
+    den = " + ".join(
+        ["1.0"]
+        + [
+            f"(CASE WHEN l{k} IS NOT NULL THEN {0.5 ** k!r} ELSE 0.0 END)"
+            for k in range(1, _EWMA_K)
+        ]
+    )
+    return f"""
+    WITH b AS (
+      SELECT user_id, event_id, ts, value,
+           {lags}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM b
+    """
+
+
+@register("timeseries_ewma_kernel", oracle=_ewma_oracle())
+def timeseries_ewma_kernel(spark, sf_dir):
+    """Per-user EWMA smoothing as a finite normalized kernel (length 8,
+    decay 1/2): y_i = sum_k w_k x_{i-k} / sum_k w_k with w_k = 0.5^k —
+    the batch counterpart of the streaming EWMA processor in
+    ``streaming/stateful.py``, truncated so it is a pure sliding-window
+    computation instead of an unbounded recursion.
+
+    One window sort per user serves all 8 lag() columns (single
+    exchange); weights are exact powers of two, so every product is an
+    IEEE-exact mantissa shift and the explicit left-to-right sum chain
+    evaluates bit-identically in Spark and the oracle. Normalizing by
+    the available-weight sum makes series heads well-defined without a
+    warmup branch."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("value") * F.lit(1.0)
+    den = F.lit(1.0)
+    for k in range(1, _EWMA_K):
+        lv = F.lag("value", k).over(w)
+        wk = F.lit(0.5 ** k)
+        num = num + F.coalesce(lv, F.lit(0.0)) * wk
+        den = den + F.when(lv.isNotNull(), wk).otherwise(F.lit(0.0))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+@register(
+    "timeseries_ohlc_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, value,
+             row_number() OVER (PARTITION BY event_type,
+                                date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type,
+                                date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, hour,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS volume
+    FROM b GROUP BY event_type, hour
+    """,
+)
+def timeseries_ohlc_hourly(spark, sf_dir):
+    """Downsampling to OHLC bars: per (event_type, hour) open / high /
+    low / close / count / volume — the resample step every time-series
+    store exposes (reference emits raw per-event rows; this is the
+    rollup consumers build on them).
+
+    Open/close use explicit row_number with a total (ts, event_id)
+    tiebreak rather than min_by/max_by on a bare timestamp, so
+    duplicate timestamps cannot make the bar nondeterministic. Both
+    window passes and the final aggregate share one hash partitioning
+    on the group key — a single exchange, two in-partition sorts.
+    high/low/open/close are untouched input doubles (hash-exact);
+    only the additive volume is rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    wa = Window.partitionBy("event_type", hour).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", hour).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b = ev.select(
+        "event_type",
+        hour.alias("hour"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return b.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("volume"),
+    )
+
+
+@register(
+    "timeseries_rolling_zscore",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    b AS (
+      SELECT user_id, event_id, ts, value,
+             count(value) OVER w AS cnt,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN sd > 0 THEN round((value - mu) / sd, 3) END AS z,
+           coalesce(abs(CASE WHEN sd > 0
+                             THEN round((value - mu) / sd, 3) END) > 3,
+                    false) AS is_anomaly
+    FROM b WHERE cnt >= 5
+    """,
+)
+def timeseries_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection: each purchase scored against
+    the mean/stddev of the SAME USER'S trailing 20 purchases (current
+    row excluded — no self-contamination), flagged at |z| > 3 once 5
+    history points exist.
+
+    One window sort per user serves count/avg/stddev (single
+    exchange). The flag is computed from the ROUNDED z on both sides,
+    so the engine-vs-oracle comparison can't flip on a sub-ulp
+    boundary; degenerate zero-variance history yields NULL z / false
+    flag rather than an Inf."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    b = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.count("value").over(w).alias("cnt"),
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    ).filter(F.col("cnt") >= 5)
+    z = F.when(
+        F.col("sd") > 0,
+        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 3),
+    )
+    return b.select(
+        "user_id",
+        "event_id",
+        "ts",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@register(
+    "text_weighted_sample_topk",
+    oracle="""
+    WITH k AS (
+      SELECT source, doc_id, n_chars,
+             ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                     AS BIGINT) / 72057594037927936.0) / n_chars AS key
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY key DESC, doc_id) AS rn
+          FROM k)
+    SELECT source, doc_id, n_chars FROM r WHERE rn <= 20
+    """,
+)
+def text_weighted_sample_topk(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    per source, the 20 documents with the largest u^(1/w) priority,
+    w = n_chars — i.e. a deterministic, repartition-stable draw where
+    longer documents are proportionally more likely, the standard
+    size-weighted corpus subsample.
+
+    u is the 56-bit md5(doc_id) prefix (same hex arithmetic both
+    engines — the admission-uniform trick from
+    text_temperature_mixture); comparing ln(u)/w preserves the
+    u^(1/w) order without libm pow. One window top-k per source —
+    Spark's WindowGroupLimit pushes the rank filter below the sort,
+    so each partition keeps only ~k rows before the shuffle."""
+    d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10
+        ).cast("double")
+        / F.lit(72057594037927936.0)
+    )
+    k = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("key").desc(), "doc_id")
+    return (
+        k.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id", "n_chars")
+    )

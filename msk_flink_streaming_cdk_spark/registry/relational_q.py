@@ -3725,3 +3725,151 @@ def histogram_equidepth_prices(spark, sf_dir):
             F.round(F.max("o_totalprice"), 6).alias("hi"),
         )
     )
+
+
+@register(
+    "dq_column_profile",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) - count(o_orderkey) AS BIGINT) AS nn1,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+        CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+        CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+        CAST(count(*) - count(o_custkey) AS BIGINT) AS nn2,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+        CAST(min(o_custkey) AS VARCHAR) AS mn2,
+        CAST(max(o_custkey) AS VARCHAR) AS mx2,
+        CAST(count(*) - count(o_orderstatus) AS BIGINT) AS nn3,
+        CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+        min(o_orderstatus) AS mn3,
+        max(o_orderstatus) AS mx3,
+        CAST(count(*) - count(o_totalprice) AS BIGINT) AS nn4,
+        CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+        CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2))
+             AS VARCHAR) AS mn4,
+        CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2))
+             AS VARCHAR) AS mx4,
+        CAST(count(*) - count(o_orderdate) AS BIGINT) AS nn5,
+        CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+        CAST(min(o_orderdate) AS VARCHAR) AS mn5,
+        CAST(max(o_orderdate) AS VARCHAR) AS mx5,
+        CAST(count(*) - count(o_orderpriority) AS BIGINT) AS nn6,
+        CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6,
+        min(o_orderpriority) AS mn6,
+        max(o_orderpriority) AS mx6
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nulls,
+           nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM a
+    UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2 FROM a
+    UNION ALL SELECT 'o_orderstatus', n_rows, nn3, nd3, mn3, mx3 FROM a
+    UNION ALL SELECT 'o_totalprice', n_rows, nn4, nd4, mn4, mx4 FROM a
+    UNION ALL SELECT 'o_orderdate', n_rows, nn5, nd5, mn5, mx5 FROM a
+    UNION ALL SELECT 'o_orderpriority', n_rows, nn6, nd6, mn6, mx6 FROM a
+    """,
+)
+def dq_column_profile(spark, sf_dir):
+    """Whole-table column profiling (the ingest-time audit every
+    pipeline runs before training on a new drop): per column — null
+    count, exact distinct count, min/max rendered as strings.
+
+    ONE scan computes all 6x4 metrics (Catalyst's Expand handles the
+    multiple DISTINCT aggregates), then a 6-row stack() pivots the
+    single metrics row to one row per column — profiling cost is a
+    scan + one exchange of one row, never 6 scans. At 100 TB swap the
+    exact count(DISTINCT) for approx_count_distinct — noted here
+    because the Expand multiplies the mapper output by the number of
+    distinct aggs; the oracle pins the exact variant.
+    min/max on doubles go through DECIMAL(18,2) so the string render
+    is engine-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    dec_s = (
+        lambda c, fn: F.round(fn(c), 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+    )
+    a = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_orderkey")).alias("nn1"),
+        F.countDistinct("o_orderkey").alias("nd1"),
+        F.min("o_orderkey").cast("string").alias("mn1"),
+        F.max("o_orderkey").cast("string").alias("mx1"),
+        (F.count("*") - F.count("o_custkey")).alias("nn2"),
+        F.countDistinct("o_custkey").alias("nd2"),
+        F.min("o_custkey").cast("string").alias("mn2"),
+        F.max("o_custkey").cast("string").alias("mx2"),
+        (F.count("*") - F.count("o_orderstatus")).alias("nn3"),
+        F.countDistinct("o_orderstatus").alias("nd3"),
+        F.min("o_orderstatus").alias("mn3"),
+        F.max("o_orderstatus").alias("mx3"),
+        (F.count("*") - F.count("o_totalprice")).alias("nn4"),
+        F.countDistinct("o_totalprice").alias("nd4"),
+        dec_s("o_totalprice", F.min).alias("mn4"),
+        dec_s("o_totalprice", F.max).alias("mx4"),
+        (F.count("*") - F.count("o_orderdate")).alias("nn5"),
+        F.countDistinct("o_orderdate").alias("nd5"),
+        F.min("o_orderdate").cast("string").alias("mn5"),
+        F.max("o_orderdate").cast("string").alias("mx5"),
+        (F.count("*") - F.count("o_orderpriority")).alias("nn6"),
+        F.countDistinct("o_orderpriority").alias("nd6"),
+        F.min("o_orderpriority").alias("mn6"),
+        F.max("o_orderpriority").alias("mx6"),
+    )
+    return a.select(
+        F.expr(
+            "stack(6,"
+            " 'o_orderkey', nn1, nd1, mn1, mx1,"
+            " 'o_custkey', nn2, nd2, mn2, mx2,"
+            " 'o_orderstatus', nn3, nd3, mn3, mx3,"
+            " 'o_totalprice', nn4, nd4, mn4, mx4,"
+            " 'o_orderdate', nn5, nd5, mn5, mx5,"
+            " 'o_orderpriority', nn6, nd6, mn6, mx6)"
+            " AS (col_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value",
+    )
+
+
+@register(
+    "dq_key_skew_profile",
+    oracle="""
+    WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(cnt) AS BIGINT) AS min_rows,
+           CAST(max(cnt) AS BIGINT) AS max_rows,
+           round(avg(cnt), 6) AS avg_rows,
+           quantile_cont(cnt, 0.5) AS p50,
+           quantile_cont(cnt, 0.9) AS p90,
+           quantile_cont(cnt, 0.99) AS p99,
+           round(max(cnt) / avg(cnt), 4) AS skew_ratio
+    FROM c
+    """,
+)
+def dq_key_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic: the distribution of rows per
+    l_orderkey — exactly the statistic that decides whether a join on
+    this key needs salting / AQE skew handling before it runs at
+    scale (max/avg ratio is the headline; exact p50/p90/p99 give the
+    tail shape).
+
+    One groupBy(key) count (map-side partial combine does most of the
+    work) then a single-row global aggregate. Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolate
+    identically, so the profile is hash-checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    return c.agg(
+        F.count("*").alias("n_keys"),
+        F.min("cnt").alias("min_rows"),
+        F.max("cnt").alias("max_rows"),
+        F.round(F.avg("cnt"), 6).alias("avg_rows"),
+        F.expr("percentile(cnt, 0.5)").alias("p50"),
+        F.expr("percentile(cnt, 0.9)").alias("p90"),
+        F.expr("percentile(cnt, 0.99)").alias("p99"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+    )

@@ -32,6 +32,9 @@ EMPTY_OK_ONE_ROW = {
 # Model-fit queries emit a fixed-size coefficient table (zeros on an
 # empty corpus) — well-defined, just not zero rows.
 EMPTY_OK_COEF_TABLE = {"quality_logistic_fit": 5}
+# Profiling queries emit a fixed-shape report row/table even on empty
+# input (a 0-row table still HAS six columns to profile).
+EMPTY_OK_FIXED_ROWS = {"dq_column_profile": 6, "dq_key_skew_profile": 1}
 REPRESENTATIVES = [
     "q1_alerts_daily",            # windowed agg
     "q3_shipping_priority",       # multi-join top-k
@@ -60,6 +63,13 @@ REPRESENTATIVES = [
     "quality_logistic_fit",          # IRLS on sufficient statistics
     "text_ngram_novelty",            # gram first-occurrence join
     "text_prefix_boilerplate_groups",  # narrow-key grouping
+    "dedup_graph_pagerank",          # iterative rank loop, empty graph
+    "timeseries_ewma_kernel",        # lag-kernel window
+    "timeseries_ohlc_hourly",        # resample bars
+    "timeseries_rolling_zscore",     # rolling-stats anomaly flags
+    "text_weighted_sample_topk",     # weighted top-k sample
+    "dq_column_profile",             # single-pass column profiling
+    "dq_key_skew_profile",           # key-skew scalar report
 ]
 
 
@@ -81,6 +91,8 @@ def test_query_survives_empty_tables(spark, sf_empty, name):
     elif name in EMPTY_OK_COEF_TABLE:
         assert len(rows) == EMPTY_OK_COEF_TABLE[name]
         assert all(r.value == 0.0 for r in rows)
+    elif name in EMPTY_OK_FIXED_ROWS:
+        assert len(rows) == EMPTY_OK_FIXED_ROWS[name]
     else:
         assert rows == []
 
