@@ -84,6 +84,13 @@ HEADLINE = [
     "text_ngram_novelty",
     "text_prefix_boilerplate_groups",
     "quality_logistic_fit",
+    "dedup_graph_pagerank",
+    "timeseries_ewma_kernel",
+    "timeseries_ohlc_hourly",
+    "timeseries_rolling_zscore",
+    "text_weighted_sample_topk",
+    "dq_column_profile",
+    "dq_key_skew_profile",
 ]
 
 

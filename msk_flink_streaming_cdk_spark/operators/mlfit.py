@@ -46,6 +46,12 @@ def logistic_irls(
             StructField("n", DoubleType()),
         ]
     )
+    # Each iteration re-evaluates this narrow projection from source.
+    # Deliberately NOT persisted: measured slower here (cache-read +
+    # materialization overhead beats recomputing a cheap projection 8
+    # times at fixture scale). When the upstream feature derivation is
+    # genuinely expensive at scale, persist BEFORE calling: the fit
+    # only sees the frame you hand it.
     feats = df.select(
         *[F.col(c).cast("double") for c in feature_cols],
         F.col(label_col).cast("double").alias("_y"),

@@ -2542,19 +2542,26 @@ def text_contamination_bloom(spark, sf_dir):
 
     m_bits = 1 << 16
     n_hashes = 3
-    # Three consumers read the gram frame (bitmap build, candidate
-    # filter, verify join) — shingle once.
-    grams = materialize_once(
-        parallelize_narrow(_docs(spark, sf_dir)).select(
+
+    def shingle(df):
+        return df.select(
             "doc_id",
             F.explode(
                 F.array_distinct(word_ngram_keys(F.col("text"), n=8))
             ).alias("g"),
         )
+
+    # Shingle the two sides SEPARATELY: the benchmark partition is ~2%
+    # of documents, so the bitmap-build job never touches corpus text,
+    # and the big corpus gram frame is produced exactly once inside
+    # the main job (no persist of an exploded full-corpus frame).
+    docs = parallelize_narrow(_docs(spark, sf_dir))
+    bench = materialize_once(
+        shingle(docs.filter(F.col("doc_id") % 50 == 0))
+        .select("g")
+        .distinct()
     )
-    bench = (
-        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
-    )
+    grams = shingle(docs.filter(F.col("doc_id") % 50 != 0))
 
     def positions(col):
         return [
@@ -2576,9 +2583,12 @@ def text_contamination_bloom(spark, sf_dir):
         .agg(F.bit_or("bit").alias("bits"))
         .collect()
     }
-    bitmap = F.array(
-        *[F.lit(packed.get(i, 0)).cast("long") for i in range(m_bits // 64)]
-    )
+    # ONE array Literal leaf (not a 1024-child CreateArray: the probe
+    # references the bitmap 3x, and tree-sized planning/codegen cost
+    # was measurable at ~1s per run with the expression form).
+    bitmap = F.lit(
+        [int(packed.get(i, 0)) for i in range(m_bits // 64)]
+    ).cast("array<long>")
     probe = None
     for p in positions(F.col("g")):
         hit = (
@@ -2590,7 +2600,7 @@ def text_contamination_bloom(spark, sf_dir):
             != 0
         )
         probe = hit if probe is None else (probe & hit)
-    candidates = grams.filter(F.col("doc_id") % 50 != 0).filter(probe)
+    candidates = grams.filter(probe)
     return (
         candidates.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -3301,14 +3311,24 @@ def timeseries_ohlc_hourly(spark, sf_dir):
     high/low/open/close are untouched input doubles (hash-exact);
     only the additive volume is rounded."""
     ev = load_table(spark, sf_dir, "events")
-    hour = F.date_trunc("hour", "ts")
-    wa = Window.partitionBy("event_type", hour).orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", hour).orderBy(
+    # Materialize the bucket as a COLUMN before the windows: if the
+    # windows partition on the raw date_trunc expression, Catalyst
+    # can't prove the window output's partitioning satisfies the
+    # groupBy on the aliased column and inserts a second exchange.
+    base = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hour").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
-    b = ev.select(
+    b = base.select(
         "event_type",
-        hour.alias("hour"),
+        "hour",
         "value",
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wd).alias("rn_d"),

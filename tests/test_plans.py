@@ -333,3 +333,49 @@ def test_semantic_prune_pair_join_is_equi(spark, sf_small):
         ln for ln in plan.splitlines() if "keys [" in ln.lower()
     ]
     assert any("assigned_label" in ln for ln in key_lines), key_lines
+
+
+def test_timeseries_windows_single_exchange(spark, sf_small):
+    # EWMA (8 lags), rolling z-score (3 stats): all window expressions
+    # share one (key, order) sort — exactly one shuffle exchange each.
+    from msk_flink_streaming_cdk_spark.plans import count_exchanges
+
+    assert count_exchanges(
+        QUERIES["timeseries_ewma_kernel"](spark, sf_small)
+    ) == 1
+    assert count_exchanges(
+        QUERIES["timeseries_rolling_zscore"](spark, sf_small)
+    ) == 1
+
+
+def test_ohlc_windows_and_agg_share_partitioning(spark, sf_small):
+    # Two row_number passes + the final groupBy all hash-partition on
+    # (event_type, hour): one exchange, re-used across the three ops.
+    from msk_flink_streaming_cdk_spark.plans import count_exchanges
+
+    df = QUERIES["timeseries_ohlc_hourly"](spark, sf_small)
+    assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_weighted_sample_uses_window_group_limit(spark, sf_small):
+    plan = formatted_plan(
+        QUERIES["text_weighted_sample_topk"](spark, sf_small)
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_pagerank_no_nested_loop_and_pruned_scan(spark, sf_small):
+    # 4 rank iterations must stay equi-joins (the only cross join is
+    # the one-row broadcast node-count scalar).
+    df = QUERIES["dedup_graph_pagerank"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_column_profile_is_single_scan(spark, sf_small):
+    # The 6-column profile must read orders ONCE (Expand handles the
+    # multiple DISTINCTs); 6 per-column scans would be the naive shape.
+    import re
+
+    plan = formatted_plan(QUERIES["dq_column_profile"](spark, sf_small))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
