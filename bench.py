@@ -91,6 +91,8 @@ HEADLINE = [
     "text_weighted_sample_topk",
     "dq_column_profile",
     "dq_key_skew_profile",
+    "pipeline_near_dedup_keep_central",
+    "text_bpe_pair_counts",
 ]
 
 

@@ -46,6 +46,8 @@ PRIORITY: list[str] = [
     "text_weighted_sample_topk",
     "dq_column_profile",
     "dq_key_skew_profile",
+    "pipeline_near_dedup_keep_central",
+    "text_bpe_pair_counts",
     # Round-3 additions (never driver-checked before round 4).
     "dedup_semantic_prune",
     "similarity_pq_ann_topk",

@@ -3128,8 +3128,18 @@ def _pagerank_oracle(iters: int) -> str:
     CTE pair per iteration. All-integer arithmetic (micro-rank units,
     ``//`` division) so partial-aggregation order can never wiggle a
     bit — the replay is exact, not tolerance-based."""
+    return (
+        f"WITH {_NGRAM_PAIRS_CTES},\n    "
+        + _pagerank_ctes(iters)
+        + f"\n    SELECT id AS doc_id,"
+        f" round(r / {_PR_SCALE}.0, 6) AS pagerank FROM r{iters}"
+    )
+
+
+def _pagerank_ctes(iters: int) -> str:
+    """The rank-iteration CTE chain (assumes a ``pairs`` CTE with
+    doc_a/doc_b columns is already in scope); no trailing comma."""
     ctes = [
-        f"WITH {_NGRAM_PAIRS_CTES},",
         "und AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
         " UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),",
         "deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg"
@@ -3150,12 +3160,7 @@ def _pagerank_oracle(iters: int) -> str:
             f" + (17 * COALESCE(c{i}.s, 0)) // 20 AS r"
             f" FROM r{p} LEFT JOIN c{i} USING (id), nn),"
         )
-    body = "\n    ".join(ctes)[:-1]  # drop trailing comma of last CTE
-    return (
-        body
-        + f"\n    SELECT id AS doc_id,"
-        f" round(r / {_PR_SCALE}.0, 6) AS pagerank FROM r{iters}"
-    )
+    return "\n    ".join(ctes)[:-1]  # drop trailing comma of last CTE
 
 
 @register("dedup_graph_pagerank", oracle=_pagerank_oracle(_PR_ITERS))
@@ -3174,6 +3179,17 @@ def dedup_graph_pagerank(spark, sf_dir):
     bit-exact under any aggregation order — same numbers on 32 threads
     or 1000 executors; damping 0.85 = 17/20 in integer math."""
     pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    r = _pagerank_ranks(pairs)
+    return r.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.col("r") / F.lit(float(_PR_SCALE)), 6).alias("pagerank"),
+    )
+
+
+def _pagerank_ranks(pairs):
+    """(id, r) integer micro-unit ranks for the undirected pair graph —
+    the shared core of ``dedup_graph_pagerank`` and the keep-central
+    dedup policy."""
     und = materialize_once(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionAll(
@@ -3206,9 +3222,68 @@ def dedup_graph_pagerank(spark, sf_dir):
                 "n",
             )
         )
-    return r.select(
-        F.col("id").alias("doc_id"),
+    return r.select("id", "r")
+
+
+@register(
+    "pipeline_near_dedup_keep_central",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, peer) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(peer) AS component_id
+             FROM reach GROUP BY node),
+    {_pagerank_ctes(_PR_ITERS)},
+    ranked AS (
+      SELECT c.doc_id, c.component_id,
+             round(pr.r / {_PR_SCALE}.0, 6) AS pagerank,
+             row_number() OVER (PARTITION BY c.component_id
+               ORDER BY pr.r DESC, c.doc_id) AS rn
+      FROM comp c JOIN r{_PR_ITERS} pr ON pr.id = c.doc_id)
+    SELECT doc_id, component_id, pagerank, rn = 1 AS kept
+    FROM ranked
+    """,
+)
+def pipeline_near_dedup_keep_central(spark, sf_dir):
+    """Curation policy: keep the most-CENTRAL document of each
+    near-dup component (max PageRank, ties to the smaller doc_id) —
+    the policy for chain-shaped components, where the most-connected
+    member shares content with every other member while the longest or
+    first member may sit at one end of the chain and represent it
+    badly.
+
+    Composition of two shared stages (same pair graph feeds
+    components and ranks; integer ranks make the ordering exact) plus
+    one row_number over the tiny component frame. The oracle replays
+    both fixpoints: recursive-CTE closure for components, the chained
+    rank CTEs for PageRank."""
+    from ..operators.dedup import connected_components
+
+    pairs = materialize_once(
+        ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).select(
+            "doc_a", "doc_b"
+        )
+    )
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+    ranks = _pagerank_ranks(pairs)
+    sized = labels.join(
+        ranks.withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("r").desc(), "doc_id"
+    )
+    return sized.select(
+        "doc_id",
+        "component_id",
         F.round(F.col("r") / F.lit(float(_PR_SCALE)), 6).alias("pagerank"),
+        (F.row_number().over(w) == 1).alias("kept"),
     )
 
 
@@ -3453,4 +3528,73 @@ def text_weighted_sample_topk(spark, sf_dir):
         k.select("*", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 20)
         .select("source", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=r"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+              FROM w
+              WHERE len(word) >= 2
+                AND regexp_matches(word, '^[a-z0-9]+$')
+              GROUP BY word),
+    pairs AS (
+      SELECT unnest([word[i:i+1] for i in range(1, len(word))]) AS pair,
+             wc
+      FROM vocab
+    ),
+    agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+            FROM pairs GROUP BY pair)
+    SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 30
+    """,
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    """The first BPE merge step of tokenizer training: corpus-weighted
+    counts of adjacent symbol pairs, top-30 merge candidates. This is
+    the sufficient-statistics shape tokenizer training repeats per
+    merge — counting is distributed, the argmax is tiny.
+
+    The pair explosion runs over the DISTINCT-WORD vocabulary weighted
+    by word frequency, not over raw tokens — corpus size only affects
+    the word-count aggregation (map-side combine); the expensive
+    character-pair fan-out is bounded by vocabulary size, which grows
+    sublinearly. Words are gated to ^[a-z0-9]+$ so character
+    indexing has identical semantics in both engines (no
+    grapheme-vs-codepoint ambiguity); top-30 is totally ordered
+    (count desc, pair) and executes as TakeOrderedAndProject."""
+    w = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("word")
+        )
+    )
+    vocab = (
+        w.filter(
+            (F.length("word") >= 2) & F.col("word").rlike("^[a-z0-9]+$")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word)-1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
     )

@@ -70,6 +70,8 @@ REPRESENTATIVES = [
     "text_weighted_sample_topk",     # weighted top-k sample
     "dq_column_profile",             # single-pass column profiling
     "dq_key_skew_profile",           # key-skew scalar report
+    "pipeline_near_dedup_keep_central",  # CC + pagerank composition
+    "text_bpe_pair_counts",          # vocab-weighted pair explosion
 ]
 
 
