@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -501,4 +502,119 @@ def heavy_hitters_by_shard(
         stateStructType=_HH_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ZSCORE_OUTPUT_SCHEMA = (
+    "sensor_id string, event_time timestamp, temperature long,"
+    " z double, is_anomaly boolean"
+)
+_ZSCORE_STATE_SCHEMA = "hist array<double>"
+
+
+def make_zscore_fn(
+    window: int = 20, min_history: int = 5, threshold: float = 3.0
+):
+    """Stateful rolling z-score scorer — the streaming twin of the
+    batch ``timeseries_rolling_zscore`` query. State per key is ONE
+    bounded array (the last ``window`` values, O(window) forever);
+    each arriving value is scored against the history EXCLUDING
+    itself (sample stddev, same as the batch query), then appended.
+    Rows inside a batch fold in event-time order for determinism."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        (hist,) = state.get if state.exists else ([],)
+        hist = list(hist)
+        out_t, out_v, out_z, out_a = [], [], [], []
+        for pdf in pdfs:
+            for row in pdf.sort_values("event_time").itertuples():
+                v = float(row.temperature)
+                z = None
+                if len(hist) >= min_history:
+                    arr = np.asarray(hist)
+                    sd = float(arr.std(ddof=1))
+                    if sd > 0:
+                        z = round((v - float(arr.mean())) / sd, 3)
+                out_t.append(row.event_time)
+                out_v.append(row.temperature)
+                out_z.append(z)
+                out_a.append(z is not None and abs(z) > threshold)
+                hist.append(v)
+                if len(hist) > window:
+                    hist = hist[-window:]
+        state.update((hist,))
+        yield pd.DataFrame(
+            {
+                "sensor_id": [sensor_id] * len(out_t),
+                "event_time": out_t,
+                "temperature": out_v,
+                "z": pd.array(out_z, dtype="float64"),
+                "is_anomaly": out_a,
+            }
+        )
+
+    return update
+
+
+def anomaly_zscore_by_key(
+    readings: DataFrame,
+    window: int = 20,
+    min_history: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-sensor streaming anomaly flags with O(window) state per key;
+    emits one scored row per input row per micro-batch
+    (outputMode('append'))."""
+    return readings.groupBy("sensor_id").applyInPandasWithState(
+        make_zscore_fn(window, min_history, threshold),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=_ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ohlc_stream(
+    readings: DataFrame,
+    window: str = "60 seconds",
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """Streaming OHLC bars: per (sensor, tumbling window) open / high /
+    low / close / count — the streaming twin of the batch
+    ``timeseries_ohlc_hourly`` resample. Open/close are declarative
+    ``min_by``/``max_by`` over a (event_time, temperature) struct (a
+    total order, so ties cannot make the bar nondeterministic), which
+    keeps the whole bar inside Spark's built-in streaming aggregation:
+    incremental state per open window, final-only emission in append
+    mode once the watermark passes."""
+    from pyspark.sql import functions as F
+
+    ord_key = F.struct("event_time", "temperature")
+    return (
+        readings.withWatermark("event_time", watermark)
+        .groupBy(
+            F.col("sensor_id"),
+            F.window("event_time", window).alias("win"),
+        )
+        .agg(
+            F.min_by("temperature", ord_key).alias("open"),
+            F.max("temperature").alias("high"),
+            F.min("temperature").alias("low"),
+            F.max_by("temperature", ord_key).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "sensor_id",
+            F.col("win.start").alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
     )

@@ -866,3 +866,104 @@ def test_heavy_hitters_space_saving_guarantees(spark, tmp_path):
         s = shard_of[it]
         if c > shard_n[s] / 4:
             assert it in final[s], (it, c, shard_n[s], final[s])
+
+
+def _ref_zscore(vals, window=20, min_history=5, threshold=3.0):
+    import numpy as np
+
+    hist, out = [], []
+    for v in vals:
+        z = None
+        if len(hist) >= min_history:
+            arr = np.asarray(hist, dtype=float)
+            sd = float(arr.std(ddof=1))
+            if sd > 0:
+                z = round((float(v) - float(arr.mean())) / sd, 3)
+        out.append((z, z is not None and abs(z) > threshold))
+        hist.append(float(v))
+        hist = hist[-window:]
+    return out
+
+
+def test_streaming_zscore_matches_reference_fold(spark, tmp_path):
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        anomaly_zscore_by_key,
+    )
+
+    # Sensor 1: stable history then a spike — must flag the spike and
+    # only the spike. Sensor 2: too little history — never scored.
+    s1 = [30, 31, 29, 30, 32, 31, 30, 95, 30]
+    batches = [
+        [("1", t, i * 10) for i, t in enumerate(s1[:5])]
+        + [("2", 50, 7)],
+        [("1", t, (5 + i) * 10) for i, t in enumerate(s1[5:])]
+        + [("2", 51, 17)],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = (
+        anomaly_zscore_by_key(readings, min_history=5)
+        .writeStream.format("memory")
+        .queryName("zscore_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM zscore_test WHERE sensor_id = '1'"
+        " ORDER BY event_time"
+    ).collect()
+    ref = _ref_zscore(s1, min_history=5)
+    assert len(rows) == len(s1)
+    for row, (z, flag) in zip(rows, ref):
+        assert (row.z is None and z is None) or abs(row.z - z) < 1e-9
+        assert row.is_anomaly == flag
+    # The spike (95 after 7 stable points) is the single anomaly.
+    assert [r.temperature for r in rows if r.is_anomaly] == [95]
+    s2 = spark.sql(
+        "SELECT * FROM zscore_test WHERE sensor_id = '2'"
+    ).collect()
+    assert all(r.z is None and not r.is_anomaly for r in s2)
+
+
+def test_streaming_ohlc_bars_finalize_append(spark, tmp_path):
+    from msk_flink_streaming_cdk_spark.streaming.stateful import ohlc_stream
+
+    # Window [0,60): out-of-order arrivals — open is the EARLIEST
+    # event (t=5, temp 33), close the LATEST (t=50, temp 29).
+    # Window [60,120): single event. The t=200 row advances the
+    # watermark so both bars finalize in append mode.
+    batches = [
+        [("1", 40, 20), ("1", 33, 5), ("1", 45, 35)],
+        [("1", 29, 50), ("1", 27, 10), ("1", 31, 70)],
+        [("1", 30, 200)],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = (
+        ohlc_stream(readings, window="60 seconds", watermark="5 seconds")
+        .writeStream.format("memory")
+        .queryName("ohlc_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.window_start.second
+        + r.window_start.minute * 60: r
+        for r in spark.sql("SELECT * FROM ohlc_test").collect()
+    }
+    b0 = rows[0]
+    assert (b0.open, b0.high, b0.low, b0.close, b0.n_events) == (
+        33, 45, 27, 29, 5,
+    )
+    b1 = rows[60]
+    assert (b1.open, b1.high, b1.low, b1.close, b1.n_events) == (
+        31, 31, 31, 31, 1,
+    )
