@@ -93,6 +93,9 @@ HEADLINE = [
     "dq_key_skew_profile",
     "pipeline_near_dedup_keep_central",
     "text_bpe_pair_counts",
+    "attribution_last_touch",
+    "text_inverted_index",
+    "text_pmi_pairs",
 ]
 
 

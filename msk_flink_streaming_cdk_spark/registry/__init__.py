@@ -48,6 +48,9 @@ PRIORITY: list[str] = [
     "dq_key_skew_profile",
     "pipeline_near_dedup_keep_central",
     "text_bpe_pair_counts",
+    "attribution_last_touch",
+    "text_inverted_index",
+    "text_pmi_pairs",
     # Round-3 additions (never driver-checked before round 4).
     "dedup_semantic_prune",
     "similarity_pq_ann_topk",

@@ -3598,3 +3598,150 @@ def text_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("n").desc(), "pair")
         .limit(30)
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               string_split_regex(lower(trim(text)), '\s+'))) AS term
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    t AS (SELECT term, doc_id FROM w
+          WHERE regexp_matches(term, '^[a-z]{3,}$'))
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           (list_sort(list(doc_id)))[1:10] AS postings
+    FROM t GROUP BY term HAVING count(*) >= 5
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted-index build — the retrieval-infrastructure step under
+    BM25: term -> document frequency + a capped, sorted posting list
+    (first 10 doc_ids), for terms appearing in at least 5 documents.
+
+    One explode of per-document DISTINCT terms, one groupBy(term) —
+    the posting cap bounds output row width, so a pathological
+    stopword-like term can't produce a gigabyte array (at full index
+    scale the cap becomes posting-list sharding). Terms are gated to
+    ^[a-z]{3,}$ for engine-identical tokenization."""
+    w = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim("text")), r"\s+")
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("term").rlike("^[a-z]{3,}$"))
+    )
+    return (
+        w.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+@register(
+    "text_pmi_pairs",
+    oracle=r"""
+    WITH w AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(
+               string_split_regex(lower(trim(text)), '\s+'))) AS term
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    t AS (SELECT term, doc_id FROM w
+          WHERE regexp_matches(term, '^[a-z]{3,}$')),
+    cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+            FROM t GROUP BY term),
+    top AS (SELECT term, c,
+                   row_number() OVER (ORDER BY c DESC, term) AS rn
+            FROM cnt),
+    sel AS (SELECT term, c FROM top WHERE rn <= 50),
+    td AS (SELECT t.term, t.doc_id, s.c FROM t JOIN sel s USING (term)),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM documents WHERE trim(coalesce(text, '')) <> ''),
+    pair AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             a.c AS c_a, b.c AS c_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM td a JOIN td b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5)
+    SELECT term_a, term_b, c_a, c_b, c_ab,
+           round(ln(CAST(c_ab AS DOUBLE) * n_docs
+                    / (CAST(c_a AS DOUBLE) * c_b)), 6) AS pmi
+    FROM pair, n
+    """,
+)
+def text_pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information for the 50 most frequent terms:
+    document-level co-occurrence vs independence — the collocation /
+    topic-affinity statistic (positive PMI = the words appear together
+    more than their individual frequencies predict).
+
+    Scale shape: the self-join explodes per-DOCUMENT pairs of
+    TOP-50-ONLY terms (<= C(50,2) rows per doc, bounded fan-out, an
+    equi-join on doc_id — never a term-by-term cartesian); the top-50
+    selection is totally ordered (count desc, term) so membership is
+    deterministic. n_docs arrives as a one-row broadcast."""
+    docs = _docs(spark, sf_dir).filter(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    )
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+        ).alias("term"),
+    ).filter(F.col("term").rlike("^[a-z]{3,}$")).distinct()
+    cnt = t.groupBy("term").agg(F.count("*").alias("c"))
+    wtop = Window.orderBy(F.col("c").desc(), "term")
+    sel = (
+        cnt.select("*", F.row_number().over(wtop).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+    td = t.join(F.broadcast(sel), "term")
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a = td.select(
+        F.col("term").alias("term_a"),
+        F.col("c").alias("c_a"),
+        "doc_id",
+    )
+    b = td.select(
+        F.col("term").alias("term_b"),
+        F.col("c").alias("c_b"),
+        "doc_id",
+    )
+    pair = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "c_a", "c_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    return pair.crossJoin(F.broadcast(n)).select(
+        "term_a",
+        "term_b",
+        "c_a",
+        "c_b",
+        "c_ab",
+        F.round(
+            F.log(
+                F.col("c_ab").cast("double") * F.col("n_docs")
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )

@@ -3873,3 +3873,68 @@ def dq_key_skew_profile(spark, sf_dir):
         F.expr("percentile(cnt, 0.99)").alias("p99"),
         F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH j AS (
+      SELECT p.event_id, p.user_id, p.ts, f.click_ts, f.click_value
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+           (SELECT user_id, ts AS click_ts, value AS click_value
+            FROM events WHERE event_type = 'click') f
+        ON p.user_id = f.user_id AND p.ts >= f.click_ts
+    )
+    SELECT event_id, user_id, ts,
+           (click_ts IS NOT NULL
+            AND date_diff('second', click_ts, ts) <= 3600) AS attributed,
+           CASE WHEN click_ts IS NOT NULL
+                 AND date_diff('second', click_ts, ts) <= 3600
+                THEN click_ts END AS attributed_click_ts,
+           round(CASE WHEN click_ts IS NOT NULL
+                       AND date_diff('second', click_ts, ts) <= 3600
+                      THEN click_value END, 6) AS attributed_value
+    FROM j
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase is credited to
+    the same user's most recent click, but only when that click falls
+    inside a 1-hour attribution window — the standard marketing-
+    analytics join (and a leak-free one: only PAST clicks are
+    eligible, never later ones).
+
+    Composition: the one-shuffle backward as-of join core
+    (``operators/relational.py::asof_join_backward``) finds the
+    latest prior click; the tolerance is then applied as a plain
+    column predicate on BOTH engine and oracle sides (DuckDB ASOF has
+    no native tolerance), nulling out credits older than the window
+    rather than dropping the purchase row."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    j = asof_join_backward(
+        purchases, clicks, ["user_id"], "ts", "click_ts",
+        ["click_ts", "click_value"],
+    )
+    within = F.col("click_ts").isNotNull() & (
+        (F.col("ts").cast("long") - F.col("click_ts").cast("long")) <= 3600
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        within.alias("attributed"),
+        F.when(within, F.col("click_ts")).alias("attributed_click_ts"),
+        F.round(F.when(within, F.col("click_value")), 6).alias(
+            "attributed_value"
+        ),
+    )

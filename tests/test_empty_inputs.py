@@ -72,6 +72,9 @@ REPRESENTATIVES = [
     "dq_key_skew_profile",           # key-skew scalar report
     "pipeline_near_dedup_keep_central",  # CC + pagerank composition
     "text_bpe_pair_counts",          # vocab-weighted pair explosion
+    "attribution_last_touch",        # as-of join + tolerance predicate
+    "text_inverted_index",           # capped posting lists
+    "text_pmi_pairs",                # doc-level co-occurrence join
 ]
 
 
