@@ -96,6 +96,8 @@ HEADLINE = [
     "attribution_last_touch",
     "text_inverted_index",
     "text_pmi_pairs",
+    "dq_gini_doclen_by_source",
+    "dq_duplicate_rate_by_source",
 ]
 
 

@@ -51,6 +51,8 @@ PRIORITY: list[str] = [
     "attribution_last_touch",
     "text_inverted_index",
     "text_pmi_pairs",
+    "dq_gini_doclen_by_source",
+    "dq_duplicate_rate_by_source",
     # Round-3 additions (never driver-checked before round 4).
     "dedup_semantic_prune",
     "similarity_pq_ann_topk",

@@ -3745,3 +3745,105 @@ def text_pmi_pairs(spark, sf_dir):
             6,
         ).alias("pmi"),
     )
+
+
+@register(
+    "dq_gini_doclen_by_source",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    ),
+    a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS sx,
+                 CAST(sum(i * n_chars) AS BIGINT) AS si
+          FROM r GROUP BY source)
+    SELECT source, n,
+           CASE WHEN sx > 0 THEN
+             round(2.0 * si / (n * CAST(sx AS DOUBLE))
+                   - (n + 1.0) / n, 6)
+           END AS gini
+    FROM a
+    """,
+)
+def dq_gini_doclen_by_source(spark, sf_dir):
+    """Per-source Gini coefficient of document length — the inequality
+    diagnostic for corpus curation: a source near 0 contributes evenly
+    sized documents, a source near 1 is dominated by a few giants
+    (so token budgets and mixture rates computed from doc COUNTS
+    mislead).
+
+    Sort-based Gini (2*sum(i*x)/(n*sum(x)) - (n+1)/n) needs one
+    window rank + one aggregate per source — a single exchange. The
+    rank's tie order doesn't affect the statistic (sum(i*x) over a
+    tie block is invariant to index assignment), and the moments are
+    exact BIGINTs, so the only float op is the final division."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    a = r.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("i") * F.col("n_chars")).alias("si"),
+    )
+    return a.select(
+        "source",
+        "n",
+        F.when(
+            F.col("sx") > 0,
+            F.round(
+                F.lit(2.0) * F.col("si")
+                / (F.col("n") * F.col("sx").cast("double"))
+                - (F.col("n") + F.lit(1.0)) / F.col("n"),
+                6,
+            ),
+        ).alias("gini"),
+    )
+
+
+@register(
+    "dq_duplicate_rate_by_source",
+    oracle="""
+    WITH fp AS (SELECT doc_id, source, md5(text) AS f
+                FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT f, CAST(count(*) AS BIGINT) AS c FROM fp GROUP BY f)
+    SELECT fp.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_group,
+           round(sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM fp JOIN g USING (f)
+    GROUP BY fp.source
+    """,
+)
+def dq_duplicate_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplicate rate: the share of a source's
+    documents whose md5 fingerprint appears more than once ANYWHERE in
+    the corpus — the ingest-time health metric that catches a crawler
+    re-fetching the same pages or two sources mirroring each other
+    (duplication is counted globally, then attributed per source).
+
+    Two hash aggregations on the fingerprint (the second reuses the
+    first's partitioning) plus one per-source rollup; the fingerprint
+    is the same md5 the exact-dedup operator keys on, so this audit
+    predicts exactly what that dedup will remove."""
+    fp = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.md5("text").alias("f"))
+    )
+    g = fp.groupBy("f").agg(F.count("*").alias("c"))
+    j = fp.join(g, "f")
+    dup = F.when(F.col("c") > 1, 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(dup).cast("long").alias("n_in_dup_group"),
+        F.round(F.sum(dup) / F.count("*").cast("double"), 6).alias(
+            "dup_rate"
+        ),
+    )

@@ -75,6 +75,8 @@ REPRESENTATIVES = [
     "attribution_last_touch",        # as-of join + tolerance predicate
     "text_inverted_index",           # capped posting lists
     "text_pmi_pairs",                # doc-level co-occurrence join
+    "dq_gini_doclen_by_source",      # rank + exact-moment inequality
+    "dq_duplicate_rate_by_source",   # global fingerprint groups
 ]
 
 
