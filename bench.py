@@ -244,6 +244,8 @@ def main() -> None:
     # what round-over-round regression tracking needs.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    import gc
+
     for name in HEADLINE:
         best = float("inf")
         for _ in range(runs):
@@ -253,6 +255,15 @@ def main() -> None:
             ).save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Per-query isolation, outside the timed region: drop this
+        # query's persisted frames and let the JVM reclaim
+        # localCheckpoint RDD blocks — otherwise storage from 70+
+        # queries accumulates in one session and the TAIL of the
+        # suite measures memory pressure, not the engine (observed
+        # 3x degradation on late queries before this).
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     prev_n, prev = _prev_round_queries()

@@ -372,10 +372,15 @@ def test_pagerank_no_nested_loop_and_pruned_scan(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_column_profile_is_single_scan(spark, sf_small):
-    # The 6-column profile must read orders ONCE (Expand handles the
-    # multiple DISTINCTs); 6 per-column scans would be the naive shape.
+def test_column_profile_avoids_expand_sort_aggregate(spark, sf_small):
+    # One full-width scan for counts/nulls/min/max plus 6 COLUMN-PRUNED
+    # single-distinct scans — and crucially NO Expand: 6 countDistinct
+    # in one aggregate plans as Expand(rows x 7) + SortAggregate keyed
+    # on every column, measured 4x slower and width-quadratic.
     import re
 
     plan = formatted_plan(QUERIES["dq_column_profile"](spark, sf_small))
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 7, plan
+    # The distinct-count scans must prune to a single column each.
+    assert plan.count("ReadSchema: struct<o_custkey:bigint>") >= 1, plan
