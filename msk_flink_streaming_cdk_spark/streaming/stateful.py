@@ -618,3 +618,47 @@ def ohlc_stream(
             "n_events",
         )
     )
+
+
+def quantile_monitor_stream(
+    readings: DataFrame,
+    window: str = "60 seconds",
+    watermark: str = "5 seconds",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Streaming distribution monitor: per (sensor, tumbling window)
+    approximate p50/p95/p99 + count + cardinality — the telemetry
+    panel for a sensor fleet (drift in p99 is the pager signal long
+    before the mean moves).
+
+    Entirely declarative: ``percentile_approx`` (KLL-style mergeable
+    summaries) and ``approx_count_distinct`` (HLL++, register-max
+    merge) are both bounded-state MERGEABLE sketches, so Spark's
+    incremental streaming aggregation maintains them per open window
+    without custom state — exactly the sketch-not-sort posture that
+    holds at 100 TB. Final-only append emission past the watermark."""
+    from pyspark.sql import functions as F
+
+    return (
+        readings.withWatermark("event_time", watermark)
+        .groupBy(
+            F.col("sensor_id"),
+            F.window("event_time", window).alias("win"),
+        )
+        .agg(
+            F.percentile_approx(
+                "temperature", [0.5, 0.95, 0.99], accuracy
+            ).alias("q"),
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("temperature").alias("n_values"),
+        )
+        .select(
+            "sensor_id",
+            F.col("win.start").alias("window_start"),
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p95"),
+            F.col("q")[2].alias("p99"),
+            "n_events",
+            "n_values",
+        )
+    )

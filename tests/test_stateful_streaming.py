@@ -967,3 +967,43 @@ def test_streaming_ohlc_bars_finalize_append(spark, tmp_path):
     assert (b1.open, b1.high, b1.low, b1.close, b1.n_events) == (
         31, 31, 31, 31, 1,
     )
+
+
+def test_streaming_quantile_monitor_matches_batch_sketch(spark, tmp_path):
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        quantile_monitor_stream,
+    )
+
+    temps = [20, 25, 30, 35, 40, 45, 50, 55, 60, 100]
+    batches = [
+        [("1", t, 2 + i * 5) for i, t in enumerate(temps[:6])],
+        [("1", t, 32 + i * 5) for i, t in enumerate(temps[6:])],
+        [("1", 30, 300)],  # advances watermark, finalizes [0,60)
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = (
+        quantile_monitor_stream(readings)
+        .writeStream.format("memory")
+        .queryName("qmon_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        r
+        for r in spark.sql("SELECT * FROM qmon_test").collect()
+        if r.window_start.minute == 0 and r.window_start.second == 0
+    ]
+    assert len(rows) == 1
+    bar = rows[0]
+    # All 10 readings (across both micro-batches) land in [0,60).
+    assert bar.n_events == 10
+    # percentile_approx at accuracy 10k on 10 points is exact order
+    # statistics; HLL on 10 distinct smallish longs is exact too.
+    assert bar.p50 == 40
+    assert bar.p99 == 100
+    assert bar.n_values == 10
