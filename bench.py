@@ -98,6 +98,8 @@ HEADLINE = [
     "text_pmi_pairs",
     "dq_gini_doclen_by_source",
     "dq_duplicate_rate_by_source",
+    "similarity_hard_negatives",
+    "embedding_outlier_flags",
 ]
 
 

@@ -53,6 +53,8 @@ PRIORITY: list[str] = [
     "text_pmi_pairs",
     "dq_gini_doclen_by_source",
     "dq_duplicate_rate_by_source",
+    "similarity_hard_negatives",
+    "embedding_outlier_flags",
     # Round-3 additions (never driver-checked before round 4).
     "dedup_semantic_prune",
     "similarity_pq_ann_topk",

@@ -3847,3 +3847,162 @@ def dq_duplicate_rate_by_source(spark, sf_dir):
             "dup_rate"
         ),
     )
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec,
+                      label AS query_label
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(q.query_vec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]),
+                                        CAST(q.query_vec AS DOUBLE[]))))
+               AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.query_label)
+    SELECT query_id, vec_id, label, cosine,
+           CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def similarity_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query
+    vector, the 5 most-similar embeddings with a DIFFERENT label —
+    the negatives that actually teach a metric model (random
+    negatives are trivially separable; the near-miss ones carry the
+    gradient).
+
+    Same broadcast-query brute-force core as similarity_cosine_topk
+    with the label-disagreement predicate pushed into the scan-side
+    join filter, so excluded same-label rows never get scored; at
+    scale the LSH/IVF candidate generators slot in front unchanged."""
+    from ..functions.vectors import cosine_similarity_col
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    scored = (
+        emb.join(F.broadcast(queries))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine_similarity_col(
+                F.col("embedding"), F.col("query_vec")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "label", "cosine", "rank")
+    )
+
+
+@register(
+    "embedding_outlier_flags",
+    oracle="""
+    WITH cent AS (
+      SELECT label, i AS dim,
+             round(CAST(avg(CAST(embedding[i] AS DECIMAL(18,9)))
+                        AS DOUBLE), 6) AS c
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+      GROUP BY label, i),
+    ev AS (
+      SELECT vec_id, label, i AS dim,
+             CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+    d AS (SELECT ev.vec_id, ev.label,
+                 round(sum((ev.v - cent.c) * (ev.v - cent.c)), 6)
+                   AS dist2
+          FROM ev JOIN cent USING (label, dim)
+          GROUP BY ev.vec_id, ev.label),
+    r AS (SELECT vec_id, label, dist2,
+                 row_number() OVER (PARTITION BY label
+                   ORDER BY dist2 DESC, vec_id) AS rn,
+                 count(*) OVER (PARTITION BY label) AS nl
+          FROM d)
+    SELECT vec_id, label, dist2,
+           rn <= greatest(1, ceil(0.01 * nl)) AS is_outlier
+    FROM r
+    """,
+)
+def embedding_outlier_flags(spark, sf_dir):
+    """Embedding outlier detection: each vector's squared distance to
+    its OWN label centroid, with the farthest 1% per label flagged —
+    the standard mislabeled-example / corrupt-embedding sweep before
+    training a classifier on the corpus.
+
+    Centroids use the decimal-average trick (order-independent), the
+    distance is one JVM zip_with/aggregate fold against the
+    label-joined centroid array, and the flag is a RANK cut (top
+    ceil(1%) per label, ties to smaller id) rather than a float
+    threshold compare — so the flagged set is exactly reproducible
+    across engines and partitionings."""
+    e = _emb(spark, sf_dir)
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim0", "v"))
+        .groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(
+                F.avg(F.col("v").cast("decimal(18,9)")).cast("double"), 6
+            ).alias("c")
+        )
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+    d = e.join(F.broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "centroid",
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), "vec_id")
+    wn = Window.partitionBy("label")
+    r = d.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("nl"),
+    )
+    return r.select(
+        "vec_id",
+        "label",
+        "dist2",
+        (
+            F.col("rn")
+            <= F.greatest(F.lit(1), F.ceil(F.lit(0.01) * F.col("nl")))
+        ).alias("is_outlier"),
+    )

@@ -77,6 +77,8 @@ REPRESENTATIVES = [
     "text_pmi_pairs",                # doc-level co-occurrence join
     "dq_gini_doclen_by_source",      # rank + exact-moment inequality
     "dq_duplicate_rate_by_source",   # global fingerprint groups
+    "similarity_hard_negatives",     # label-filtered broadcast top-k
+    "embedding_outlier_flags",       # centroid-distance rank cut
 ]
 
 
