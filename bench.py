@@ -100,6 +100,7 @@ HEADLINE = [
     "dq_duplicate_rate_by_source",
     "similarity_hard_negatives",
     "embedding_outlier_flags",
+    "similarity_mmr_diversified",
 ]
 
 

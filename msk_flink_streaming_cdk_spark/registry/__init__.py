@@ -55,6 +55,7 @@ PRIORITY: list[str] = [
     "dq_duplicate_rate_by_source",
     "similarity_hard_negatives",
     "embedding_outlier_flags",
+    "similarity_mmr_diversified",
     # Round-3 additions (never driver-checked before round 4).
     "dedup_semantic_prune",
     "similarity_pq_ann_topk",

@@ -4006,3 +4006,150 @@ def embedding_outlier_flags(spark, sf_dir):
             <= F.greatest(F.lit(1), F.ceil(F.lit(0.01) * F.col("nl")))
         ).alias("is_outlier"),
     )
+
+
+def _mmr_oracle(k: int = 5, lam: float = 0.5) -> str:
+    """Unrolled greedy-MMR replay: candidate CTE + pairwise-sim CTE,
+    then one (score, pick, selected) CTE triple per selection round.
+    Scores are computed on 9dp-rounded cosines so the argmax can't
+    flip on a sub-ulp fold-order difference between engines."""
+    cos = (
+        "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]),"
+        " CAST({a} AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]),"
+        " CAST({b} AS DOUBLE[]))))"
+    )
+    parts = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),",
+        "cand AS (SELECT vec_id, rel FROM ("
+        "  SELECT e.vec_id,"
+        f"  round({cos.format(a='e.embedding', b='q.qv')}, 9) AS rel,"
+        "  row_number() OVER (ORDER BY"
+        f"  round({cos.format(a='e.embedding', b='q.qv')}, 9) DESC,"
+        "  e.vec_id) AS rn"
+        "  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)"
+        " WHERE rn <= 20),",
+        "ps AS (SELECT ca.vec_id AS a, cb.vec_id AS b,"
+        f" round({cos.format(a='ea.embedding', b='eb.embedding')}, 9)"
+        " AS sim"
+        " FROM cand ca JOIN embeddings ea ON ea.vec_id = ca.vec_id,"
+        " cand cb JOIN embeddings eb ON eb.vec_id = cb.vec_id"
+        " WHERE ca.vec_id <> cb.vec_id),",
+        "sel1 AS (SELECT vec_id, rel, 1 AS rank FROM cand"
+        " ORDER BY rel DESC, vec_id LIMIT 1),",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f"sc{i} AS (SELECT c.vec_id, c.rel,"
+            f" {lam!r} * c.rel - {1 - lam!r} * max(ps.sim) AS score"
+            f" FROM cand c JOIN ps ON ps.a = c.vec_id"
+            f" JOIN sel{p} s ON ps.b = s.vec_id"
+            f" WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p})"
+            f" GROUP BY c.vec_id, c.rel),"
+        )
+        parts.append(
+            f"pick{i} AS (SELECT vec_id, rel, {i} AS rank FROM sc{i}"
+            f" ORDER BY score DESC, vec_id LIMIT 1),"
+        )
+        parts.append(
+            f"sel{i} AS (SELECT * FROM sel{p}"
+            f" UNION ALL SELECT * FROM pick{i}),"
+        )
+    body = "\n    ".join(parts)[:-1]
+    return (
+        "WITH " + body
+        + f"\n    SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel"
+        f" FROM sel{k}"
+    )
+
+
+@register("similarity_mmr_diversified", oracle=_mmr_oracle())
+def similarity_mmr_diversified(spark, sf_dir):
+    """Maximal Marginal Relevance retrieval: from the query's top-20
+    cosine candidates, greedily select 5 results balancing relevance
+    against redundancy (score = 0.5*rel - 0.5*max-sim-to-selected) —
+    the diversification step RAG pipelines run so the context window
+    isn't five paraphrases of one document.
+
+    Scale split: the EXPENSIVE part (corpus-wide top-20) is the same
+    broadcast-scan top-k as similarity_cosine_topk; the greedy loop
+    then runs over a bounded 20-candidate frame as 5 lazily-composed
+    argmax rounds (TakeOrdered limit-1 each, no driver collect, no
+    row-level Python). Cosines round to 9dp before any argmax so the
+    selection is deterministic across engines and fold orders."""
+    from ..functions.vectors import cosine_similarity_col
+
+    lam = 0.5
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = emb.filter(F.col("vec_id") != 0).crossJoin(
+        F.broadcast(q)
+    ).select(
+        "vec_id",
+        "embedding",
+        F.round(
+            cosine_similarity_col(F.col("embedding"), F.col("qv")), 9
+        ).alias("rel"),
+    )
+    wtop = Window.orderBy(F.col("rel").desc(), "vec_id")
+    cand = materialize_once(
+        scored.select("*", F.row_number().over(wtop).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("vec_id", "embedding", "rel")
+    )
+    ca = cand.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+    )
+    cb = cand.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+    )
+    ps = (
+        ca.crossJoin(F.broadcast(cb))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                cosine_similarity_col(F.col("ea"), F.col("eb")), 9
+            ).alias("sim"),
+        )
+    )
+    ps = materialize_once(ps)
+    base = cand.select("vec_id", "rel")
+    sel = (
+        base.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "rel", F.lit(1).alias("rank"))
+    )
+    for i in range(2, 6):
+        sel_ids = sel.select("vec_id")
+        sc = (
+            base.join(sel_ids, "vec_id", "left_anti")
+            .join(ps, F.col("vec_id") == F.col("a"))
+            .join(
+                sel_ids.withColumnRenamed("vec_id", "b_sel"),
+                F.col("b") == F.col("b_sel"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1 - lam) * F.max("sim")
+                ).alias("score")
+            )
+        )
+        pick = (
+            sc.orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "rel", F.lit(i).alias("rank"))
+        )
+        sel = sel.unionAll(pick)
+    return sel.select(
+        F.col("rank").cast("long").alias("rank"), "vec_id", "rel"
+    )

@@ -79,6 +79,7 @@ REPRESENTATIVES = [
     "dq_duplicate_rate_by_source",   # global fingerprint groups
     "similarity_hard_negatives",     # label-filtered broadcast top-k
     "embedding_outlier_flags",       # centroid-distance rank cut
+    "similarity_mmr_diversified",    # lazily-composed greedy argmax
 ]
 
 
