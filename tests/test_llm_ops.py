@@ -431,3 +431,56 @@ def test_logistic_irls_matches_single_node_reference(spark, sf_small):
         for r in QUERIES["quality_logistic_fit"](spark, sf_small).collect()
     }
     assert again == got
+
+
+def test_pagerank_center_of_path_graph_outranks_ends(spark):
+    from msk_flink_streaming_cdk_spark.registry.llm_q import (
+        _PR_SCALE,
+        _pagerank_ranks,
+    )
+
+    # Path graph 1-2-3: the center vertex must carry the highest rank;
+    # symmetric ends must tie exactly (integer arithmetic).
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    ranks = {r.id: r.r for r in _pagerank_ranks(pairs).collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert ranks[2] > ranks[1]
+    assert ranks[1] == ranks[3]
+    # Floor division only ever discards mass: total stays within one
+    # micro-unit per node per iteration of the full scale.
+    assert 0 < sum(ranks.values()) <= _PR_SCALE
+
+
+def test_pagerank_star_center_dominates(spark):
+    from msk_flink_streaming_cdk_spark.registry.llm_q import _pagerank_ranks
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    ranks = {r.id: r.r for r in _pagerank_ranks(pairs).collect()}
+    leaves = [ranks[i] for i in range(1, 6)]
+    assert all(ranks[0] > lv for lv in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves tie bit-exactly
+
+
+def test_mmr_first_pick_is_global_max_and_set_is_diverse(spark, sf_small):
+    rows = QUERIES["similarity_mmr_diversified"](spark, sf_small).collect()
+    assert len(rows) == 5
+    assert len({r.vec_id for r in rows}) == 5
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    # Rank 1 is the pure-relevance argmax: every later pick has
+    # relevance <= the first (they were available and not chosen).
+    assert all(by_rank[0].rel >= r.rel for r in by_rank[1:])
+    # And MMR must match plain top-k on the HEAD only: ranks 2+ may
+    # reorder for diversity, so the selected set generally differs
+    # from the 5 highest-relevance candidates.
+    topk = QUERIES["similarity_cosine_topk"](spark, sf_small)
+    top1 = {
+        r.vec_id
+        for r in topk.filter(
+            (F.col("query_id") == 0) & (F.col("rank") == 1)
+        ).collect()
+    }
+    assert by_rank[0].vec_id in top1
