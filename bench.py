@@ -101,6 +101,8 @@ HEADLINE = [
     "similarity_hard_negatives",
     "embedding_outlier_flags",
     "similarity_mmr_diversified",
+    "timeseries_seasonal_residuals",
+    "graph_label_propagation",
 ]
 
 

@@ -56,6 +56,8 @@ PRIORITY: list[str] = [
     "similarity_hard_negatives",
     "embedding_outlier_flags",
     "similarity_mmr_diversified",
+    "timeseries_seasonal_residuals",
+    "graph_label_propagation",
     # Round-3 additions (never driver-checked before round 4).
     "dedup_semantic_prune",
     "similarity_pq_ann_topk",

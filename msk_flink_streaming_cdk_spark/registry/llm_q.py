@@ -4162,3 +4162,178 @@ def similarity_mmr_diversified(spark, sf_dir):
     return sel.select(
         F.col("rank").cast("long").alias("rank"), "vec_id", "rel"
     )
+
+
+@register(
+    "timeseries_seasonal_residuals",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             round(CAST(avg(CAST(value AS DECIMAL(18,9))) AS DOUBLE), 6)
+               AS seasonal_mean,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY event_type, hour(ts))
+    SELECT e.event_id, e.event_type, e.ts,
+           prof.seasonal_mean,
+           round(e.value - prof.seasonal_mean, 6) AS residual
+    FROM events e
+    JOIN prof ON prof.event_type = e.event_type
+             AND prof.hod = hour(e.ts)
+    WHERE abs(round(e.value - prof.seasonal_mean, 6))
+            > 2 * sqrt(greatest(prof.seasonal_mean, 1.0))
+    """,
+)
+def timeseries_seasonal_residuals(spark, sf_dir):
+    """Seasonal decomposition, mean-profile flavor: each event's value
+    against its (event_type, hour-of-day) seasonal mean, emitting only
+    the rows whose residual exceeds a dispersion band — deseasonalized
+    anomaly detection, the complement of the trailing-window z-score
+    (which a daily rhythm would constantly trip).
+
+    The 24-row-per-type profile is a broadcast join back onto the
+    fact scan — one aggregate plus one broadcast, the fact table never
+    shuffles. Profile means go through the decimal-average trick so
+    the join keys on identical values in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        F.col("event_type").alias("p_type"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.round(
+            F.avg(F.col("value").cast("decimal(18,9)")).cast("double"), 6
+        ).alias("seasonal_mean"),
+        F.count("*").alias("n_obs"),
+    )
+    j = ev.join(
+        F.broadcast(prof),
+        (F.col("event_type") == F.col("p_type"))
+        & (F.hour("ts") == F.col("hod")),
+    ).select(
+        "event_id",
+        "event_type",
+        "ts",
+        "seasonal_mean",
+        F.round(F.col("value") - F.col("seasonal_mean"), 6).alias(
+            "residual"
+        ),
+    )
+    return j.filter(
+        F.abs(F.col("residual"))
+        > 2 * F.sqrt(F.greatest(F.col("seasonal_mean"), F.lit(1.0)))
+    )
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled label-propagation replay: per iteration one vote CTE
+    (neighbor label counts) and one argmax CTE (count desc, label asc
+    — integer votes, so the argmax is exact)."""
+    parts = [
+        f"WITH {_NGRAM_PAIRS_CTES},",
+        "und AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        " UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),",
+        "nodes AS (SELECT DISTINCT und.u AS id,"
+        " (und.u % 3 = 0) AS seed,"
+        " CASE WHEN und.u % 3 = 0 THEN d.lang END AS lab0"
+        " FROM und JOIN documents d ON d.doc_id = und.u),",
+        "lab0_t AS (SELECT id, lab0 AS lab FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"v{i} AS (SELECT e.v AS id, l.lab, count(*) AS c"
+            f" FROM und e JOIN lab{p}_t l ON e.u = l.id"
+            f" WHERE l.lab IS NOT NULL GROUP BY e.v, l.lab),"
+        )
+        parts.append(
+            f"b{i} AS (SELECT id, lab FROM ("
+            f"SELECT id, lab, row_number() OVER (PARTITION BY id"
+            f" ORDER BY c DESC, lab) AS rn FROM v{i}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"lab{i}_t AS (SELECT n.id,"
+            f" CASE WHEN n.seed THEN n.lab0"
+            f" ELSE coalesce(b{i}.lab, l.lab) END AS lab"
+            f" FROM nodes n LEFT JOIN b{i} ON b{i}.id = n.id"
+            f" LEFT JOIN lab{p}_t l ON l.id = n.id),"
+        )
+    body = "\n    ".join(parts)[:-1]
+    return (
+        body
+        + f"\n    SELECT n.id AS doc_id, l.lab AS predicted_lang,"
+        f" n.seed AS is_seed FROM nodes n"
+        f" JOIN lab{iters}_t l ON l.id = n.id"
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation over the near-dup graph:
+    every third document keeps its known language as a SEED; the rest
+    take the majority language of their labeled neighbors, iterated 3
+    rounds (ties break to the lexicographically smallest label) — the
+    metadata-completion trick for corpora where a crawler tagged only
+    part of a mirror cluster.
+
+    Same Pregel-in-DataFrames shape as PageRank (edges materialized
+    once, one equi-join + grouped vote + per-node argmax per round),
+    with INTEGER vote counts so the argmax — and therefore the whole
+    propagation — is exactly reproducible; the oracle unrolls the
+    rounds."""
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    und = materialize_once(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+    )
+    nodes = materialize_once(
+        und.select(F.col("u").alias("id"))
+        .distinct()
+        .join(
+            _docs(spark, sf_dir).select(
+                F.col("doc_id").alias("id"), "lang"
+            ),
+            "id",
+        )
+        .select(
+            "id",
+            (F.col("id") % 3 == 0).alias("seed"),
+            F.when(F.col("id") % 3 == 0, F.col("lang")).alias("lab0"),
+        )
+    )
+    lab = nodes.select("id", F.col("lab0").alias("lab"))
+    for _ in range(3):
+        votes = (
+            und.join(
+                lab.filter(F.col("lab").isNotNull()).select(
+                    F.col("id").alias("u"), "lab"
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("id"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        wv = Window.partitionBy("id").orderBy(F.col("c").desc(), "lab")
+        best = (
+            votes.select("id", "lab", F.row_number().over(wv).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("lab").alias("blab"))
+        )
+        lab = (
+            nodes.join(best, "id", "left")
+            .join(lab.withColumnRenamed("lab", "plab"), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("seed"), F.col("lab0"))
+                .otherwise(F.coalesce("blab", "plab"))
+                .alias("lab"),
+            )
+        )
+    return (
+        nodes.join(lab, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lab").alias("predicted_lang"),
+            F.col("seed").alias("is_seed"),
+        )
+    )

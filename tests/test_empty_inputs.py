@@ -80,6 +80,8 @@ REPRESENTATIVES = [
     "similarity_hard_negatives",     # label-filtered broadcast top-k
     "embedding_outlier_flags",       # centroid-distance rank cut
     "similarity_mmr_diversified",    # lazily-composed greedy argmax
+    "timeseries_seasonal_residuals",  # broadcast seasonal profile
+    "graph_label_propagation",       # iterative vote loop, empty graph
 ]
 
 
