@@ -103,6 +103,8 @@ HEADLINE = [
     "similarity_mmr_diversified",
     "timeseries_seasonal_residuals",
     "graph_label_propagation",
+    "dq_ks_drift_by_source",
+    "basket_pair_lift",
 ]
 
 

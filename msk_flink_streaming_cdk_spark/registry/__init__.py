@@ -58,6 +58,8 @@ PRIORITY: list[str] = [
     "similarity_mmr_diversified",
     "timeseries_seasonal_residuals",
     "graph_label_propagation",
+    "dq_ks_drift_by_source",
+    "basket_pair_lift",
     # Round-3 additions (never driver-checked before round 4).
     "dedup_semantic_prune",
     "similarity_pq_ann_topk",

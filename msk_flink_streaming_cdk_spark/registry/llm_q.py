@@ -4337,3 +4337,173 @@ def graph_label_propagation(spark, sf_dir):
             F.col("seed").alias("is_seed"),
         )
     )
+
+
+@register(
+    "dq_ks_drift_by_source",
+    oracle="""
+    WITH vals AS (SELECT DISTINCT n_chars AS x FROM documents),
+    srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+             FROM documents GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    pc AS (SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY source, n_chars),
+    gc AS (SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY n_chars),
+    gcum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cum_all FROM gc),
+    grid AS (SELECT s.source, s.n_s, v.x FROM srcs s CROSS JOIN vals v),
+    scum AS (
+      SELECT g.source, g.n_s, g.x,
+             sum(coalesce(pc.c, 0)) OVER (PARTITION BY g.source
+                                          ORDER BY g.x) AS cum_s
+      FROM grid g LEFT JOIN pc ON pc.source = g.source AND pc.x = g.x),
+    d AS (
+      SELECT s.source, s.n_s,
+             max(abs(s.cum_s * (t.n - s.n_s)
+                     - (gcum.cum_all - s.cum_s) * s.n_s)) AS dnum
+      FROM scum s JOIN gcum USING (x), tot t
+      GROUP BY s.source, s.n_s, t.n)
+    SELECT source, n_s,
+           round(CAST(dnum AS DOUBLE) / (n_s * ((SELECT n FROM tot) - n_s)),
+                 6) AS ks_stat
+    FROM d
+    """,
+)
+def dq_ks_drift_by_source(spark, sf_dir):
+    """Distribution drift per source: the Kolmogorov–Smirnov statistic
+    between each source's document-length distribution and the REST of
+    the corpus — the alarm that one feed suddenly ships truncated (or
+    concatenated) documents even when its mean looks fine.
+
+    Everything up to the final division is INTEGER arithmetic:
+    D = max |cum_s * n_rest - cum_rest * n_s| / (n_s * n_rest), with
+    the rest-side CDF derived from one global cumulative (no
+    per-source rescan). The (source x distinct-value) grid bounds the
+    window work at |sources| * |distinct lengths|; at billions of
+    distinct values, bin first — the statistic then bounds the true
+    D by the bin width."""
+    d = _docs(spark, sf_dir)
+    vals = d.select(F.col("n_chars").alias("x")).distinct()
+    srcs = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = d.agg(F.count("*").alias("n"))
+    pc = d.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count("*").alias("c")
+    )
+    gc = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count("*").alias("c")
+    )
+    wg = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gc.select("x", F.sum("c").over(wg).alias("cum_all"))
+    grid = srcs.crossJoin(vals)
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scum = (
+        grid.join(pc, ["source", "x"], "left")
+        .select(
+            "source",
+            "n_s",
+            "x",
+            F.sum(F.coalesce("c", F.lit(0))).over(ws).alias("cum_s"),
+        )
+    )
+    dmax = (
+        scum.join(gcum, "x")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "n")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * (F.col("n") - F.col("n_s"))
+                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+                )
+            ).alias("dnum")
+        )
+    )
+    return dmax.select(
+        "source",
+        "n_s",
+        F.round(
+            F.col("dnum").cast("double")
+            / (F.col("n_s") * (F.col("n") - F.col("n_s"))),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "basket_pair_lift",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+           FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT p.part_a, p.part_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+           round(CAST(p.c_ab AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6)
+             AS lift
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b, n
+    """,
+)
+def basket_pair_lift(spark, sf_dir):
+    """Market-basket pair mining: co-purchased part pairs with support
+    >= 3 orders, scored by LIFT (observed co-occurrence over the
+    independence expectation) — the first pass of association-rule
+    mining, and the same co-occurrence join shape as text PMI applied
+    to the transactional side of the house.
+
+    The self-join is keyed on the order (equi-join, fan-out bounded by
+    items-per-order squared ~ C(4,2) here), never a part-by-part
+    product; item counts broadcast back onto the surviving pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    pc = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    return (
+        pairs.join(
+            pc.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")),
+            "part_a",
+        )
+        .join(
+            pc.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.col("c_ab").cast("double") * F.col("n_orders")
+                / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

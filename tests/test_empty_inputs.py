@@ -82,6 +82,8 @@ REPRESENTATIVES = [
     "similarity_mmr_diversified",    # lazily-composed greedy argmax
     "timeseries_seasonal_residuals",  # broadcast seasonal profile
     "graph_label_propagation",       # iterative vote loop, empty graph
+    "dq_ks_drift_by_source",         # integer-CDF drift grid
+    "basket_pair_lift",              # order-keyed co-occurrence join
 ]
 
 
