@@ -105,6 +105,7 @@ HEADLINE = [
     "graph_label_propagation",
     "dq_ks_drift_by_source",
     "basket_pair_lift",
+    "er_golden_records",
 ]
 
 

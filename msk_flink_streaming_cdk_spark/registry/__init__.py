@@ -60,6 +60,7 @@ PRIORITY: list[str] = [
     "graph_label_propagation",
     "dq_ks_drift_by_source",
     "basket_pair_lift",
+    "er_golden_records",
     # Round-3 additions (never driver-checked before round 4).
     "dedup_semantic_prune",
     "similarity_pq_ann_topk",

@@ -1202,10 +1202,8 @@ def text_approx_topk_words(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_fuzzy_name_pairs",
-    oracle="""
-    WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer
+_FUZZY_PAIRS_CTES = """
+    base AS (SELECT c_custkey AS id, c_name AS name FROM customer
                   WHERE c_custkey <= 300),
     k AS (SELECT id, name, length(name) AS len,
                  CAST(ceil(length(name)/4.0) AS INT) AS q FROM base),
@@ -1222,9 +1220,17 @@ def text_approx_topk_words(spark, sf_dir):
                       a.name AS na, b.name AS nb
       FROM keys a JOIN keys b
         ON a.len = b.len AND a.drop_q = b.drop_q AND a.bk = b.bk
-       AND a.id < b.id)
-    SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
-    FROM cand WHERE levenshtein(na, nb) <= 1
+       AND a.id < b.id),
+    fpairs AS (
+      SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+      FROM cand WHERE levenshtein(na, nb) <= 1)"""
+
+
+@register(
+    "dedup_fuzzy_name_pairs",
+    oracle=f"""
+    WITH {_FUZZY_PAIRS_CTES}
+    SELECT id_a, id_b, dist FROM fpairs
     """,
 )
 def dedup_fuzzy_name_pairs(spark, sf_dir):
@@ -4505,5 +4511,128 @@ def basket_pair_lift(spark, sf_dir):
                 / (F.col("c_a") * F.col("c_b")),
                 6,
             ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "er_golden_records",
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_PAIRS_CTES},
+    fe AS (SELECT f.id_a, f.id_b FROM fpairs f
+           JOIN customer ca ON ca.c_custkey = f.id_a
+           JOIN customer cb ON cb.c_custkey = f.id_b
+           WHERE ca.c_nationkey = cb.c_nationkey),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM fe
+              UNION SELECT id_b, id_a FROM fe),
+    reach(node, peer) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    comp AS (SELECT node AS id, min(peer) AS cluster
+             FROM reach GROUP BY node),
+    allc AS (
+      SELECT c_custkey AS id,
+             coalesce(comp.cluster, c_custkey) AS entity_id,
+             c_name, c_acctbal, c_mktsegment
+      FROM customer LEFT JOIN comp ON comp.id = c_custkey
+      WHERE c_custkey <= 300),
+    canon AS (SELECT entity_id, c_name AS canonical_name FROM (
+        SELECT entity_id, c_name,
+               row_number() OVER (PARTITION BY entity_id
+                                  ORDER BY id) AS rn
+        FROM allc) WHERE rn = 1)
+    SELECT a.entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           canon.canonical_name,
+           round(CAST(sum(CAST(round(a.c_acctbal, 2) AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS total_acctbal,
+           CAST(count(DISTINCT a.c_mktsegment) AS BIGINT) AS n_segments
+    FROM allc a JOIN canon USING (entity_id)
+    GROUP BY a.entity_id, canon.canonical_name
+    """,
+)
+def er_golden_records(spark, sf_dir):
+    """Entity resolution end-to-end: fuzzy name pairs (pigeonhole
+    quarter blocking + Levenshtein<=1) AND matching nation ->
+    connected components -> one GOLDEN RECORD per entity — canonical
+    name from the smallest-id member, merged balance, segment spread.
+    Singleton customers pass through as their own entity, so the
+    output is a full deduplicated master table, not just the matched
+    subset.
+
+    The second match attribute (nation) is the standard ER guard
+    against TRANSITIVE CHAINING: sequential-id names are each 1 edit
+    apart, and name-only edges would collapse the whole table into
+    one entity. The expensive stages are the shared fuzzy-blocking
+    equi-joins and the component loop; the merge itself is one
+    grouped aggregate plus a row_number canonical pick. Balances
+    merge through DECIMAL(18,2) so the golden values are
+    summation-order-exact."""
+    from ..operators.dedup import connected_components, fuzzy_name_pairs
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 300
+    )
+    nk = c.select("c_custkey", "c_nationkey")
+    pairs = (
+        fuzzy_name_pairs(c, "c_custkey", "c_name", max_dist=1)
+        .join(
+            nk.select(
+                F.col("c_custkey").alias("id_a"),
+                F.col("c_nationkey").alias("nk_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            nk.select(
+                F.col("c_custkey").alias("id_b"),
+                F.col("c_nationkey").alias("nk_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.col("nk_a") == F.col("nk_b"))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, a="id_a", b="id_b").select(
+        F.col("node").alias("id"), F.col("label").alias("cluster")
+    )
+    allc = c.join(
+        comp, c.c_custkey == comp.id, "left"
+    ).select(
+        F.col("c_custkey").alias("cid"),
+        F.coalesce("cluster", "c_custkey").alias("entity_id"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    wcan = Window.partitionBy("entity_id").orderBy("cid")
+    canon = (
+        allc.select(
+            "entity_id", "c_name", F.row_number().over(wcan).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("c_name").alias("canonical_name"))
+    )
+    return (
+        allc.groupBy("entity_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(
+                F.sum(
+                    F.round("c_acctbal", 2).cast("decimal(18,2)")
+                ).cast("double"),
+                2,
+            ).alias("total_acctbal"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .join(canon, "entity_id")
+        .select(
+            "entity_id",
+            "n_members",
+            "canonical_name",
+            "total_acctbal",
+            "n_segments",
         )
     )

@@ -84,6 +84,7 @@ REPRESENTATIVES = [
     "graph_label_propagation",       # iterative vote loop, empty graph
     "dq_ks_drift_by_source",         # integer-CDF drift grid
     "basket_pair_lift",              # order-keyed co-occurrence join
+    "er_golden_records",             # fuzzy ER + CC + merge rollup
 ]
 
 
