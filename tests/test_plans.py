@@ -384,3 +384,20 @@ def test_column_profile_avoids_expand_sort_aggregate(spark, sf_small):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 7, plan
     # The distinct-count scans must prune to a single column each.
     assert plan.count("ReadSchema: struct<o_custkey:bigint>") >= 1, plan
+
+
+def test_seasonal_profile_broadcasts_onto_fact_scan(spark, sf_small):
+    # The 24-row-per-type profile must reach the fact scan as a
+    # broadcast join — the fact table itself must not shuffle.
+    df = QUERIES["timeseries_seasonal_residuals"](spark, sf_small)
+    assert_broadcast_hash_join(df, at_least=1)
+    from msk_flink_streaming_cdk_spark.plans import count_exchanges
+
+    # Exchanges belong to the profile aggregation only.
+    assert count_exchanges(df) <= 1, formatted_plan(df)
+
+
+def test_basket_lift_joins_stay_hash_equi(spark, sf_small):
+    df = QUERIES["basket_pair_lift"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
