@@ -1007,3 +1007,60 @@ def test_streaming_quantile_monitor_matches_batch_sketch(spark, tmp_path):
     assert bar.p50 == 40
     assert bar.p99 == 100
     assert bar.n_values == 10
+
+
+def test_zscore_state_survives_restart(spark, tmp_path):
+    # The trailing-history array must survive a stop/restart: run 1
+    # feeds 6 stable readings and stops; run 2 is a NEW query resuming
+    # the same checkpoint and feeding a spike — it can only flag the
+    # spike if the history state was restored (a fresh state would
+    # have cnt < min_history and emit z = NULL).
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        anomaly_zscore_by_key,
+    )
+
+    sink = str(tmp_path / "zsink")
+    ckpt = str(tmp_path / "zckpt")
+
+    def run(src_path):
+        readings = stream_parquet_dir(
+            spark, src_path, SENSOR_READING, max_files_per_trigger=1
+        )
+        q = (
+            anomaly_zscore_by_key(readings, min_history=5)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    stable = [("1", t, i * 10) for i, t in enumerate([30, 31, 29, 30, 32, 31])]
+    src = _write_batches(spark, tmp_path, [stable], subdir="zsrc")
+    run(src)
+
+    spike = _write_batches(
+        spark, tmp_path, [[("1", 95, 60), ("1", 30, 70)]], subdir="zextra"
+    )
+    for i, f in enumerate(sorted(_glob.glob(_os.path.join(spike, "*.parquet")))):
+        dst = _os.path.join(src, f"late_{i:03d}.parquet")
+        _os.rename(f, dst)
+        m = _time.time() + i
+        _os.utime(dst, (m, m))
+    run(src)
+
+    rows = sorted(
+        spark.read.parquet(sink).collect(), key=lambda r: r.event_time
+    )
+    assert len(rows) == 8
+    flagged = [r.temperature for r in rows if r.is_anomaly]
+    assert flagged == [95], rows
+    # The post-spike stable reading is scored against a history that
+    # now CONTAINS the spike — z is present but below threshold.
+    assert rows[-1].z is not None and not rows[-1].is_anomaly
