@@ -154,6 +154,13 @@ def test_text_ops_survive_nulls_and_unicode(spark, tmp_path, sf_small):
         "text_chunk_sliding",
         "text_rolling_md5_fingerprints",
         "udtf_sentence_split",
+        "text_bpe_pair_counts",
+        "text_inverted_index",
+        "text_pmi_pairs",
+        "text_weighted_sample_topk",
+        "dq_gini_doclen_by_source",
+        "dq_duplicate_rate_by_source",
+        "dq_ks_drift_by_source",
     ):
         rows = QUERIES[name](spark, path).collect()  # must not raise
         assert isinstance(rows, list)
