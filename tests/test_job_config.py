@@ -96,3 +96,31 @@ def test_reference_job_file_mode_end_to_end(spark, tmp_path):
     assert alerts.first().count_temp == 5
     part_glob = os.path.join(bucket_dir, "year=*", "month=*", "day=*", "hour=*")
     assert glob.glob(part_glob), "partitioned bucket output missing"
+
+
+def test_cli_list_and_run(tmp_path, capsys, spark, sf_small):
+    from msk_flink_streaming_cdk_spark.cli import main
+
+    assert main(["list", "q1_alerts"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_alerts_daily\toracle" in out
+
+    dest = str(tmp_path / "out")
+    assert (
+        main(
+            [
+                "run", "agg_pricing_summary",
+                "--sf-dir", sf_small,
+                "--output", dest,
+                "--format", "parquet",
+            ]
+        )
+        == 0
+    )
+    assert spark.read.parquet(dest).count() == 6
+
+    assert main(["run", "agg_pricing_summary", "--sf-dir", sf_small,
+                 "--explain"]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+
+    assert main(["run", "nope_not_a_query"]) == 2
