@@ -106,6 +106,8 @@ HEADLINE = [
     "dq_ks_drift_by_source",
     "basket_pair_lift",
     "er_golden_records",
+    "timeseries_quantile_bars",
+    "dq_event_lag_by_type",
 ]
 
 

@@ -61,6 +61,8 @@ PRIORITY: list[str] = [
     "dq_ks_drift_by_source",
     "basket_pair_lift",
     "er_golden_records",
+    "timeseries_quantile_bars",
+    "dq_event_lag_by_type",
     # Round-3 additions (never driver-checked before round 4).
     "dedup_semantic_prune",
     "similarity_pq_ann_topk",

@@ -4636,3 +4636,70 @@ def er_golden_records(spark, sf_dir):
             "n_segments",
         )
     )
+
+
+@register(
+    "timeseries_quantile_bars",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def timeseries_quantile_bars(spark, sf_dir):
+    """Per (event_type, hour) exact p50/p95/p99 + count — the BATCH
+    twin of the streaming quantile monitor
+    (``streaming/stateful.py::quantile_monitor_stream``): same panel,
+    exact order statistics instead of mergeable sketches, checkable
+    against DuckDB's quantile_cont (identical interpolation). One
+    grouped aggregate; at 100 TB swap to percentile_approx — the
+    sketch the streaming twin already uses."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "dq_event_lag_by_type",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS gmax FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(ts) AS latest_ts,
+           CAST(date_diff('second', max(ts), g.gmax) AS BIGINT)
+             AS lag_seconds
+    FROM events, g
+    GROUP BY event_type, g.gmax
+    """,
+)
+def dq_event_lag_by_type(spark, sf_dir):
+    """Ingest freshness audit: each event type's latest event-time
+    against the corpus-wide high-water mark — the staleness panel that
+    catches one producer silently stopping while others keep flowing.
+    Deterministic (lag is relative to the data's own max, never
+    wall-clock); one grouped aggregate plus a one-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("latest_ts"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            "latest_ts",
+            (
+                F.col("gmax").cast("long")
+                - F.col("latest_ts").cast("long")
+            ).alias("lag_seconds"),
+        )
+    )

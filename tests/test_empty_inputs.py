@@ -85,6 +85,8 @@ REPRESENTATIVES = [
     "dq_ks_drift_by_source",         # integer-CDF drift grid
     "basket_pair_lift",              # order-keyed co-occurrence join
     "er_golden_records",             # fuzzy ER + CC + merge rollup
+    "timeseries_quantile_bars",      # exact-percentile panel
+    "dq_event_lag_by_type",          # freshness vs data high-water mark
 ]
 
 
