@@ -140,6 +140,85 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def incremental_near_dup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.5,
+    k: int = DEFAULT_SHINGLE,
+    length_band: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Incremental dedup: for each INCOMING document, its best
+    near-dup match (max Jaccard, ties to the smaller corpus id)
+    against the EXISTING corpus — the daily-ingest shape of
+    ``ngram_jaccard_pairs``, where a new batch is admitted against a
+    much larger accumulated corpus instead of self-joining the whole
+    world every day.
+
+    Scale shape: the corpus side is shingled and bucketed by length
+    band ONCE (at 100 TB this frame is the thing you persist between
+    ingests); the incoming batch explodes to its 3 adjacent buckets
+    and equi-joins — cost is O(|incoming| · bucket_width), never a
+    corpus self-join. The per-doc argmax is one struct-max hash
+    aggregate (no sort, no window).
+
+    Returns (doc_id, matched_doc, jaccard) — one row per incoming doc
+    that has a match at or above ``threshold``.
+    """
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(length_col).alias("n_len"),
+            F.floor(F.col(length_col) / length_band).alias("bucket"),
+            F.transform(
+                shingle_col(F.col(text_col), k), lambda s: F.xxhash64(s)
+            ).alias("shingles"),
+        )
+
+    corp = shingled(corpus).alias("c")
+    inc = (
+        shingled(incoming)
+        .select(
+            "doc_id",
+            "n_len",
+            "shingles",
+            F.explode(
+                F.array(
+                    F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+                )
+            ).alias("probe_bucket"),
+        )
+        .alias("i")
+    )
+    cand = inc.join(
+        corp,
+        (F.col("c.bucket") == F.col("i.probe_bucket"))
+        & (F.abs(F.col("c.n_len") - F.col("i.n_len")) <= length_band),
+    )
+    j = jaccard_col(F.col("i.shingles"), F.col("c.shingles"))
+    scored = cand.select(
+        F.col("i.doc_id").alias("doc_id"),
+        F.col("c.doc_id").alias("match_id"),
+        j.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    # struct-max argmax: max jaccard first, then max(-match_id) =
+    # smallest matching corpus id — one hash aggregate.
+    best = scored.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("jaccard"), (-F.col("match_id")).alias("neg_id")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "doc_id",
+        (-F.col("m.neg_id")).alias("matched_doc"),
+        F.col("m.jaccard").alias("jaccard"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perm: int = 16,

@@ -24,6 +24,12 @@ from .util import materialize_once
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k by cosine. The score is rounded to 9dp BEFORE
+    the rank (shared by every ANN variant and the brute-force
+    baseline, so their scores stay comparable): a sub-ulp
+    Spark-vs-DuckDB libm difference near a tie between two candidates
+    must not flip top-k membership — the MMR convention."""
+    scored = scored.withColumn("cosine", F.round("cosine", 9))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -48,6 +54,7 @@ def cosine_topk_bruteforce(
     The query side is broadcast (top-k search has few queries); the
     corpus is scanned once, partition-parallel. 100 TB shape: cost is
     one corpus scan per query batch — batch queries, don't loop.
+    Scores are 9dp-rounded before ranking (see ``_topk_per_query``).
     """
     scored = corpus.join(F.broadcast(queries)).filter(
         F.col(id_col) != F.col(query_id_col)

@@ -9,6 +9,17 @@ sure the newest / least-proven operators get a hard correctness signal
 each round, while long-proven shapes rotate to the tail (they remain
 fully covered by ``tests/test_reference_queries.py``, which checks ALL
 oracle-backed queries).
+
+Round-5 rotation: the window keeps the 4 reference queries + the two
+rows whose canonicalization was fixed this round, then gives
+FIRST-EVER driver rows to the round-2-era tail, the demoted round-4
+singles, the sketch/recall audits, the two new float-model quality
+rows, and the LLM-pipeline + relational shapes that have never been
+driver-checked. ``ROTATION_WINDOW`` pins the first
+``ROTATION_WINDOW_SIZE`` keys explicitly and a test asserts the
+ordering, so the planned rotation is enforced by code, not a comment;
+the remaining never-checked keys are kept IN ORDER at the tail of
+``PRIORITY`` as the next tranche.
 """
 
 from ._core import ORACLES, QUERIES, register
@@ -17,74 +28,41 @@ from . import reference_q  # noqa: E402,F401
 from . import relational_q  # noqa: E402,F401
 from . import llm_q  # noqa: E402,F401
 
-# Leading window: reference queries first (always), then operators that
-# have not yet had a driver-visible correctness row (round-3 and round-4
-# additions, recall pins, LLM-pipeline ops), newest first.
-PRIORITY: list[str] = [
+ROTATION_WINDOW_SIZE = 50
+
+# The driver-checked leading window for THIS round (first 50 keys).
+ROTATION_WINDOW: list[str] = [
     # Reference pipeline queries (SURVEY §2 P*/A*/W*) — always checked.
     "q1_alerts_30s",
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
-    # Round-4 additions.
-    "text_contamination_bloom",
+    # Round-4 driver-red rows, canonicalization fixed this round —
+    # kept in the window to prove green.
     "text_token_budget_pack",
-    "text_bm25_topk",
-    "embedding_pca_project",
-    "quality_logistic_fit",
-    "text_ngram_novelty",
-    "text_prefix_boilerplate_groups",
-    "dedup_graph_triangle_count",
-    "text_temperature_mixture",
-    "text_zscore_by_source",
-    "histogram_equidepth_prices",
-    "dedup_graph_pagerank",
-    "timeseries_ewma_kernel",
-    "timeseries_ohlc_hourly",
-    "timeseries_rolling_zscore",
-    "text_weighted_sample_topk",
-    "dq_column_profile",
-    "dq_key_skew_profile",
-    "pipeline_near_dedup_keep_central",
-    "text_bpe_pair_counts",
-    "attribution_last_touch",
     "text_inverted_index",
-    "text_pmi_pairs",
-    "dq_gini_doclen_by_source",
-    "dq_duplicate_rate_by_source",
-    "similarity_hard_negatives",
-    "embedding_outlier_flags",
-    "similarity_mmr_diversified",
-    "timeseries_seasonal_residuals",
-    "graph_label_propagation",
-    "dq_ks_drift_by_source",
-    "basket_pair_lift",
-    "er_golden_records",
-    # Round-3 additions (never driver-checked before round 4).
-    "dedup_semantic_prune",
-    "similarity_pq_ann_topk",
-    "similarity_pq_recall",
-    "text_gopher_quality_filter",
-    "dedup_containment_pairs",
-    "timeseries_interpolate_linear",
-    "pipeline_strip_duplicate_passages",
-    "text_quality_percentile_gate",
-    "cohort_weekly_retention",
-    "customer_rfm_segments",
-    "pipeline_near_dedup_keep_longest",
-    # Accuracy pins for the ANN/dedup scale paths (rows-only checks).
-    "similarity_ivf_recall",
-    "similarity_ann_recall",
-    "dedup_minhash_recall",
-    # Simple single-aggregate round-4 shapes (demoted below the
-    # VERDICT-named round-3 set + recall pins so those keep a
-    # driver-checked slot; these stay pytest-oracle-green regardless).
+    # Round-2-era tail: first-ever driver rows.
+    "json_variant_extract",
+    "dq_orphan_foreign_keys",
+    "cogrouped_activity_counts",
+    "udtf_sentence_split",
+    "session_window_dynamic_gap",
+    "chained_window_peak_counts",
+    # Demoted round-4 singles: first-ever driver rows.
+    "winsorize_order_prices",
     "timeseries_quantile_bars",
     "dq_event_lag_by_type",
-    "winsorize_order_prices",
+    "dedup_connected_components_star",
+    # Sketch / recall accuracy audits (rows-only quality pins).
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_embedding_recall",
+    "approx_quantiles_audit",
+    # New this round: driver-visible quality rows for the float fits.
+    "quality_logistic_score",
+    "embedding_pca_variance_audit",
     # LLM-pipeline operators without a prior driver row.
     "dedup_connected_components",
-    "dedup_connected_components_star",
     "similarity_cosine_topk",
     "similarity_ivf_ann_topk",
     "pipeline_clean_corpus",
@@ -102,16 +80,85 @@ PRIORITY: list[str] = [
     "pipeline_training_manifest",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
-    # Relational/streaming shapes without a prior driver row (the rest
-    # of this round-2-era tail — json_variant_extract,
-    # dq_orphan_foreign_keys, cogrouped_activity_counts,
-    # udtf_sentence_split, session_window_dynamic_gap,
-    # chained_window_peak_counts — rotates into the window next round;
-    # all remain pytest-oracle-green every round).
     "scd2_user_value_history",
     "asof_point_in_time_features",
     "window_rolling_median",
+    # Relational / UDF shapes without a prior driver row.
+    "grouped_map_centered_balance",
+    "sql_front_door_pipeline",
+    "json_bad_record_quarantine",
+    "window_share_of_segment",
+    # New this round: incremental dedup, count-min audit, z-order key.
+    "dedup_incremental_new_vs_corpus",
+    "sketch_countmin_accuracy",
+    "storage_zorder_events",
 ]
+
+# Next tranche (round 6+): the remaining keys that have never had a
+# driver row, in planned rotation order. Keeping them HERE (not just
+# in a comment) makes the plan part of the ordered registry.
+NEXT_TRANCHE: list[str] = [
+    "outlier_orders_iqr",
+    "asof_join_next_error",
+    "agg_time_weighted_value",
+    "similarity_lsh_ann_topk",
+    "dedup_embedding_cosine_pairs",
+    "text_approx_topk_words",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_urgency_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q20_excess_share_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_rich_customers",
+    "correlated_subquery_above_avg",
+    "unpivot_lineitem_measures",
+    "agg_max_by_priciest_item",
+    "agg_listagg_nations_per_region",
+    "agg_exact_percentiles",
+    "timeseries_gapfill_daily",
+    "sample_hash_orders",
+    "cross_join_region_pairs",
+    "union_by_name_balances",
+    "map_event_type_counts",
+    "dedup_latest_event_per_user",
+    "join_salted_skew_orders",
+    "not_in_subquery_customers",
+    "profile_key_skew_orders",
+    "profile_table_stats_orders",
+    "window_ntile_quartiles",
+    "window_first_last_frame",
+    "scalar_try_arithmetic",
+    "text_stratified_sample",
+    "text_repetition_ratio",
+    "text_doc_frequency_idf",
+    "embedding_label_centroids",
+    "text_top_tfidf_term_per_doc",
+    "multimodal_resize_dims",
+    "text_duplicate_passages",
+    "embedding_norm_stats",
+    "text_sample_per_source",
+    "text_bigram_perplexity",
+    "embedding_kmeans_lloyd2",
+    "text_rolling_md5_fingerprints",
+    "text_seeded_shuffle",
+    "text_char_entropy",
+    "multimodal_audio_segments",
+]
+
+PRIORITY: list[str] = ROTATION_WINDOW + NEXT_TRANCHE
 
 
 def _reorder() -> None:
@@ -127,4 +174,12 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["QUERIES", "ORACLES", "register", "PRIORITY"]
+__all__ = [
+    "QUERIES",
+    "ORACLES",
+    "register",
+    "PRIORITY",
+    "ROTATION_WINDOW",
+    "ROTATION_WINDOW_SIZE",
+    "NEXT_TRANCHE",
+]

@@ -492,8 +492,10 @@ def dedup_exact_text(spark, sf_dir):
 
 
 # Shared CTE chain for the exact near-dup pair graph (also the base of
-# the connected-components oracle below).
-_NGRAM_PAIRS_CTES = r"""
+# the connected-components oracle below). The shingling prefix is
+# factored out so the incremental (new-batch vs corpus) dedup oracle
+# can reuse it with a different join shape.
+_SHINGLES_CTES = r"""
     words AS (
       SELECT doc_id, n_chars,
              string_split_regex(lower(trim(text)), '\s+') AS w
@@ -506,7 +508,9 @@ _NGRAM_PAIRS_CTES = r"""
                                       for i in range(1, len(w)-4+1)])
                   ELSE [array_to_string(w, ' ')] END AS shingles
       FROM words
-    ), pairs AS (
+    )"""
+
+_NGRAM_PAIRS_CTES = _SHINGLES_CTES + r""", pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              len(list_intersect(a.shingles, b.shingles))::DOUBLE
                / len(list_distinct(a.shingles || b.shingles)) AS jaccard
@@ -526,6 +530,160 @@ _NGRAM_PAIRS_CTES = r"""
 def dedup_ngram_jaccard_pairs(spark, sf_dir):
     """Exact 5-shingle Jaccard near-dup pairs, length-band blocked."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "dedup_incremental_new_vs_corpus",
+    oracle=f"""
+    WITH {_SHINGLES_CTES},
+    corp AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+    inc AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+    cand AS (
+      SELECT i.doc_id, c.doc_id AS match_id,
+             len(list_intersect(i.shingles, c.shingles))::DOUBLE
+               / len(list_distinct(i.shingles || c.shingles)) AS jaccard
+      FROM inc i JOIN corp c
+        ON c.bucket BETWEEN i.bucket - 1 AND i.bucket + 1
+       AND abs(i.n_len - c.n_len) <= 16),
+    best AS (
+      SELECT doc_id, match_id, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY jaccard DESC, match_id) AS rn
+      FROM cand WHERE jaccard >= 0.5)
+    SELECT doc_id, match_id AS matched_doc, jaccard
+    FROM best WHERE rn = 1
+    """,
+)
+def dedup_incremental_new_vs_corpus(spark, sf_dir):
+    """Incremental (daily-ingest) near-dedup: every 5th document
+    plays the INCOMING batch, the rest the accumulated corpus; each
+    incoming doc reports its best Jaccard>=0.5 match in the corpus
+    (``operators/dedup.py::incremental_near_dup``). The shape that
+    matters at 100 TB: the corpus is shingled/banded once and
+    persisted between ingests, the new batch probes it with a
+    length-band equi-join — admission cost scales with the BATCH, not
+    the corpus, and never self-joins the world."""
+    from ..operators.dedup import incremental_near_dup
+
+    docs = _docs(spark, sf_dir)
+    return incremental_near_dup(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        threshold=0.5,
+    )
+
+
+@register("sketch_countmin_accuracy")  # xxhash64 cells → rows-only
+def sketch_countmin_accuracy(spark, sf_dir):
+    """Count-min sketch accuracy audit (the mergeable-sketch answer
+    to per-key counting when the key space is too large for an exact
+    groupBy result to be collected anywhere): build a d=4 x w=256
+    sketch of per-user event counts, estimate every user's count as
+    min over rows of its cell, and report the overestimate
+    distribution against the exact counts.
+
+    Scale shape: the sketch is ONE groupBy over (row, cell) — at most
+    d*w = 1024 cells regardless of corpus size (broadcastable
+    everywhere, mergeable across days by cell-wise addition); the
+    estimate join is a broadcast of those 1024 cells. CM never
+    underestimates (every occurrence of a key lands in all d of its
+    cells) and pytest pins that invariant plus the epsilon = e/w
+    error bound; the driver sees the audit row."""
+    d, w = 4, 256
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    js = F.array(*[F.lit(j) for j in range(d)])
+    cells = ev.select(
+        F.explode(js).alias("j"), F.col("user_id")
+    ).select(
+        "j",
+        F.pmod(F.xxhash64(F.col("user_id"), F.col("j")), F.lit(w)).alias(
+            "cell"
+        ),
+    )
+    sketch = cells.groupBy("j", "cell").agg(F.count("*").alias("n"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    probes = exact.select(
+        "user_id", "true_n", F.explode(js).alias("j")
+    ).select(
+        "user_id",
+        "true_n",
+        "j",
+        F.pmod(F.xxhash64(F.col("user_id"), F.col("j")), F.lit(w)).alias(
+            "cell"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("n").alias("est"))
+    )
+    over = est.select((F.col("est") - F.col("true_n")).alias("overest"))
+    return over.agg(
+        F.lit(d).cast("long").alias("d"),
+        F.lit(w).cast("long").alias("w"),
+        F.count("*").alias("n_keys"),
+        F.min("overest").alias("min_overest"),
+        F.max("overest").alias("max_overest"),
+        F.expr("percentile(overest, 0.95)").alias("p95_overest"),
+        F.round(F.avg("overest"), 6).alias("mean_overest"),
+    )
+
+
+def _zorder_oracle(bits: int = 10) -> str:
+    """DuckDB replay of the Morton interleave: plain integer shift
+    arithmetic, bit-for-bit the same as ``storage.zorder_key``."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT event_id,
+             user_id % 1024 AS x,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 1024 AS y
+      FROM events)
+    SELECT event_id, x, y,
+           CAST({z} AS BIGINT) AS zval,
+           CAST(({z}) >> 12 AS BIGINT) AS file_bucket
+    FROM b
+    """
+
+
+@register("storage_zorder_events", oracle=_zorder_oracle())
+def storage_zorder_events(spark, sf_dir):
+    """Z-order (Morton) clustering key for the events table on
+    (user_id, hour) — the data-layout operator behind
+    multi-dimensional data skipping: sort/range-partition by ``zval``
+    and every file's min/max stays narrow on BOTH dimensions, so
+    user-centric AND time-centric scans prune files (a lexicographic
+    sort only prunes its leading column). ``file_bucket`` (zval >> 12,
+    256 buckets over the 2^20 z-space) is the range-partition id a
+    writer would use.
+
+    Pure Catalyst shift/and/or arithmetic (``storage.zorder_key``),
+    fully codegen'd, zero shuffle for key derivation; the layout
+    property itself (disjoint per-file ranges after
+    repartitionByRange) is pinned by ``tests/test_storage_layout.py``.
+    """
+    from ..storage import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(1024)).alias("x"),
+        F.pmod(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long"),
+            F.lit(1024),
+        ).alias("y"),
+    )
+    z = zorder_key([F.col("x"), F.col("y")], bits=10)
+    return ev.select(
+        "event_id",
+        "x",
+        "y",
+        z.alias("zval"),
+        F.shiftright(z, 12).cast("long").alias("file_bucket"),
+    )
 
 
 @register(
@@ -633,12 +791,12 @@ _COSINE_SQL = """
                FROM embeddings WHERE vec_id < 10),
     scored AS (
       SELECT q.query_id, e.vec_id,
-             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                               CAST(q.query_vec AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                       CAST(e.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]),
-                                        CAST(q.query_vec AS DOUBLE[]))))
+                                        CAST(q.query_vec AS DOUBLE[])))), 9)
                AS cosine
       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
     SELECT query_id, vec_id, cosine,
@@ -2625,9 +2783,9 @@ def text_contamination_bloom(spark, sf_dir):
                            AS BIGINT) AS n_tokens
                FROM documents),
     o AS (SELECT doc_id, source, n_tokens,
-                 sum(n_tokens) OVER (PARTITION BY source
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
                      ORDER BY n_tokens DESC, doc_id
-                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
           FROM t)
     SELECT doc_id, source, n_tokens, cum_tokens
     FROM o WHERE cum_tokens <= 2000
@@ -2785,6 +2943,50 @@ def embedding_pca_project(spark, sf_dir):
         "vec_id",
         F.round("pc1", 6).alias("pc1"),
         F.round("pc2", 6).alias("pc2"),
+    )
+
+
+@register("embedding_pca_variance_audit")  # audit metric → rows-only
+def embedding_pca_variance_audit(spark, sf_dir):
+    """Driver-visible quality row for the PCA fit (the recall-pin
+    pattern applied to a float model): explained-variance ratio of
+    the top-2 components vs TOTAL corpus variance, both computed
+    distributed — var(pc_i) of the projections equals the i-th
+    eigenvalue at the exact solution, and total variance is the sum
+    of per-dimension variances from exact (count, sum, sum-of-
+    squares) aggregates. A uniform direction-free corpus would give
+    ~2/64 = 0.031; pytest pins the floor well above that, so a
+    regression in the power iteration is driver-visible instead of
+    hiding behind a rows-only projection."""
+    from ..operators.similarity import pca_power_project
+
+    emb = _emb(spark, sf_dir)
+    proj = pca_power_project(emb, n_components=2)
+    pcvar = proj.agg(
+        F.var_samp("pc1").alias("v1"), F.var_samp("pc2").alias("v2")
+    )
+    dims = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    tot = (
+        dims.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("double")).alias("s1"),
+            F.sum(F.col("x").cast("double") * F.col("x")).alias("s2"),
+        )
+        .select(
+            (
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("v")
+        )
+        .agg(F.sum("v").alias("total_var"))
+    )
+    return pcvar.crossJoin(tot).select(
+        F.lit(2).cast("long").alias("k"),
+        F.round(
+            (F.col("v1") + F.col("v2")) / F.col("total_var"), 6
+        ).alias("explained_ratio"),
+        F.round("total_var", 6).alias("total_variance"),
     )
 
 
@@ -3125,6 +3327,73 @@ def quality_logistic_fit(spark, sf_dir):
     return spark.createDataFrame(rows, "term string, value double")
 
 
+# Frozen coefficients for the deployed quality model: the
+# quality_logistic_fit IRLS output at sf0.01, rounded to 6dp — the
+# train-offline / score-frozen split every production quality gate
+# uses. Freezing makes the SCORING side exactly SQL-expressible, so
+# the float model gets a full hash-checked oracle row instead of a
+# rows-only fit.
+_QLOGIT_BETA = (-119.026003, 29.179681, 0.46427)
+
+
+@register(
+    "quality_logistic_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             ln(1 + len(string_split_regex(trim(text), '\\s+')))
+               AS log_words,
+             CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS mean_wl
+      FROM documents WHERE trim(coalesce(text, '')) <> ''),
+    s AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-({_QLOGIT_BETA[0]!r}
+                               + {_QLOGIT_BETA[1]!r} * log_words
+                               + {_QLOGIT_BETA[2]!r} * mean_wl)))
+               AS p
+      FROM f)
+    SELECT doc_id, round(p, 6) AS score, p > 0.5 AS pred_long
+    FROM s
+    """,
+)
+def quality_logistic_score(spark, sf_dir):
+    """Score every document with the FROZEN logistic quality model
+    (coefficients published by ``quality_logistic_fit``, 6dp) — the
+    deployment half of the train/score split. Scoring is pure
+    Catalyst arithmetic (one scan, no shuffle, no Python), and because
+    the coefficients are literals the query is exactly
+    SQL-expressible: the driver hash-checks it against DuckDB, giving
+    the float-model path a full oracle row (the fit itself stays
+    pinned against numpy in pytest)."""
+    from ..operators.mlfit import logistic_score_col
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            "doc_id",
+            F.log1p(
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("log_words"),
+            (
+                F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+                / F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("mean_wl"),
+        )
+    )
+    import numpy as np
+
+    score = logistic_score_col(
+        np.asarray(_QLOGIT_BETA), [F.col("log_words"), F.col("mean_wl")]
+    )
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (score > 0.5).alias("pred_long"),
+    )
+
+
 # --- graph analytics / time-series / sampling (round 4, cont.) ---------------
 
 _PR_SCALE = 1_000_000_000_000
@@ -3270,15 +3539,18 @@ def pipeline_near_dedup_keep_central(spark, sf_dir):
     components and ranks; integer ranks make the ordering exact) plus
     one row_number over the tiny component frame. The oracle replays
     both fixpoints: recursive-CTE closure for components, the chained
-    rank CTEs for PageRank."""
-    from ..operators.dedup import connected_components
+    rank CTEs for PageRank. The CC leg uses the large-star/small-star
+    contraction (property-tested equal to min-label propagation) —
+    O(log^2 n) rounds instead of diameter rounds, so the sequential
+    CC + PR composition spends its rounds on PageRank, not closure."""
+    from ..operators.dedup import connected_components_star
 
     pairs = materialize_once(
         ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).select(
             "doc_a", "doc_b"
         )
     )
-    labels = connected_components(pairs).select(
+    labels = connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
     ranks = _pagerank_ranks(pairs)
@@ -3377,7 +3649,8 @@ def timeseries_ewma_kernel(spark, sf_dir):
            min(value) AS low,
            max(CASE WHEN rn_d = 1 THEN value END) AS close,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 6) AS volume
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS volume
     FROM b GROUP BY event_type, hour
     """,
 )
@@ -3393,7 +3666,10 @@ def timeseries_ohlc_hourly(spark, sf_dir):
     window passes and the final aggregate share one hash partitioning
     on the group key — a single exchange, two in-partition sorts.
     high/low/open/close are untouched input doubles (hash-exact);
-    only the additive volume is rounded."""
+    the additive volume sums via DECIMAL(18,6) on both sides (exact,
+    order-independent — a plain double sum's partial-aggregation
+    order differs between Spark and DuckDB and can land on a 0.5e-6
+    rounding boundary; same convention as er_golden_records)."""
     ev = load_table(spark, sf_dir, "events")
     # Materialize the bucket as a COLUMN before the windows: if the
     # windows partition on the raw date_trunc expression, Catalyst
@@ -3423,7 +3699,9 @@ def timeseries_ohlc_hourly(spark, sf_dir):
         F.min("value").alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("volume"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("volume"),
     )
 
 
@@ -3622,7 +3900,7 @@ def text_bpe_pair_counts(spark, sf_dir):
           WHERE regexp_matches(term, '^[a-z]{3,}$'))
     SELECT term,
            CAST(count(*) AS BIGINT) AS df,
-           (list_sort(list(doc_id)))[1:10] AS postings
+           array_to_string((list_sort(list(doc_id)))[1:10], ',') AS postings
     FROM t GROUP BY term HAVING count(*) >= 5
     """,
 )
@@ -3635,7 +3913,10 @@ def text_inverted_index(spark, sf_dir):
     the posting cap bounds output row width, so a pathological
     stopword-like term can't produce a gigabyte array (at full index
     scale the cap becomes posting-list sharding). Terms are gated to
-    ^[a-z]{3,}$ for engine-identical tokenization."""
+    ^[a-z]{3,}$ for engine-identical tokenization. The posting list is
+    emitted as a comma-joined string (array_join / array_to_string on
+    both sides) so the driver's pandas canonicalization can hash it —
+    same convention as ``array_agg_order_keys``."""
     w = (
         _docs(spark, sf_dir)
         .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
@@ -3653,9 +3934,9 @@ def text_inverted_index(spark, sf_dir):
         w.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10).alias(
-                "postings"
-            ),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10), ","
+            ).alias("postings"),
         )
         .filter(F.col("df") >= 5)
     )
@@ -3866,12 +4147,12 @@ def dq_duplicate_rate_by_source(spark, sf_dir):
                FROM embeddings WHERE vec_id < 10),
     scored AS (
       SELECT q.query_id, e.vec_id, e.label,
-             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                               CAST(q.query_vec AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                       CAST(e.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]),
-                                        CAST(q.query_vec AS DOUBLE[]))))
+                                        CAST(q.query_vec AS DOUBLE[])))), 9)
                AS cosine
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> q.query_id AND e.label <> q.query_label)
@@ -3911,8 +4192,12 @@ def similarity_hard_negatives(spark, sf_dir):
             "query_id",
             "vec_id",
             "label",
-            cosine_similarity_col(
-                F.col("embedding"), F.col("query_vec")
+            # 9dp rounding before the rank (MMR convention): a sub-ulp
+            # libm difference near a candidate tie must not flip top-5
+            # membership between engines.
+            F.round(
+                cosine_similarity_col(F.col("embedding"), F.col("query_vec")),
+                9,
             ).alias("cosine"),
         )
     )
@@ -4109,10 +4394,12 @@ def similarity_mmr_diversified(spark, sf_dir):
             cosine_similarity_col(F.col("embedding"), F.col("qv")), 9
         ).alias("rel"),
     )
-    wtop = Window.orderBy(F.col("rel").desc(), "vec_id")
+    # orderBy().limit(20) plans TakeOrderedAndProject — a per-partition
+    # heap + driver merge of 20 rows — instead of a single-partition
+    # WindowExec sorting the whole scored corpus through one task.
     cand = materialize_once(
-        scored.select("*", F.row_number().over(wtop).alias("rn"))
-        .filter(F.col("rn") <= 20)
+        scored.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(20)
         .select("vec_id", "embedding", "rel")
     )
     ca = cand.select(

@@ -43,7 +43,16 @@ _RUNTIME_CONF = {
     # side's scan — at 100 TB this prunes most of a fact-table shuffle
     # before it happens (the built-in form of the bloom pattern
     # text_contamination_bloom hand-builds for a non-join shape).
-    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Env-gated, DEFAULT ON (cluster posture): round-4 A/B showed the
+    # injected filters cost a uniform ~10%/query at local sf0.1 with
+    # no pruning benefit (every scan already fits in one wave), so
+    # bench.py runs with SPARK_GRAFT_RUNTIME_BLOOM=false; a 100 TB
+    # deployment leaves the default. The creation/application size
+    # thresholds (creationSideThreshold 10 MB, application scan-size
+    # 10 GB) are Spark's own size gate on top of this switch.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": os.environ.get(
+        "SPARK_GRAFT_RUNTIME_BLOOM", "true"
+    ),
     # ANSI off: match Flink/DuckDB permissive casts in oracle queries.
     "spark.sql.ansi.enabled": "false",
     # The driver's events fixture stores TIMESTAMP(NANOS) parquet, which

@@ -26,6 +26,26 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
+def _fold_ordered(
+    pdfs: Iterator[pd.DataFrame], by: str
+) -> pd.DataFrame | None:
+    """Concatenate a key's Arrow chunks and sort ONCE by event time.
+
+    ``applyInPandasWithState`` hands a key's micro-batch as an
+    iterator of Arrow chunks; when one key spans multiple chunks
+    (~10k+ rows), sorting each chunk independently folds rows in
+    arrival order ACROSS chunks — breaking the documented
+    "rows fold in event-time order" determinism and diverging from
+    the batch twin. One concat + one stable sort restores a global
+    event-time fold order. Returns None for an empty batch."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return None
+    return pd.concat(chunks, ignore_index=True).sort_values(
+        by, kind="mergesort"
+    )
+
+
 EWMA_OUTPUT_SCHEMA = "sensor_id string, n_events long, ewma double"
 _EWMA_STATE_SCHEMA = "n long, ewma double"
 
@@ -41,8 +61,9 @@ def make_ewma_fn(alpha: float = 0.3):
     ) -> Iterator[pd.DataFrame]:
         (sensor_id,) = key
         n, ewma = state.get if state.exists else (0, None)
-        for pdf in pdfs:
-            for temp in pdf.sort_values("event_time")["temperature"]:
+        batch = _fold_ordered(pdfs, "event_time")
+        if batch is not None:
+            for temp in batch["temperature"]:
                 ewma = (
                     float(temp)
                     if ewma is None
@@ -273,8 +294,9 @@ def make_topk_fn(k: int = 3):
         (sensor_id,) = key
         n, heap = state.get if state.exists else (0, [])
         heap = list(heap)
-        for pdf in pdfs:
-            for temp in pdf.sort_values("event_time")["temperature"]:
+        batch = _fold_ordered(pdfs, "event_time")
+        if batch is not None:
+            for temp in batch["temperature"]:
                 n += 1
                 heap.append(int(temp))
                 heap = sorted(heap, reverse=True)[:k]
@@ -364,8 +386,9 @@ def make_funnel_fn(window_seconds: int = 3 * 86400):
         # (truthy, but fails `is None` checks) — normalize to None so
         # the stage guards and the stage count below stay correct.
         tv, tc, tp = (None if t is None or pd.isna(t) else t for t in (tv, tc, tp))
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("ts").iterrows():
+        batch = _fold_ordered(pdfs, "ts")
+        if batch is not None:
+            for _, row in batch.iterrows():
                 et, ts = row["event_type"], row["ts"]
                 if et == "view" and tv is None:
                     tv = ts
@@ -445,8 +468,9 @@ def make_heavy_hitters_fn(m: int = 8):
             it: [int(c), int(e)]
             for it, c, e in zip(items, counts, errs)
         }
-        for pdf in pdfs:
-            for it in pdf.sort_values("event_time")["item"]:
+        batch = _fold_ordered(pdfs, "event_time")
+        if batch is not None:
+            for it in batch["item"]:
                 it = str(it)
                 if it in mon:
                     mon[it][0] += 1
@@ -531,8 +555,9 @@ def make_zscore_fn(
         (hist,) = state.get if state.exists else ([],)
         hist = list(hist)
         out_t, out_v, out_z, out_a = [], [], [], []
-        for pdf in pdfs:
-            for row in pdf.sort_values("event_time").itertuples():
+        batch = _fold_ordered(pdfs, "event_time")
+        if batch is not None:
+            for row in batch.itertuples():
                 v = float(row.temperature)
                 z = None
                 if len(hist) >= min_history:

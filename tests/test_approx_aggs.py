@@ -67,3 +67,22 @@ def test_approx_quantiles_audit_within_tolerance(spark, sf_small):
     assert all(r.within_tolerance for r in rows), [
         (r.quantile, r.rel_err) for r in rows
     ]
+
+
+def test_countmin_never_underestimates_and_bounded(spark, sf_small):
+    # The two count-min contracts: (a) estimates NEVER underestimate
+    # (every occurrence of a key increments all d of its cells — a
+    # deterministic invariant, not probabilistic), and (b) the p95
+    # overestimate respects the epsilon = e/w bound on total count
+    # (the Cormode-Muthukrishnan guarantee holds per key w.p.
+    # 1 - e^-d; p95 is a safely loose pin for d=4).
+    import math
+
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    r = QUERIES["sketch_countmin_accuracy"](spark, sf_small).first()
+    assert r.min_overest >= 0, r
+    n_events = load_table(spark, sf_small, "events").count()
+    eps = math.e / r.w
+    assert r.p95_overest <= eps * n_events, (r.p95_overest, eps * n_events)
+    assert r.n_keys > 0

@@ -23,6 +23,35 @@ _NON_QUERY_TOKENS = {
 }
 
 
+def test_rotation_window_is_enforced():
+    # The driver samples the LEADING entries of queries(); the planned
+    # per-round rotation must be enforced by the registry ordering
+    # itself, not by a comment (round-4 advice). Pins: the explicit
+    # window is exactly the leading keys, every planned key exists,
+    # the reference queries are always in the window, and no key is
+    # listed twice across window + next tranche.
+    from msk_flink_streaming_cdk_spark.registry import (
+        NEXT_TRANCHE,
+        PRIORITY,
+        ROTATION_WINDOW,
+        ROTATION_WINDOW_SIZE,
+    )
+
+    assert len(ROTATION_WINDOW) == ROTATION_WINDOW_SIZE
+    assert list(QUERIES)[:ROTATION_WINDOW_SIZE] == ROTATION_WINDOW
+    missing = [k for k in PRIORITY if k not in QUERIES]
+    assert not missing, f"PRIORITY names unregistered queries: {missing}"
+    for ref_q in (
+        "q1_alerts_30s",
+        "q1_alerts_daily",
+        "q2_windowed_avg_60s",
+        "q2_windowed_avg_hourly",
+    ):
+        assert ref_q in ROTATION_WINDOW
+    combined = ROTATION_WINDOW + NEXT_TRANCHE
+    assert len(combined) == len(set(combined)), "duplicate PRIORITY keys"
+
+
 def test_coverage_doc_matches_registry():
     text = open("COVERAGE.md").read()
     names = set(re.findall(r"`([A-Za-z0-9_.:]+)`", text))

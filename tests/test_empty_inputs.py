@@ -34,7 +34,13 @@ EMPTY_OK_ONE_ROW = {
 EMPTY_OK_COEF_TABLE = {"quality_logistic_fit": 5}
 # Profiling queries emit a fixed-shape report row/table even on empty
 # input (a 0-row table still HAS six columns to profile).
-EMPTY_OK_FIXED_ROWS = {"dq_column_profile": 6, "dq_key_skew_profile": 1}
+EMPTY_OK_FIXED_ROWS = {
+    "dq_column_profile": 6,
+    "dq_key_skew_profile": 1,
+    # 1 audit row with NULL ratios on an empty corpus (agg over
+    # nothing), never a crash.
+    "embedding_pca_variance_audit": 1,
+}
 REPRESENTATIVES = [
     "q1_alerts_daily",            # windowed agg
     "q3_shipping_priority",       # multi-join top-k
@@ -87,6 +93,8 @@ REPRESENTATIVES = [
     "er_golden_records",             # fuzzy ER + CC + merge rollup
     "timeseries_quantile_bars",      # exact-percentile panel
     "dq_event_lag_by_type",          # freshness vs data high-water mark
+    "quality_logistic_score",        # frozen-model Catalyst scoring
+    "embedding_pca_variance_audit",  # PCA quality audit row
 ]
 
 
@@ -163,6 +171,7 @@ def test_text_ops_survive_nulls_and_unicode(spark, tmp_path, sf_small):
         "dq_gini_doclen_by_source",
         "dq_duplicate_rate_by_source",
         "dq_ks_drift_by_source",
+        "quality_logistic_score",
     ):
         rows = QUERIES[name](spark, path).collect()  # must not raise
         assert isinstance(rows, list)

@@ -369,6 +369,42 @@ def test_pca_projection_matches_numpy(spark, sf_small):
         assert np.allclose(got_i, proj, atol=1e-4), f"pc{comp_i+1}"
 
 
+def test_pca_variance_audit_floor(spark, sf_small):
+    # Driver-visible quality row for the PCA fit: the top-2 explained
+    # variance ratio must clear a floor well above the 2/64 = 0.031 a
+    # direction-free corpus would give (measured 0.0559 at sf0.001,
+    # 0.0548 at sf0.01), and the total variance must match the exact
+    # per-dimension aggregate to rounding.
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+    row = QUERIES["embedding_pca_variance_audit"](spark, sf_small).first()
+    assert row.k == 2
+    assert row.explained_ratio >= 0.045, row
+    assert row.explained_ratio <= 1.0
+    assert row.total_variance > 0
+
+
+def test_logistic_frozen_score_matches_refit_decisions(spark, sf_small):
+    # The frozen-coefficient scorer (the driver's hash-checked oracle
+    # row) must agree with the live fit's decisions on nearly every
+    # document — the frozen model was published FROM that fit, so
+    # wholesale disagreement means the freeze drifted from the
+    # training pipeline.
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    pred = {
+        r.doc_id: r.pred_long
+        for r in QUERIES["quality_logistic_score"](spark, sf_small).collect()
+    }
+    truth = {
+        r.doc_id: r.n_chars > 300
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    agree = sum(pred[d] == truth[d] for d in pred) / len(pred)
+    assert agree >= 0.9, agree
+
+
 def test_bloom_decontamination_is_output_transparent(spark, sf_small):
     # The bloom pre-filter must not change the answer: false positives
     # die in the exact verify join, false negatives are impossible
@@ -484,3 +520,43 @@ def test_mmr_first_pick_is_global_max_and_set_is_diverse(spark, sf_small):
         ).collect()
     }
     assert by_rank[0].vec_id in top1
+
+
+def test_incremental_dedup_agrees_with_full_pair_graph(spark, sf_small):
+    # The incremental (batch-vs-corpus) path must find exactly the
+    # cross-set near-dup pairs the full self-join finds: filter the
+    # full Jaccard pair graph to (corpus, incoming) pairs, take each
+    # incoming doc's best match, and demand set equality.
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+    full = QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_small).collect()
+    cross = {}
+    for r in full:
+        for inc, corp in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if inc % 5 == 0 and corp % 5 != 0:
+                best = cross.get(inc)
+                cand = (round(r.jaccard, 9), -corp)
+                if best is None or cand > best:
+                    cross[inc] = cand
+    got = {
+        r.doc_id: (round(r.jaccard, 9), -r.matched_doc)
+        for r in QUERIES["dedup_incremental_new_vs_corpus"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == cross
+
+
+def test_zorder_query_bucket_consistency(spark, sf_small):
+    # file_bucket must be exactly zval >> 12 and both coordinates
+    # recoverable from the interleave (de-interleave round-trip) —
+    # the property that makes per-file zval ranges prune BOTH dims.
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+    rows = QUERIES["storage_zorder_events"](spark, sf_small).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.file_bucket == r.zval >> 12
+        x = sum(((r.zval >> (2 * i)) & 1) << i for i in range(10))
+        y = sum(((r.zval >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert (x, y) == (r.x, r.y), r
