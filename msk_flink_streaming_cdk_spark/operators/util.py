@@ -22,6 +22,32 @@ def materialize_once(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def narrow_when_tiny(df: DataFrame, max_rows: int = 100_000) -> DataFrame:
+    """Materialize a multi-consumer frame; if it turns out TINY,
+    re-lay it out as a single partition.
+
+    Iterative consumers (connected components, PageRank, label
+    propagation) run one join+agg over this frame per round; when the
+    graph is a few hundred rows, the per-round cost is pure
+    scheduling of 32-task stages, and a single-partition layout turns
+    every round into narrow one-task stages (measured ~1.1s off the
+    keep-central composition at sf0.1). Above the threshold the frame
+    is returned unchanged — the distributed layout IS the point at
+    scale, and the count used for the decision is the materialization
+    the consumers needed anyway.
+    """
+    m = materialize_once(df)
+    if m.count() <= max_rows:
+        narrow = materialize_once(m.repartition(1))
+        # Force the narrow copy BEFORE dropping the wide one —
+        # unpersisting first would make the lazy repartition recompute
+        # the whole upstream plan instead of reading the cache.
+        narrow.count()
+        m.unpersist()
+        return narrow
+    return m
+
+
 def parallelize_narrow(df: DataFrame) -> DataFrame:
     """Repartition CPU-heavy narrow stages up to cluster parallelism.
 

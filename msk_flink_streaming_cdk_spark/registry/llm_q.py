@@ -3468,7 +3468,9 @@ def _pagerank_ranks(pairs):
     """(id, r) integer micro-unit ranks for the undirected pair graph —
     the shared core of ``dedup_graph_pagerank`` and the keep-central
     dedup policy."""
-    und = materialize_once(
+    from ..operators.util import narrow_when_tiny
+
+    und = narrow_when_tiny(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionAll(
             pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
@@ -3539,18 +3541,25 @@ def pipeline_near_dedup_keep_central(spark, sf_dir):
     components and ranks; integer ranks make the ordering exact) plus
     one row_number over the tiny component frame. The oracle replays
     both fixpoints: recursive-CTE closure for components, the chained
-    rank CTEs for PageRank. The CC leg uses the large-star/small-star
-    contraction (property-tested equal to min-label propagation) —
-    O(log^2 n) rounds instead of diameter rounds, so the sequential
-    CC + PR composition spends its rounds on PageRank, not closure."""
-    from ..operators.dedup import connected_components_star
+    rank CTEs for PageRank.
 
-    pairs = materialize_once(
+    CC flavor, measured at sf0.1 on the shared pair graph: min-label
+    propagation 1.7s vs large-star/small-star 3.4s — near-dup
+    components are shallow cliques (diameter ~2), where propagation
+    converges in 2-3 one-join rounds while star contraction pays two
+    join+distinct passes plus a set-equality probe per round. Star
+    stays the right leg for DEEP graphs (chain-200: 9 rounds vs 200,
+    see ``dedup_connected_components_star``); a production pipeline
+    would pick by a diameter probe."""
+    from ..operators.dedup import connected_components
+    from ..operators.util import narrow_when_tiny
+
+    pairs = narrow_when_tiny(
         ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).select(
             "doc_a", "doc_b"
         )
     )
-    labels = connected_components_star(pairs).select(
+    labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
     ranks = _pagerank_ranks(pairs)
@@ -4572,8 +4581,10 @@ def graph_label_propagation(spark, sf_dir):
     with INTEGER vote counts so the argmax — and therefore the whole
     propagation — is exactly reproducible; the oracle unrolls the
     rounds."""
+    from ..operators.util import narrow_when_tiny
+
     pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
-    und = materialize_once(
+    und = narrow_when_tiny(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionAll(
             pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
