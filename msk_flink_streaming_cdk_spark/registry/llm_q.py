@@ -4368,6 +4368,35 @@ def _mmr_oracle(k: int = 5, lam: float = 0.5) -> str:
     )
 
 
+def mmr_candidate_plan(spark, sf_dir):
+    """The MMR candidate stage BEFORE materialization — exposed so the
+    plan report can snapshot it (the full query's plan is truncated by
+    the greedy loop's localCheckpoints): corpus-wide relevance scan →
+    orderBy().limit(20), which must plan TakeOrderedAndProject
+    (per-partition heap + driver merge of 20 rows), never a
+    single-partition WindowExec."""
+    from ..functions.vectors import cosine_similarity_col
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = emb.filter(F.col("vec_id") != 0).crossJoin(
+        F.broadcast(q)
+    ).select(
+        "vec_id",
+        "embedding",
+        F.round(
+            cosine_similarity_col(F.col("embedding"), F.col("qv")), 9
+        ).alias("rel"),
+    )
+    return (
+        scored.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(20)
+        .select("vec_id", "embedding", "rel")
+    )
+
+
 @register("similarity_mmr_diversified", oracle=_mmr_oracle())
 def similarity_mmr_diversified(spark, sf_dir):
     """Maximal Marginal Relevance retrieval: from the query's top-20
@@ -4390,27 +4419,11 @@ def similarity_mmr_diversified(spark, sf_dir):
     from ..functions.vectors import cosine_similarity_col
 
     lam = 0.5
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv")
-    )
-    scored = emb.filter(F.col("vec_id") != 0).crossJoin(
-        F.broadcast(q)
-    ).select(
-        "vec_id",
-        "embedding",
-        F.round(
-            cosine_similarity_col(F.col("embedding"), F.col("qv")), 9
-        ).alias("rel"),
-    )
     # orderBy().limit(20) plans TakeOrderedAndProject — a per-partition
     # heap + driver merge of 20 rows — instead of a single-partition
-    # WindowExec sorting the whole scored corpus through one task.
-    cand = materialize_once(
-        scored.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(20)
-        .select("vec_id", "embedding", "rel")
-    )
+    # WindowExec sorting the whole scored corpus through one task
+    # (plan pinned via mmr_candidate_plan in PLANS.md + test_plans).
+    cand = materialize_once(mmr_candidate_plan(spark, sf_dir))
     ca = cand.select(
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("ea"),

@@ -401,3 +401,16 @@ def test_basket_lift_joins_stay_hash_equi(spark, sf_small):
     df = QUERIES["basket_pair_lift"](spark, sf_small)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mmr_candidate_stage_is_take_ordered(spark, sf_small):
+    # The corpus-wide top-20 must plan TakeOrderedAndProject (per-
+    # partition heap + driver merge), never a single-partition
+    # WindowExec sorting the whole scored corpus through one task.
+    from msk_flink_streaming_cdk_spark.registry.llm_q import (
+        mmr_candidate_plan,
+    )
+
+    plan = formatted_plan(mmr_candidate_plan(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
