@@ -575,6 +575,11 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     n_prev = e.count()
+    if n_prev <= 100_000:
+        # Tiny graph: single-partition layout so every contraction
+        # round runs narrow one-task stages instead of paying
+        # full-width scheduling (same policy as narrow_when_tiny).
+        e = e.repartition(1).localCheckpoint(eager=True)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1

@@ -1064,3 +1064,44 @@ def test_zscore_state_survives_restart(spark, tmp_path):
     # The post-spike stable reading is scored against a history that
     # now CONTAINS the spike — z is present but below threshold.
     assert rows[-1].z is not None and not rows[-1].is_anomaly
+
+
+def test_ewma_folds_in_event_time_order_across_arrow_chunks(
+    spark, tmp_path
+):
+    # Regression for the multi-chunk fold bug: when one key's
+    # micro-batch spans several Arrow chunks, the processor must sort
+    # ONCE across the concatenation — per-chunk sorting folds chunks
+    # in arrival order and diverges from the batch-ordered reference.
+    # Force tiny chunks, write the rows in REVERSED event-time order
+    # inside one file, and pin the result to the ordered fold.
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        n = 100
+        rows = [("1", 20 + (i % 7), n - i) for i in range(n)]  # desc ts
+        src = _write_batches(spark, tmp_path, [rows], subdir="chunks")
+        readings = stream_parquet_dir(
+            spark, src, SENSOR_READING, max_files_per_trigger=1
+        )
+        q = (
+            ewma_by_key(readings, alpha=0.3)
+            .writeStream.format("memory")
+            .queryName("ewma_chunks")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.sensor_id: (r.n_events, r.ewma)
+            for r in spark.sql("select * from ewma_chunks").collect()
+        }
+        ordered = sorted(rows, key=lambda r: r[2])  # event-time order
+        want = _ref_ewma([t for (_, t, _) in ordered])
+        assert got["1"][0] == n
+        assert abs(got["1"][1] - want) < 1e-9, (got["1"][1], want)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
