@@ -114,6 +114,7 @@ HEADLINE = [
     "dedup_incremental_new_vs_corpus",
     "sketch_countmin_accuracy",
     "storage_zorder_events",
+    "dq_source_overlap_matrix",
 ]
 
 

@@ -85,10 +85,11 @@ ROTATION_WINDOW: list[str] = [
     "window_rolling_median",
     # Relational / UDF shapes without a prior driver row.
     "grouped_map_centered_balance",
-    "sql_front_door_pipeline",
     "json_bad_record_quarantine",
     "window_share_of_segment",
-    # New this round: incremental dedup, count-min audit, z-order key.
+    # New this round: incremental dedup, count-min audit, z-order key,
+    # inter-source overlap matrix.
+    "dq_source_overlap_matrix",
     "dedup_incremental_new_vs_corpus",
     "sketch_countmin_accuracy",
     "storage_zorder_events",
@@ -98,6 +99,7 @@ ROTATION_WINDOW: list[str] = [
 # driver row, in planned rotation order. Keeping them HERE (not just
 # in a comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    "sql_front_door_pipeline",
     "outlier_orders_iqr",
     "asof_join_next_error",
     "agg_time_weighted_value",

@@ -4149,6 +4149,107 @@ def dq_duplicate_rate_by_source(spark, sf_dir):
 
 
 @register(
+    "dq_source_overlap_matrix",
+    oracle=r"""
+    WITH fp AS (SELECT DISTINCT source,
+                  md5(array_to_string(
+                    (string_split_regex(lower(trim(text)), '\s+'))[1:8],
+                    ' ')) AS f
+                FROM documents
+                WHERE trim(coalesce(text, '')) <> ''),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM fp GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM fp a JOIN fp b USING (f)
+      WHERE a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b,
+           i.n_common,
+           round(i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE),
+                 6) AS jaccard,
+           round(i.n_common
+                 / CAST(CASE WHEN sa.n < sb.n THEN sa.n ELSE sb.n END
+                        AS DOUBLE), 6) AS containment
+    FROM inter i
+    JOIN sz sa ON sa.source = i.source_a
+    JOIN sz sb ON sb.source = i.source_b
+    """,
+)
+def dq_source_overlap_matrix(spark, sf_dir):
+    """Inter-source content-overlap matrix: for every source pair
+    sharing at least one 8-word-prefix fingerprint (the boilerplate
+    key of ``text_prefix_boilerplate_groups``), the intersection size
+    plus Jaccard and containment over their DISTINCT fingerprint sets
+    — the audit that catches one source mirroring or syndicating
+    another (high containment of the smaller source) before mixture
+    weights are computed over double-counted content.
+
+    One distinct projection of (source, fingerprint), one equi-join
+    on the fingerprint, one pair rollup, two broadcast joins against
+    the tiny per-source size table. Output is bounded by sources^2,
+    never by corpus size; a hot boilerplate fingerprint contributes
+    at most sources^2 join rows."""
+    fp = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            "source",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.split(F.lower(F.trim("text")), r"\s+"), 1, 8
+                    ),
+                    " ",
+                )
+            ).alias("f"),
+        )
+        .distinct()
+    )
+    sz = fp.groupBy("source").agg(F.count("*").alias("n"))
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    inter = (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("n", "n_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sz.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("n", "n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+@register(
     "similarity_hard_negatives",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec,

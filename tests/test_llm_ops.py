@@ -560,3 +560,22 @@ def test_zorder_query_bucket_consistency(spark, sf_small):
         x = sum(((r.zval >> (2 * i)) & 1) << i for i in range(10))
         y = sum(((r.zval >> (2 * i + 1)) & 1) << i for i in range(10))
         assert (x, y) == (r.x, r.y), r
+
+
+def test_narrow_when_tiny_layout_policy(spark):
+    # Tiny frames collapse to one partition (iterative consumers run
+    # single-task rounds); big frames keep their layout (distribution
+    # is the point at scale).
+    from msk_flink_streaming_cdk_spark.operators.util import (
+        narrow_when_tiny,
+    )
+
+    small = narrow_when_tiny(spark.range(100).repartition(8))
+    assert small.rdd.getNumPartitions() == 1
+    assert small.count() == 100
+    big = narrow_when_tiny(
+        spark.range(200_000).repartition(8), max_rows=100_000
+    )
+    assert big.rdd.getNumPartitions() == 8
+    assert big.count() == 200_000
+    small.unpersist(), big.unpersist()
