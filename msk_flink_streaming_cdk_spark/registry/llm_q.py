@@ -5007,6 +5007,9 @@ def er_golden_records(spark, sf_dir):
         .filter(F.col("nk_a") == F.col("nk_b"))
         .select("id_a", "id_b")
     )
+    from ..operators.util import narrow_when_tiny
+
+    pairs = narrow_when_tiny(pairs)
     comp = connected_components(pairs, a="id_a", b="id_b").select(
         F.col("node").alias("id"), F.col("label").alias("cluster")
     )

@@ -687,3 +687,37 @@ def quantile_monitor_stream(
             "n_values",
         )
     )
+
+
+def countmin_stream(
+    readings: DataFrame,
+    d: int = 4,
+    w: int = 256,
+    key_col: str = "sensor_id",
+) -> DataFrame:
+    """Streaming count-min sketch maintenance: the d x w cell table as
+    an incrementally-maintained aggregation — the streaming half of
+    the batch ``sketch_countmin_accuracy`` audit, with the SAME
+    (xxhash64(key, row) mod w) cell function so batch-built and
+    stream-built sketches merge by cell-wise addition.
+
+    Entirely declarative: state is exactly d*w counter cells
+    regardless of key cardinality or stream length (the property that
+    makes per-key counting safe on an unbounded stream), maintained
+    by Spark's built-in incremental aggregation in update mode —
+    no custom state, no timers. Point estimates read
+    min over the d cells of a key, never underestimating."""
+    js = F.array(*[F.lit(j) for j in range(d)])
+    return (
+        readings.select(
+            F.explode(js).alias("j"), F.col(key_col).alias("k")
+        )
+        .select(
+            "j",
+            F.pmod(F.xxhash64(F.col("k"), F.col("j")), F.lit(w)).alias(
+                "cell"
+            ),
+        )
+        .groupBy("j", "cell")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1105,3 +1105,44 @@ def test_ewma_folds_in_event_time_order_across_arrow_chunks(
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev
         )
+
+
+def test_countmin_stream_matches_batch_sketch(spark, tmp_path):
+    # The streamed d x w cell table (built-in incremental aggregation,
+    # complete mode) must equal the batch-built sketch over the same
+    # rows cell-for-cell — the mergeable-sketch contract that lets a
+    # stream keep a batch-bootstrapped sketch current.
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        countmin_stream,
+    )
+
+    batches = [
+        [("1", 30, 0), ("1", 32, 10), ("2", 28, 5)],
+        [("1", 27, 20), ("2", 31, 25), ("3", 29, 30)],
+        [("3", 26, 40), ("1", 33, 50)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, subdir="cm")
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = (
+        countmin_stream(readings, d=4, w=64)
+        .writeStream.format("memory")
+        .queryName("cm_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.j, r.cell): r.n
+        for r in spark.sql("select * from cm_stream").collect()
+    }
+    batch_df = spark.read.parquet(src)
+    want = {
+        (r.j, r.cell): r.n
+        for r in countmin_stream(batch_df, d=4, w=64).collect()
+    }
+    assert got == want
+    # bounded-state contract: never more than d*w cells
+    assert len(got) <= 4 * 64
