@@ -501,7 +501,10 @@ def connected_components(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # Lazy checkpoint: the first consumer (round-1 join) runs the
+        # materialization inside its own job instead of paying a
+        # separate eager job; later rounds read the checkpointed RDD.
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(
         F.col("src").alias("node"), F.col("src").alias("label")
@@ -522,7 +525,9 @@ def connected_components(
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            # Lazy: the fingerprint agg below materializes this
+            # round's checkpoint in the same job.
+            .localCheckpoint(eager=False)
         )
         s = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
@@ -572,7 +577,8 @@ def connected_components_star(
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # Lazy: the count below materializes the checkpoint in-job.
+        .localCheckpoint(eager=False)
     )
     n_prev = e.count()
     if n_prev <= 100_000:
@@ -613,7 +619,8 @@ def connected_components_star(
             .select("edge.u", "edge.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # Lazy: the cardinality probe materializes it in-job.
+            .localCheckpoint(eager=False)
         )
         # Both sides are distinct sets, so equal cardinality plus
         # one-way containment is full equality — one exceptAll probe
