@@ -115,6 +115,7 @@ HEADLINE = [
     "sketch_countmin_accuracy",
     "storage_zorder_events",
     "dq_source_overlap_matrix",
+    "retrieval_hybrid_rrf",
 ]
 
 

@@ -86,10 +86,10 @@ ROTATION_WINDOW: list[str] = [
     # Relational / UDF shapes without a prior driver row.
     "grouped_map_centered_balance",
     "json_bad_record_quarantine",
-    "window_share_of_segment",
     # New this round: incremental dedup, count-min audit, z-order key,
-    # inter-source overlap matrix.
+    # inter-source overlap matrix, hybrid RRF retrieval.
     "dq_source_overlap_matrix",
+    "retrieval_hybrid_rrf",
     "dedup_incremental_new_vs_corpus",
     "sketch_countmin_accuracy",
     "storage_zorder_events",
@@ -99,6 +99,7 @@ ROTATION_WINDOW: list[str] = [
 # driver row, in planned rotation order. Keeping them HERE (not just
 # in a comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    "window_share_of_segment",
     "sql_front_door_pipeline",
     "outlier_orders_iqr",
     "asof_join_next_error",

@@ -2861,6 +2861,17 @@ def text_bm25_topk(spark, sf_dir):
     the per-(doc, term) tf is a JVM HOF filter count, the score a
     closed-form expression, and the top-k a TakeOrdered — no UDFs,
     no shuffle beyond the df aggregate and the final top-k merge."""
+    scored = _bm25_scored(spark, sf_dir)
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, score) BM25 frame for the fixed 3-term query — shared
+    by the lexical top-k and the hybrid RRF fusion."""
     terms = ["spark", "join", "window"]
     k1, b = 1.2, 0.75
     w = _docs(spark, sf_dir).select(
@@ -2922,10 +2933,135 @@ def text_bm25_topk(spark, sf_dir):
             ).alias("score")
         )
     )
+    return scored
+
+
+_BM25_CTES = r"""
+    w AS (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+    stats AS (SELECT count(*) AS n, sum(dl) AS total_dl FROM dl),
+    q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+    tf AS (SELECT w.doc_id, q.term,
+                  CAST(len(list_filter(w.w, x -> x = q.term)) AS BIGINT)
+                    AS tf
+           FROM w, q),
+    df AS (SELECT term, count(*) FILTER (WHERE tf > 0) AS df
+           FROM tf GROUP BY term),
+    bm25_scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                   / (CAST(s.total_dl AS DOUBLE) / s.n))))
+               AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+      WHERE tf.tf > 0
+      GROUP BY tf.doc_id)"""
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(score, 9) DESC, doc_id)
+               AS r_lex
+      FROM bm25_scored
+      ORDER BY round(score, 9) DESC, doc_id LIMIT 50),
+    sem0 AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(qv.qv AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qv.qv AS DOUBLE[]),
+                                        CAST(qv.qv AS DOUBLE[])))), 9)
+               AS cs
+      FROM embeddings e,
+           (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) qv
+      WHERE e.vec_id <> 0),
+    sem AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cs DESC, doc_id) AS r_sem
+      FROM sem0 ORDER BY cs DESC, doc_id LIMIT 50),
+    fused AS (
+      SELECT doc_id, l.r_lex, s.r_sem,
+             coalesce(1.0 / (60 + l.r_lex), 0)
+               + coalesce(1.0 / (60 + s.r_sem), 0) AS rrf
+      FROM lex l FULL OUTER JOIN sem s USING (doc_id))
+    SELECT doc_id, r_lex, r_sem, round(rrf, 9) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (RRF, K=60): fuse
+    the BM25 lexical top-50 with the embedding-cosine top-50 (query =
+    vec 0, doc_id = vec_id) as score = sum over legs of
+    1/(K + rank) — the standard fusion for RAG retrieval stacks,
+    robust to the two legs' incomparable score scales because only
+    RANKS enter the fusion.
+
+    Scale shape: each leg is the top-k pattern it already uses
+    standalone (TakeOrderedAndProject over one scan); the fusion is a
+    full-outer join + one more top-k over at most 100 rows, so the
+    whole query costs exactly its two legs. Both legs rank on
+    9dp-rounded scores (the engine-wide convention) and the RRF score
+    derives from integer ranks, so the fused ordering is
+    deterministic across engines."""
+    K = 60
+    lex50 = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", F.round("score", 9).alias("s9"))
+        .orderBy(F.col("s9").desc(), "doc_id")
+        .limit(50)
+    )
+    wl = Window.orderBy(F.col("s9").desc(), "doc_id")
+    lex = lex50.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("r_lex")
+    )
+    from ..functions.vectors import cosine_similarity_col
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sem50 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity_col(F.col("embedding"), F.col("qv")), 9
+            ).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), "doc_id")
+        .limit(50)
+    )
+    ws = Window.orderBy(F.col("cs").desc(), "doc_id")
+    sem = sem50.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("r_sem")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(1.0 / (F.lit(K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(K) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
     return (
-        scored.orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
-        .select("doc_id", F.round("score", 6).alias("bm25"))
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            F.round("rrf", 9).alias("rrf_score"),
+        )
     )
 
 
