@@ -200,3 +200,64 @@ def test_containment_matches_bruteforce_with_same_blocking(spark, docs):
                 if c >= 0.5:
                     want[(a, b)] = c
     assert got == want, (got, want, texts)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=_SLOW)
+@given(docs=_docs_strategy)
+def test_incremental_near_dup_matches_bruteforce(spark, docs):
+    # The batch-vs-corpus operator must return, for every incoming doc
+    # (odd ids here), the best corpus match under the SAME length-band
+    # blocking and 5-shingle Jaccard the full pair graph uses — pure-
+    # Python brute force as the reference, adversarial tiny vocab so
+    # collisions and ties are common.
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    rows = [(i, t, len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    )
+    corpus = df.filter("doc_id % 2 = 0")
+    incoming = df.filter("doc_id % 2 = 1")
+    got = {
+        r.doc_id: (r.matched_doc, round(r.jaccard, 9))
+        for r in incremental_near_dup(
+            corpus, incoming, threshold=0.5
+        ).collect()
+    }
+
+    def shingles(t):
+        w = t.lower().strip().split()
+        if len(w) >= 5:
+            return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+        return {" ".join(w)}
+
+    want = {}
+    for i, ti in enumerate(texts):
+        if i % 2 != 1:
+            continue
+        best = None
+        for c, tc in enumerate(texts):
+            if c % 2 != 0:
+                continue
+            if abs(len(ti) - len(tc)) > 16:
+                continue
+            # band blocking: corpus bucket within +-1 of incoming's
+            if not (
+                len(tc) // 16 - 1
+                <= len(ti) // 16
+                <= len(tc) // 16 + 1
+            ):
+                continue
+            si, sc = shingles(ti), shingles(tc)
+            j = len(si & sc) / len(si | sc)
+            if j >= 0.5:
+                cand = (round(j, 9), -c)
+                if best is None or cand > best:
+                    best = cand
+        if best is not None:
+            want[i] = (-best[1], best[0])
+    assert got == want
