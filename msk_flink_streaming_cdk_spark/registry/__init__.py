@@ -55,6 +55,7 @@ ROTATION_WINDOW: list[str] = [
     "dedup_connected_components_star",
     # Sketch / recall accuracy audits (rows-only quality pins).
     "dedup_minhash_recall",
+    "dedup_minhash_estimate_audit",
     "dedup_simhash_recall",
     "dedup_embedding_recall",
     "approx_quantiles_audit",
@@ -84,7 +85,6 @@ ROTATION_WINDOW: list[str] = [
     "asof_point_in_time_features",
     "window_rolling_median",
     # Relational / UDF shapes without a prior driver row.
-    "grouped_map_centered_balance",
     "json_bad_record_quarantine",
     # New this round: incremental dedup, count-min audit, z-order key,
     # inter-source overlap matrix, hybrid RRF retrieval.
@@ -99,6 +99,7 @@ ROTATION_WINDOW: list[str] = [
 # driver row, in planned rotation order. Keeping them HERE (not just
 # in a comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    "grouped_map_centered_balance",
     "window_share_of_segment",
     "sql_front_door_pipeline",
     "outlier_orders_iqr",

@@ -993,6 +993,60 @@ def dedup_minhash_recall(spark, sf_dir):
     )
 
 
+@register("dedup_minhash_estimate_audit")  # xxhash64 sigs → rows-only
+def dedup_minhash_estimate_audit(spark, sf_dir):
+    """MinHash Jaccard-ESTIMATION error audit (the companion to the
+    recall pin, which only checks pair retrieval): over the exact
+    near-dup pairs, compare the 16-permutation signature-agreement
+    estimate (share of matching signature slots — the textbook
+    unbiased estimator) with the exact shingle Jaccard, and report
+    the error distribution. With p=16 permutations the per-pair
+    standard error is sqrt(J(1-J)/16) <= 0.125, so the mean absolute
+    error floor pinned in pytest (<0.15) is a real accuracy
+    statement, not slack.
+
+    One signature projection (no shuffle), one join onto the exact
+    pair set, JVM zip_with slot comparison — the audit costs one
+    scan beyond the pair set it grades."""
+    from ..operators.dedup import minhash_signatures
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    sigs = minhash_signatures(docs)
+    est = (
+        pairs.join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "jaccard",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sa", "sb", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                / F.size("sa")
+            ).alias("est"),
+        )
+        .select((F.abs(F.col("est") - F.col("jaccard"))).alias("err"))
+    )
+    return est.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("err"), 6).alias("mae"),
+        F.round(F.max("err"), 6).alias("max_err"),
+    )
+
+
 @register("dedup_simhash_recall")  # audit metric → rows-only
 def dedup_simhash_recall(spark, sf_dir):
     """Recall of SimHash Hamming<=3 pairs against the exact Jaccard

@@ -93,6 +93,35 @@ def zorder_key(cols: list, bits: int = 16) -> "Column":
     return key
 
 
+def write_zordered(
+    df,
+    path: str,
+    cols: list,
+    bits: int = 10,
+    n_files: int = 16,
+    fmt: str = "parquet",
+) -> None:
+    """Write a frame laid out along the z-order curve of ``cols``:
+    range-partition on the Morton key (``zorder_key``), sort within
+    partitions, drop the helper column. Every output file then holds
+    one contiguous z-range, so its min/max footer stats stay narrow
+    on EVERY clustered dimension — multi-dimensional file/row-group
+    skipping for any engine that prunes on parquet statistics (a
+    lexicographic sort only prunes its leading column). The write
+    itself is one range shuffle + in-partition sort, no driver
+    state."""
+    z = zorder_key(cols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

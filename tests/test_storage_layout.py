@@ -82,3 +82,38 @@ def test_zorder_narrows_ranges_on_both_dims(spark, sf_small, tmp_path):
     # dims stay well under half the domain.
     assert ly > 60, (lx, ly)
     assert zx < 32 and zy < 32, (zx, zy)
+
+
+def test_write_zordered_files_prune_both_dims(spark, tmp_path):
+    # Files written by write_zordered must carry narrow per-file
+    # min/max on BOTH clustered dims (the stats an engine prunes on).
+    import glob as _glob
+    import os as _os
+
+    from msk_flink_streaming_cdk_spark.storage import write_zordered
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "zorder_out")
+    write_zordered(grid, path, [F.col("x"), F.col("y")], bits=6,
+                   n_files=16)
+    files = _glob.glob(_os.path.join(path, "*.parquet"))
+    assert len(files) >= 8
+    spans_x, spans_y = [], []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .first()
+        )
+        spans_x.append(r.sx), spans_y.append(r.sy)
+    # every file well under the 64-wide domain on BOTH dims
+    assert sum(spans_x) / len(spans_x) < 32
+    assert sum(spans_y) / len(spans_y) < 32
+    # no rows lost
+    assert spark.read.parquet(path).count() == 64 * 64
