@@ -22,11 +22,16 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _START = datetime(2024, 1, 1)
@@ -126,3 +131,130 @@ class SensorGenDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return SensorGenStreamReader(self.options)
+
+
+# --- per-record publish SINK (Spark 4 DataSource write API) -----------------
+
+
+@dataclass
+class _PublishCommit(WriterCommitMessage):
+    staged: str
+    n_rows: int
+
+
+def _publish_rows(iterator, staging_dir: str):
+    """Executor-side: serialize each row as one JSON message (the
+    reference consumer publishes per record,
+    ``kfpLambdaConsumerSNS.py:12-23``) into a uniquely-named staged
+    file. Returns the commit message for the driver."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    _os.makedirs(staging_dir, exist_ok=True)
+    staged = _os.path.join(staging_dir, f"part-{_uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(staged, "w") as f:
+        for row in iterator:
+            d = row.asDict(recursive=True)
+            for k, v in d.items():
+                if hasattr(v, "isoformat"):
+                    d[k] = v.isoformat(sep=" ")
+            f.write(_json.dumps(d, sort_keys=True) + "\n")
+            n += 1
+    return _PublishCommit(staged=staged, n_rows=n)
+
+
+class RecordPublishWriter(DataSourceWriter):
+    """Batch writer with a stage-then-commit protocol: tasks write to
+    ``<path>/_staging``; only the driver's ``commit`` (all tasks
+    succeeded) renames the staged files into ``path``, and ``abort``
+    deletes them — a failed/retried task can never leak partial
+    output into the visible directory. Targeting a real external
+    service instead of files, the same protocol holds: stage =
+    idempotent publish with a batch token, commit = token activation.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("record_publish requires option 'path'")
+
+    def write(self, iterator):
+        import os as _os
+
+        return _publish_rows(iterator, _os.path.join(self.path, "_staging"))
+
+    def commit(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is None:
+                continue
+            final = _os.path.join(self.path, _os.path.basename(m.staged))
+            _os.replace(m.staged, final)
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.staged):
+                _os.remove(m.staged)
+
+
+class RecordPublishStreamWriter(DataSourceStreamWriter):
+    """Streaming variant: per micro-batch stage-then-commit. Committed
+    files are prefixed with the epoch id, so replays of an epoch after
+    a failure overwrite deterministically instead of duplicating —
+    the file-shaped analogue of an idempotent per-epoch publish."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("record_publish requires option 'path'")
+
+    def write(self, iterator):
+        import os as _os
+
+        return _publish_rows(iterator, _os.path.join(self.path, "_staging"))
+
+    def commit(self, messages, batchId):
+        import os as _os
+
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = _os.path.join(
+                self.path, f"epoch-{batchId:06d}-{i:04d}.jsonl"
+            )
+            _os.replace(m.staged, final)
+
+    def abort(self, messages, batchId):
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.staged):
+                _os.remove(m.staged)
+
+
+class RecordPublishDataSource(DataSource):
+    """``format("record_publish")`` — the reference's per-record
+    external publish (SNS consumer Lambda,
+    ``/root/reference/LambdaFunctions/kfpLambdaConsumerSNS.py:12-23``)
+    as a first-class Spark WRITE format with batch and streaming
+    writers: ``df.write.format("record_publish").option("path", p)``
+    and ``df.writeStream.format("record_publish")``. One JSON message
+    per record, exactly-once visibility via stage-then-commit."""
+
+    @classmethod
+    def name(cls):
+        return "record_publish"
+
+    def schema(self):
+        return "sensor_id string, temperature long, event_time timestamp"
+
+    def writer(self, schema, overwrite):
+        return RecordPublishWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return RecordPublishStreamWriter(self.options)
