@@ -116,6 +116,8 @@ HEADLINE = [
     "storage_zorder_events",
     "dq_source_overlap_matrix",
     "retrieval_hybrid_rrf",
+    "pipeline_forget_expand",
+    "dedup_minhash_estimate_audit",
 ]
 
 

@@ -80,16 +80,16 @@ ROTATION_WINDOW: list[str] = [
     "text_token_balanced_mixture",
     "pipeline_training_manifest",
     "multimodal_feature_extract",
-    "multimodal_frame_sample",
     "scd2_user_value_history",
     "asof_point_in_time_features",
     "window_rolling_median",
     # Relational / UDF shapes without a prior driver row.
     "json_bad_record_quarantine",
     # New this round: incremental dedup, count-min audit, z-order key,
-    # inter-source overlap matrix, hybrid RRF retrieval.
+    # inter-source overlap matrix, hybrid RRF retrieval, forget-expand.
     "dq_source_overlap_matrix",
     "retrieval_hybrid_rrf",
+    "pipeline_forget_expand",
     "dedup_incremental_new_vs_corpus",
     "sketch_countmin_accuracy",
     "storage_zorder_events",
@@ -99,6 +99,7 @@ ROTATION_WINDOW: list[str] = [
 # driver row, in planned rotation order. Keeping them HERE (not just
 # in a comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    "multimodal_frame_sample",
     "grouped_map_centered_balance",
     "window_share_of_segment",
     "sql_front_door_pipeline",

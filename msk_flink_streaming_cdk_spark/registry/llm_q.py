@@ -993,6 +993,72 @@ def dedup_minhash_recall(spark, sf_dir):
     )
 
 
+@register(
+    "pipeline_forget_expand",
+    oracle="""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, peer) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(peer) AS component_id
+             FROM reach GROUP BY node),
+    seeds AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+    seed_comps AS (SELECT DISTINCT component_id
+                   FROM comp JOIN seeds USING (doc_id)),
+    expanded AS (SELECT comp.doc_id FROM comp
+                 JOIN seed_comps USING (component_id))
+    SELECT doc_id,
+           CASE WHEN doc_id IN (SELECT doc_id FROM seeds)
+                THEN 'seed' ELSE 'near_dup' END AS reason
+    FROM (SELECT doc_id FROM seeds
+          UNION SELECT doc_id FROM expanded)
+    """.replace("{_NGRAM_PAIRS_CTES}", _NGRAM_PAIRS_CTES),
+)
+def pipeline_forget_expand(spark, sf_dir):
+    """Deletion-request expansion ("right to be forgotten", applied
+    honestly): the docs to forget (every 97th id plays the request
+    list) PLUS every document in the same near-dup component — because
+    deleting a record while training on its near-verbatim mirror
+    forgets nothing. Output is (doc_id, reason in {seed, near_dup}).
+
+    Shape: seeds join the component labeling (the same CC the dedup
+    pipeline already maintains), the seed components broadcast back
+    over the labeling — two joins beyond the shared pair graph. At
+    100 TB the labeling is a maintained table and a deletion batch is
+    one broadcast semi-join, not a corpus scan. The oracle replays the
+    closure with the recursive reach CTE."""
+    from ..operators.dedup import connected_components
+    from ..operators.util import narrow_when_tiny
+
+    docs = _docs(spark, sf_dir)
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    pairs = narrow_when_tiny(
+        ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    )
+    labels = connected_components(pairs)
+    seed_comps = (
+        labels.join(seeds, labels.node == seeds.doc_id)
+        .select(F.col("label"))
+        .distinct()
+    )
+    expanded = labels.join(F.broadcast(seed_comps), "label").select(
+        F.col("node").alias("doc_id")
+    )
+    forget = seeds.unionByName(expanded).distinct()
+    return forget.join(
+        seeds.withColumn("is_seed", F.lit(True)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("is_seed"), F.lit("seed"))
+        .otherwise(F.lit("near_dup"))
+        .alias("reason"),
+    )
+
+
 @register("dedup_minhash_estimate_audit")  # xxhash64 sigs → rows-only
 def dedup_minhash_estimate_audit(spark, sf_dir):
     """MinHash Jaccard-ESTIMATION error audit (the companion to the
