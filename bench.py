@@ -118,6 +118,7 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "pipeline_forget_expand",
     "dedup_minhash_estimate_audit",
+    "events_markov_transitions",
 ]
 
 

@@ -99,6 +99,7 @@ ROTATION_WINDOW: list[str] = [
 # driver row, in planned rotation order. Keeping them HERE (not just
 # in a comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    "events_markov_transitions",
     "multimodal_frame_sample",
     "grouped_map_centered_balance",
     "window_share_of_segment",

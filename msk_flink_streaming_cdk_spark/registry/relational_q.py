@@ -3881,6 +3881,51 @@ def dq_key_skew_profile(spark, sf_dir):
 
 
 @register(
+    "events_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    t AS (SELECT prev, event_type AS next,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type),
+    tot AS (SELECT prev, sum(n) AS tn FROM t GROUP BY prev)
+    SELECT t.prev, t.next, t.n,
+           round(t.n / CAST(tot.tn AS DOUBLE), 6) AS p
+    FROM t JOIN tot USING (prev)
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous event type), with counts —
+    the behavioral model behind funnel diagnostics and next-action
+    prediction baselines (a funnel is one path through this matrix).
+
+    One window sort per user (lag), one (prev, next) count, one
+    per-prev rollup reusing the same partitioning; output is bounded
+    by |event_type|^2, never by event volume — the matrix a 100 TB
+    clickstream reduces to a few hundred rows. The (ts, event_id)
+    tiebreak makes sequence order total, so counts are exact and
+    engine-identical."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("next"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    t = s.groupBy("prev", "next").agg(F.count("*").alias("n"))
+    tot = t.groupBy("prev").agg(F.sum("n").alias("tn"))
+    return t.join(tot, "prev").select(
+        "prev",
+        "next",
+        "n",
+        F.round(F.col("n") / F.col("tn").cast("double"), 6).alias("p"),
+    )
+
+
+@register(
     "attribution_last_touch",
     oracle="""
     WITH j AS (

@@ -40,6 +40,8 @@ EMPTY_OK_FIXED_ROWS = {
     # 1 audit row with NULL ratios on an empty corpus (agg over
     # nothing), never a crash.
     "embedding_pca_variance_audit": 1,
+    "dedup_minhash_estimate_audit": 1,
+    "sketch_countmin_accuracy": 1,
 }
 REPRESENTATIVES = [
     "q1_alerts_daily",            # windowed agg
@@ -95,6 +97,13 @@ REPRESENTATIVES = [
     "dq_event_lag_by_type",          # freshness vs data high-water mark
     "quality_logistic_score",        # frozen-model Catalyst scoring
     "embedding_pca_variance_audit",  # PCA quality audit row
+    "dedup_incremental_new_vs_corpus",  # batch-vs-corpus band probe
+    "storage_zorder_events",         # Morton key derivation
+    "dq_source_overlap_matrix",      # fingerprint pair rollup
+    "retrieval_hybrid_rrf",          # two-leg rank fusion
+    "pipeline_forget_expand",        # CC-expanded deletion set
+    "dedup_minhash_estimate_audit",  # signature-agreement audit
+    "sketch_countmin_accuracy",      # d x w cell audit
 ]
 
 
