@@ -93,6 +93,38 @@ def zorder_key(cols: list, bits: int = 16) -> "Column":
     return key
 
 
+def upsert_partition_overwrite(
+    updates,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Idempotent batch upsert via DYNAMIC partition overwrite: only
+    the partitions present in ``updates`` are rewritten; every other
+    partition's files are left byte-identical. The standard
+    correction/backfill primitive on plain columnar storage (no table
+    format needed): recompute a day, overwrite that day, touch
+    nothing else — re-running the same batch converges to the same
+    state, so a retried job is safe.
+
+    Uses the session-scoped ``partitionOverwriteMode=dynamic`` conf
+    (restored afterward) rather than a global default, so callers'
+    overwrite semantics elsewhere are unaffected."""
+    spark = updates.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            updates.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .format(fmt)
+            .save(path)
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
 def write_zordered(
     df,
     path: str,

@@ -117,3 +117,56 @@ def test_write_zordered_files_prune_both_dims(spark, tmp_path):
     assert sum(spans_y) / len(spans_y) < 32
     # no rows lost
     assert spark.read.parquet(path).count() == 64 * 64
+
+
+def test_upsert_partition_overwrite_touches_only_updated(spark, tmp_path):
+    # Base table with 3 partitions; an upsert batch covering ONE
+    # partition must rewrite only it: other partitions' files stay
+    # byte-identical (same paths, same mtimes), the updated partition
+    # holds exactly the new rows, and re-running the same upsert is a
+    # no-op on content (idempotent backfill).
+    import glob as _glob
+    import os as _os
+
+    from msk_flink_streaming_cdk_spark.storage import (
+        upsert_partition_overwrite,
+    )
+
+    path = str(tmp_path / "upsert_tbl")
+    base = spark.createDataFrame(
+        [(d, i, i * 10) for d in ("d1", "d2", "d3") for i in range(5)],
+        "day string, k long, v long",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    def files_with_mtime(day):
+        return {
+            f: _os.path.getmtime(f)
+            for f in _glob.glob(_os.path.join(path, f"day={day}", "*.parquet"))
+        }
+
+    before_d1 = files_with_mtime("d1")
+    before_d3 = files_with_mtime("d3")
+    updates = spark.createDataFrame(
+        [("d2", i, i * 100) for i in range(3)],
+        "day string, k long, v long",
+    )
+    upsert_partition_overwrite(updates, path, ["day"])
+
+    assert files_with_mtime("d1") == before_d1
+    assert files_with_mtime("d3") == before_d3
+    got = spark.read.parquet(path)
+    assert got.filter("day = 'd2'").count() == 3
+    assert (
+        got.filter("day = 'd2'").agg(F.sum("v")).first()[0]
+        == sum(i * 100 for i in range(3))
+    )
+    assert got.filter("day = 'd1'").count() == 5
+    # idempotence
+    upsert_partition_overwrite(updates, path, ["day"])
+    assert spark.read.parquet(path).filter("day = 'd2'").count() == 3
+    # conf restored to the session default
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        == "static"
+    )
