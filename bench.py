@@ -119,6 +119,7 @@ HEADLINE = [
     "pipeline_forget_expand",
     "dedup_minhash_estimate_audit",
     "events_markov_transitions",
+    "events_top_paths_3step",
 ]
 
 

@@ -100,6 +100,7 @@ ROTATION_WINDOW: list[str] = [
 # in a comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
     "events_markov_transitions",
+    "events_top_paths_3step",
     "multimodal_frame_sample",
     "grouped_map_centered_balance",
     "window_share_of_segment",

@@ -3926,6 +3926,44 @@ def events_markov_transitions(spark, sf_dir):
 
 
 @register(
+    "events_top_paths_3step",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS cur,
+             lag(event_type) OVER w AS prev,
+             lag(event_type, 2) OVER w AS prev2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (SELECT prev2 || '>' || prev || '>' || cur AS path,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE prev2 IS NOT NULL GROUP BY 1)
+    SELECT path, n FROM p ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def events_top_paths_3step(spark, sf_dir):
+    """Top-10 most common 3-step behavioral paths (event-type
+    trigrams over per-user time-ordered sequences) — the sequence-
+    mining companion to the Markov matrix: where the matrix gives
+    one-step dynamics, this surfaces the dominant multi-step journeys.
+
+    One window sort per user serves BOTH lag columns (single
+    exchange), one path count (bounded by |types|^3), one TakeOrdered
+    top-10. The (ts, event_id) tiebreak totalizes sequence order, so
+    counts are exact and engine-identical."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    ).filter(F.col("prev2").isNotNull())
+    p = s.select(
+        F.concat_ws(">", "prev2", "prev", "cur").alias("path")
+    ).groupBy("path").agg(F.count("*").alias("n"))
+    return p.orderBy(F.col("n").desc(), "path").limit(10)
+
+
+@register(
     "attribution_last_touch",
     oracle="""
     WITH j AS (
