@@ -1,9 +1,12 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Emits:
+- the FULL record (all per-query secs, streaming rate, vs_prev) as a
+  JSON line on stdout AND to BENCH_FULL.json;
+- then a COMPACT final JSON line ({"metric", "value", "unit",
+  "queries": slowest-that-fit, ...}) sized to survive the driver's
+  2000-char stdout tail, which is where the driver parses it from.
 
 Each query is fully materialized through the noop sink (measures the
 whole plan, excludes result transfer). The set covers every engine
