@@ -3881,6 +3881,119 @@ def dq_key_skew_profile(spark, sf_dir):
 
 
 @register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, median(adev) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type,
+           round(d.value, 6) AS value,
+           round(d.med, 6) AS med,
+           round(m.mad, 6) AS mad,
+           d.adev > 3 * 1.4826 * m.mad AS is_anomaly
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly flags via median absolute deviation: a value is
+    anomalous when |v - median| exceeds 3 scaled MADs (1.4826 makes
+    MAD consistent with sigma under normality) — the robust companion
+    to the rolling z-score, immune to the outliers it hunts (mean and
+    stddev are themselves dragged by extreme values; medians are not).
+
+    Two grouped EXACT medians (Spark ``percentile``, DuckDB
+    ``median`` — both exact-sorting aggregates, identical up to the
+    shared midpoint interpolation) sharing one hash partitioning on
+    event_type, then a broadcast of the tiny per-type profile back
+    over the events. At 100 TB the exact median swaps for
+    ``percentile_approx`` with a documented error bound — the flag
+    threshold logic is unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        (F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("is_anomaly"),
+    )
+
+
+@register(
+    "orders_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+          GROUP BY digit),
+    tot AS (SELECT sum(n) AS tn FROM c)
+    SELECT c.digit, c.n,
+           round(c.n / CAST(t.tn AS DOUBLE), 6) AS observed,
+           round(log10(1.0 + 1.0 / c.digit), 6) AS expected,
+           round(abs(c.n / CAST(t.tn AS DOUBLE)
+                     - log10(1.0 + 1.0 / c.digit)), 6) AS abs_dev
+    FROM c, tot t ORDER BY c.digit
+    """,
+)
+def orders_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of order totals: observed leading-
+    digit frequencies vs the Benford expectation log10(1 + 1/d) — the
+    classic fabricated-data / broken-generator screen for financial
+    columns (organic multi-scale amounts follow Benford; uniform or
+    hand-entered ones do not).
+
+    The leading digit comes from the INTEGER part's string head (no
+    float log10 of the value itself, whose boundary behavior at exact
+    powers of ten differs sub-ulp between engines); one 9-row group
+    count + a scalar total. Output is 9 rows at any scale."""
+    ev = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = ev.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("tn"))
+    obs = F.col("n") / F.col("tn").cast("double")
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
     "events_markov_transitions",
     oracle="""
     WITH s AS (
