@@ -123,6 +123,8 @@ HEADLINE = [
     "dedup_minhash_estimate_audit",
     "events_markov_transitions",
     "events_top_paths_3step",
+    "events_anomaly_mad",
+    "orders_benford_audit",
 ]
 
 
