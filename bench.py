@@ -325,10 +325,21 @@ def main() -> None:
     # on shared infrastructure); the min measures the engine, which is
     # what round-over-round regression tracking needs.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # A/B discipline (VERDICT r5 item 8): any change claiming a bench
+    # effect lands with before/after numbers from THIS script. Subset
+    # runs via SPARK_GRAFT_BENCH_ONLY="name1,name2" keep the exact
+    # warmup/min-of-N/isolation protocol without paying the full
+    # suite twice.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    selected = (
+        [n for n in HEADLINE if n in set(only.split(","))]
+        if only
+        else HEADLINE
+    )
     timings: dict[str, float] = {}
     import gc
 
-    for name in HEADLINE:
+    for name in selected:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -390,11 +401,14 @@ def main() -> None:
     )
     full = dict(out)
     full["round_guess"] = max_n + 1
-    try:
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-            json.dump(full, f)
-    except OSError:
-        pass
+    # Subset (SPARK_GRAFT_BENCH_ONLY) runs are A/B probes — they must
+    # never clobber the committed full-suite record.
+    if not only:
+        try:
+            with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+                json.dump(full, f)
+        except OSError:
+            pass
     print(json.dumps(out))
 
     # Compact line LAST so it survives inside the driver's 2000-char

@@ -145,7 +145,6 @@ def incremental_near_dup(
     incoming: DataFrame,
     threshold: float = 0.5,
     k: int = DEFAULT_SHINGLE,
-    length_band: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
     length_col: str = "n_chars",
@@ -157,16 +156,32 @@ def incremental_near_dup(
     much larger accumulated corpus instead of self-joining the whole
     world every day.
 
-    Scale shape: the corpus side is shingled and bucketed by length
-    band ONCE (at 100 TB this frame is the thing you persist between
-    ingests); the incoming batch explodes to its 3 adjacent buckets
-    and equi-joins — cost is O(|incoming| · bucket_width), never a
-    corpus self-join. The per-doc argmax is one struct-max hash
-    aggregate (no sort, no window).
+    Blocking is a length-RATIO band (the standard Jaccard length
+    filter): J(A,B) >= t bounds |A|/|B| >= t, so docs are bucketed by
+    floor(log2(length)) and each incoming doc probes the
+    ceil(log2(1/t)) adjacent buckets each way, with the exact ratio
+    predicate ``min_len >= t * max_len`` on the join. Unlike the
+    round-5 absolute +/-16-char band, a doc and its 2x-length
+    superset at J>=0.5 is always a candidate, at any document length.
+
+    Scale shape: the corpus side is shingled and bucketed ONCE (at
+    100 TB this frame is the thing you persist between ingests); the
+    incoming batch explodes to its adjacent buckets and equi-joins —
+    cost is O(|incoming| · bucket occupancy), never a corpus
+    self-join. The per-doc argmax is one struct-max hash aggregate
+    (no sort, no window) when the id is numeric; non-numeric ids take
+    a min_by-over-max join (negation of a string is null under ANSI
+    off, which would break ties nondeterministically — ADVICE r5).
 
     Returns (doc_id, matched_doc, jaccard) — one row per incoming doc
     that has a match at or above ``threshold``.
     """
+    import math
+
+    from pyspark.sql.types import NumericType
+
+    n_probe = max(1, math.ceil(math.log2(1.0 / threshold)))
+
     def shingled(df: DataFrame) -> DataFrame:
         # The fixtures are single-file parquet => 1 input partition;
         # shingling + intersection is the hot loop and must fan out
@@ -174,7 +189,9 @@ def incremental_near_dup(
         return _parallelize(df).select(
             F.col(id_col).alias("doc_id"),
             F.col(length_col).alias("n_len"),
-            F.floor(F.col(length_col) / length_band).alias("bucket"),
+            F.floor(
+                F.log2(F.greatest(F.col(length_col), F.lit(1)))
+            ).alias("bucket"),
             F.transform(
                 shingle_col(F.col(text_col), k), lambda s: F.xxhash64(s)
             ).alias("shingles"),
@@ -189,16 +206,20 @@ def incremental_near_dup(
             "shingles",
             F.explode(
                 F.array(
-                    F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+                    *[
+                        F.col("bucket") + d
+                        for d in range(-n_probe, n_probe + 1)
+                    ]
                 )
             ).alias("probe_bucket"),
         )
         .alias("i")
     )
+    ratio_ok = F.least(F.col("c.n_len"), F.col("i.n_len")) >= (
+        F.lit(threshold) * F.greatest(F.col("c.n_len"), F.col("i.n_len"))
+    )
     cand = inc.join(
-        corp,
-        (F.col("c.bucket") == F.col("i.probe_bucket"))
-        & (F.abs(F.col("c.n_len") - F.col("i.n_len")) <= length_band),
+        corp, (F.col("c.bucket") == F.col("i.probe_bucket")) & ratio_ok
     )
     j = jaccard_col(F.col("i.shingles"), F.col("c.shingles"))
     scored = cand.select(
@@ -206,19 +227,30 @@ def incremental_near_dup(
         F.col("c.doc_id").alias("match_id"),
         j.alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
-    # struct-max argmax: max jaccard first, then max(-match_id) =
-    # smallest matching corpus id — one hash aggregate.
-    best = scored.groupBy("doc_id").agg(
-        F.max(
-            F.struct(
-                F.col("jaccard"), (-F.col("match_id")).alias("neg_id")
-            )
-        ).alias("m")
-    )
-    return best.select(
-        "doc_id",
-        (-F.col("m.neg_id")).alias("matched_doc"),
-        F.col("m.jaccard").alias("jaccard"),
+    id_type = {f.name: f.dataType for f in corpus.schema}[id_col]
+    if isinstance(id_type, NumericType):
+        # struct-max argmax: max jaccard first, then max(-match_id) =
+        # smallest matching corpus id — one hash aggregate.
+        best = scored.groupBy("doc_id").agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("match_id")).alias("neg_id")
+                )
+            ).alias("m")
+        )
+        return best.select(
+            "doc_id",
+            (-F.col("m.neg_id")).alias("matched_doc"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+    # Orderable-but-not-numeric ids: max jaccard, then min matching id
+    # at that jaccard — two hash aggregates, no negation, no window.
+    top = scored.groupBy("doc_id").agg(F.max("jaccard").alias("jaccard"))
+    return (
+        scored.join(top, ["doc_id", "jaccard"])
+        .groupBy("doc_id", "jaccard")
+        .agg(F.min("match_id").alias("matched_doc"))
+        .select("doc_id", "matched_doc", "jaccard")
     )
 
 
@@ -509,13 +541,20 @@ def connected_components(
     labels = edges.select(
         F.col("src").alias("node"), F.col("src").alias("label")
     ).distinct()
-    # Convergence probe: labels are per-node NON-INCREASING, so the
-    # label sum strictly decreases on any change — sum equality
-    # between rounds IS the fixpoint test. One decimal-exact agg over
-    # the already-checkpointed frame per round, instead of a
-    # new-vs-old join (measured ~0.5s off the keep-central
-    # composition at sf0.1). DECIMAL(38,0) so billions of 64-bit ids
-    # can't overflow the fingerprint.
+    # Convergence probe, two flavors (ADVICE r5): for NUMERIC ids,
+    # labels are per-node NON-INCREASING, so the label sum strictly
+    # decreases on any change — sum equality between rounds IS the
+    # fixpoint test; one decimal-exact agg over the already-
+    # checkpointed frame per round (measured ~0.5s off the
+    # keep-central composition at sf0.1; DECIMAL(38,0) so billions of
+    # 64-bit ids can't overflow the fingerprint). For non-numeric ids
+    # that cast would yield all-null (ANSI off) and silently
+    # mis-converge after one round, so those take the generic
+    # changed-rows join instead.
+    from pyspark.sql.types import NumericType
+
+    label_type = {f.name: f.dataType for f in pairs.schema}[a]
+    numeric_labels = isinstance(label_type, NumericType)
     prev_sum = None
     for _ in range(max_iter):
         nbr = edges.join(
@@ -525,19 +564,30 @@ def connected_components(
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            # Lazy: the fingerprint agg below materializes this
+            # Lazy: the convergence probe below materializes this
             # round's checkpoint in the same job.
             .localCheckpoint(eager=False)
         )
-        s = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).first()[0]
+        if numeric_labels:
+            s = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
+            converged = s is None or (
+                prev_sum is not None and s == prev_sum
+            )
+            prev_sum = s
+        else:
+            converged = not (
+                new_labels.select(
+                    "node", F.col("label").alias("new_label")
+                )
+                .join(labels, "node")
+                .filter(F.col("new_label") != F.col("label"))
+                .head(1)
+            )
         labels = new_labels
-        if s is None:  # empty graph: nothing to propagate
+        if converged:
             break
-        if prev_sum is not None and s == prev_sum:
-            break
-        prev_sum = s
     return labels
 
 
@@ -581,7 +631,7 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
     n_prev = e.count()
-    if n_prev <= 100_000:
+    if n_prev <= 2_000:
         # Tiny graph: single-partition layout so every contraction
         # round runs narrow one-task stages instead of paying
         # full-width scheduling (same policy as narrow_when_tiny).

@@ -22,19 +22,25 @@ def materialize_once(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def narrow_when_tiny(df: DataFrame, max_rows: int = 100_000) -> DataFrame:
+def narrow_when_tiny(df: DataFrame, max_rows: int = 2_000) -> DataFrame:
     """Materialize a multi-consumer frame; if it turns out TINY,
     re-lay it out as a single partition.
 
     Iterative consumers (connected components, PageRank, label
     propagation) run one join+agg over this frame per round; when the
-    graph is a few hundred rows, the per-round cost is pure
+    graph is a few HUNDRED rows, the per-round cost is pure
     scheduling of 32-task stages, and a single-partition layout turns
-    every round into narrow one-task stages (measured ~1.1s off the
-    keep-central composition at sf0.1). Above the threshold the frame
-    is returned unchanged — the distributed layout IS the point at
-    scale, and the count used for the decision is the materialization
-    the consumers needed anyway.
+    every round into narrow one-task stages. The round-5 threshold of
+    100k rows was a measured PESSIMIZATION at sf0.1 (bench A/B:
+    label-prop 3.6s->6.9s, pagerank 3.1s->5.2s, keep-central
+    2.6s->3.9s with the helper at 100k — the sf0.1 pair graph has
+    thousands of edges and single-task iterative rounds lose badly on
+    32 cores), so the default is now 2k, below which the single-task
+    layout genuinely wins and above which the frame keeps its
+    distributed layout. The registry's graph queries no longer call
+    this at all (plain ``materialize_once`` — the r6 bench numbers in
+    BENCH_r06.json are the record); the helper remains for genuinely
+    hundred-row frames.
     """
     m = materialize_once(df)
     if m.count() <= max_rows:

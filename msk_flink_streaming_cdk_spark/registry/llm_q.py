@@ -536,15 +536,20 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
     "dedup_incremental_new_vs_corpus",
     oracle=f"""
     WITH {_SHINGLES_CTES},
-    corp AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
-    inc AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+    lb AS (
+      SELECT doc_id, n_len,
+             CAST(floor(log2(greatest(n_len, 1))) AS BIGINT) AS lbucket,
+             shingles
+      FROM sh),
+    corp AS (SELECT * FROM lb WHERE doc_id % 5 <> 0),
+    inc AS (SELECT * FROM lb WHERE doc_id % 5 = 0),
     cand AS (
       SELECT i.doc_id, c.doc_id AS match_id,
              len(list_intersect(i.shingles, c.shingles))::DOUBLE
                / len(list_distinct(i.shingles || c.shingles)) AS jaccard
       FROM inc i JOIN corp c
-        ON c.bucket BETWEEN i.bucket - 1 AND i.bucket + 1
-       AND abs(i.n_len - c.n_len) <= 16),
+        ON c.lbucket BETWEEN i.lbucket - 1 AND i.lbucket + 1
+       AND least(i.n_len, c.n_len) >= 0.5 * greatest(i.n_len, c.n_len)),
     best AS (
       SELECT doc_id, match_id, jaccard,
              row_number() OVER (PARTITION BY doc_id
@@ -1032,11 +1037,10 @@ def pipeline_forget_expand(spark, sf_dir):
     one broadcast semi-join, not a corpus scan. The oracle replays the
     closure with the recursive reach CTE."""
     from ..operators.dedup import connected_components
-    from ..operators.util import narrow_when_tiny
 
     docs = _docs(spark, sf_dir)
     seeds = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
-    pairs = narrow_when_tiny(
+    pairs = materialize_once(
         ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     )
     labels = connected_components(pairs)
@@ -1627,8 +1631,9 @@ def text_sample_per_source(spark, sf_dir):
       FROM t)
     SELECT doc_id, n_tokens,
            CAST(floor((cum - 1) / 256) AS BIGINT) AS pack_id,
-           cum - n_tokens - 256 * CAST(floor((cum - 1) / 256) AS BIGINT)
-             AS offset_in_pack
+           CAST(cum - n_tokens
+                - 256 * CAST(floor((cum - 1) / 256) AS BIGINT)
+             AS BIGINT) AS offset_in_pack
     FROM c
     """,
 )
@@ -3724,9 +3729,7 @@ def _pagerank_ranks(pairs):
     """(id, r) integer micro-unit ranks for the undirected pair graph —
     the shared core of ``dedup_graph_pagerank`` and the keep-central
     dedup policy."""
-    from ..operators.util import narrow_when_tiny
-
-    und = narrow_when_tiny(
+    und = materialize_once(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionAll(
             pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
@@ -3808,9 +3811,8 @@ def pipeline_near_dedup_keep_central(spark, sf_dir):
     see ``dedup_connected_components_star``); a production pipeline
     would pick by a diameter probe."""
     from ..operators.dedup import connected_components
-    from ..operators.util import narrow_when_tiny
 
-    pairs = narrow_when_tiny(
+    pairs = materialize_once(
         ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).select(
             "doc_a", "doc_b"
         )
@@ -4951,10 +4953,8 @@ def graph_label_propagation(spark, sf_dir):
     with INTEGER vote counts so the argmax — and therefore the whole
     propagation — is exactly reproducible; the oracle unrolls the
     rounds."""
-    from ..operators.util import narrow_when_tiny
-
     pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
-    und = narrow_when_tiny(
+    und = materialize_once(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionAll(
             pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
@@ -5263,9 +5263,7 @@ def er_golden_records(spark, sf_dir):
         .filter(F.col("nk_a") == F.col("nk_b"))
         .select("id_a", "id_b")
     )
-    from ..operators.util import narrow_when_tiny
-
-    pairs = narrow_when_tiny(pairs)
+    pairs = materialize_once(pairs)
     comp = connected_components(pairs, a="id_a", b="id_b").select(
         F.col("node").alias("id"), F.col("label").alias("cluster")
     )

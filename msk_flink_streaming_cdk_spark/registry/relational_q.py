@@ -1976,10 +1976,10 @@ def window_share_of_segment(spark, sf_dir):
     f AS (SELECT q1, q3, q3 - q1 AS iqr FROM q)
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           sum(CASE WHEN o_totalprice > f.q3 + 1.5 * f.iqr
-                    THEN 1 ELSE 0 END) AS n_high_outliers,
-           sum(CASE WHEN o_totalprice < f.q1 - 1.5 * f.iqr
-                    THEN 1 ELSE 0 END) AS n_low_outliers
+           CAST(sum(CASE WHEN o_totalprice > f.q3 + 1.5 * f.iqr
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+           CAST(sum(CASE WHEN o_totalprice < f.q1 - 1.5 * f.iqr
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers
     FROM orders, f
     GROUP BY o_orderstatus
     """,
@@ -2027,8 +2027,8 @@ def outlier_orders_iqr(spark, sf_dir):
     SELECT count(*) AS n_rows,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey,
            CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
-             AS nulls_totalprice,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS nulls_totalprice,
            CAST(min(o_totalprice) AS DECIMAL(18,2)) AS min_price,
            CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price,
            min(o_orderdate) AS min_date,
@@ -2259,10 +2259,10 @@ def q7_volume_shipping(spark, sf_dir):
     "q12_urgency_by_linestatus",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'

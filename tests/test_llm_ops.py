@@ -139,6 +139,32 @@ def test_connected_components_multi_hop_chain(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7)}
 
 
+def test_connected_components_string_node_ids(spark):
+    # ADVICE r5 (medium): the decimal label-sum convergence probe is
+    # null for string labels under ANSI off, which made the loop
+    # "converge" after one round and return wrong labels on any graph
+    # needing >1 propagation hop. String-id graphs must take the
+    # changed-rows probe and still reach the true fixpoint — same
+    # chain shape as the numeric test, ids chosen so lexicographic
+    # min-label needs 3 rounds to reach the chain's far end.
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("d", "c"), ("x", "w")],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        (r.node, r.label)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("w", "w"), ("x", "w"),
+    }
+
+
 def test_star_components_match_propagation_on_random_graphs(spark):
     # Large-star/small-star contraction must produce the exact same
     # (node, component-min) labeling as min-label propagation on

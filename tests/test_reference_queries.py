@@ -22,6 +22,39 @@ def test_query_matches_oracle_sf0001(spark, sf_small, name):
     compare(QUERIES[name](spark, sf_small), ORACLES[name], sf_small)
 
 
+def test_no_oracle_returns_hugeint(sf_small):
+    """Lint: no oracle may type a column HUGEINT (DuckDB int128).
+
+    DuckDB widens SUM(BIGINT) — window or whole-table — to HUGEINT,
+    which the driver's pandas canonicalization renders as float64
+    while Spark's long renders int64, hash-mismatching on values that
+    are numerically identical. This bit three queries across rounds
+    4-6 (`text_token_budget_pack`, `text_pack_sequences`); the fix is
+    always `CAST(... AS BIGINT)`. This lint plans every oracle against
+    the fixtures (LIMIT 0 — no execution) and ends the class.
+    """
+    import duckdb
+
+    from msk_flink_streaming_cdk_spark.sources.fixtures import TABLES
+
+    con = duckdb.connect()
+    try:
+        for name in TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"'{sf_small}/{name}.parquet'"
+            )
+        offenders = []
+        for name, sql in ORACLES.items():
+            rel = con.sql(f"SELECT * FROM ({sql}) lint_q LIMIT 0")
+            for col, typ in zip(rel.columns, rel.types):
+                if "HUGEINT" in str(typ).upper() or "INT128" in str(typ):
+                    offenders.append(f"{name}.{col}: {typ}")
+        assert not offenders, offenders
+    finally:
+        con.close()
+
+
 def test_every_query_runs_rows_nonnegative(spark, sf_small):
     for name, fn in QUERIES.items():
         df = fn(spark, sf_small)
