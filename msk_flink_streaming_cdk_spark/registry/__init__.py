@@ -10,12 +10,12 @@ each round, while long-proven shapes rotate to the tail (they remain
 fully covered by ``tests/test_reference_queries.py``, which checks ALL
 oracle-backed queries).
 
-Round-5 rotation: the window keeps the 4 reference queries + the two
-rows whose canonicalization was fixed this round, then gives
-FIRST-EVER driver rows to the round-2-era tail, the demoted round-4
-singles, the sketch/recall audits, the two new float-model quality
-rows, and the LLM-pipeline + relational shapes that have never been
-driver-checked. ``ROTATION_WINDOW`` pins the first
+Round-6 rotation: the window keeps the 4 reference queries plus the
+re-proven ``text_pack_sequences`` (its oracle's HUGEINT cast fixed
+this round), then gives FIRST-EVER driver rows to the next 45 keys of
+the round-5 ``NEXT_TRANCHE`` in their planned order: the four
+behavioral queries, the multimodal/UDF singles, and the whole TPC-H
+q2-q22 tranche. ``ROTATION_WINDOW`` pins the first
 ``ROTATION_WINDOW_SIZE`` keys explicitly and a test asserts the
 ordering, so the planned rotation is enforced by code, not a comment;
 the remaining never-checked keys are kept IN ORDER at the tail of
@@ -37,68 +37,11 @@ ROTATION_WINDOW: list[str] = [
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
-    # Round-4 driver-red rows, canonicalization fixed this round —
+    # Round-5 driver-red row — oracle HUGEINT cast fixed this round,
     # kept in the window to prove green.
-    "text_token_budget_pack",
-    "text_inverted_index",
-    # Round-2-era tail: first-ever driver rows.
-    "json_variant_extract",
-    "dq_orphan_foreign_keys",
-    "cogrouped_activity_counts",
-    "udtf_sentence_split",
-    "session_window_dynamic_gap",
-    "chained_window_peak_counts",
-    # Demoted round-4 singles: first-ever driver rows.
-    "winsorize_order_prices",
-    "timeseries_quantile_bars",
-    "dq_event_lag_by_type",
-    "dedup_connected_components_star",
-    # Sketch / recall accuracy audits (rows-only quality pins).
-    "dedup_minhash_recall",
-    "dedup_minhash_estimate_audit",
-    "dedup_simhash_recall",
-    "dedup_embedding_recall",
-    "approx_quantiles_audit",
-    # New this round: driver-visible quality rows for the float fits.
-    "quality_logistic_score",
-    "embedding_pca_variance_audit",
-    # LLM-pipeline operators without a prior driver row.
-    "dedup_connected_components",
-    "similarity_cosine_topk",
-    "similarity_ivf_ann_topk",
-    "pipeline_clean_corpus",
-    "pipeline_near_dedup_corpus",
-    "dedup_fuzzy_name_pairs",
-    "funnel_view_click_purchase",
-    "embedding_kmeans_assign",
-    "embedding_quantize_int8",
-    "text_contamination_8gram",
-    "text_redact_pii",
     "text_pack_sequences",
-    "text_chunk_sliding",
-    "text_split_assign",
-    "text_token_balanced_mixture",
-    "pipeline_training_manifest",
-    "multimodal_feature_extract",
-    "scd2_user_value_history",
-    "asof_point_in_time_features",
-    "window_rolling_median",
-    # Relational / UDF shapes without a prior driver row.
-    "json_bad_record_quarantine",
-    # New this round: incremental dedup, count-min audit, z-order key,
-    # inter-source overlap matrix, hybrid RRF retrieval, forget-expand.
-    "dq_source_overlap_matrix",
-    "retrieval_hybrid_rrf",
-    "pipeline_forget_expand",
-    "dedup_incremental_new_vs_corpus",
-    "sketch_countmin_accuracy",
-    "storage_zorder_events",
-]
-
-# Next tranche (round 6+): the remaining keys that have never had a
-# driver row, in planned rotation order. Keeping them HERE (not just
-# in a comment) makes the plan part of the ordered registry.
-NEXT_TRANCHE: list[str] = [
+    # Round-5 NEXT_TRANCHE, first 45 in planned order: behavioral
+    # queries, multimodal/UDF singles, TPC-H q2–q22, relational tail.
     "events_markov_transitions",
     "events_top_paths_3step",
     "events_anomaly_mad",
@@ -143,7 +86,12 @@ NEXT_TRANCHE: list[str] = [
     "union_by_name_balances",
     "map_event_type_counts",
     "dedup_latest_event_per_user",
-    "join_salted_skew_orders",
+    "join_salted_skew_orders",]
+
+# Next tranche (round 6+): the remaining keys that have never had a
+# driver row, in planned rotation order. Keeping them HERE (not just
+# in a comment) makes the plan part of the ordered registry.
+NEXT_TRANCHE: list[str] = [
     "not_in_subquery_customers",
     "profile_key_skew_orders",
     "profile_table_stats_orders",
@@ -164,8 +112,7 @@ NEXT_TRANCHE: list[str] = [
     "text_rolling_md5_fingerprints",
     "text_seeded_shuffle",
     "text_char_entropy",
-    "multimodal_audio_segments",
-]
+    "multimodal_audio_segments",]
 
 PRIORITY: list[str] = ROTATION_WINDOW + NEXT_TRANCHE
 

@@ -165,6 +165,23 @@ def _publish_rows(iterator, staging_dir: str):
     return _PublishCommit(staged=staged, n_rows=n)
 
 
+def _clear_staging(staging_dir: str) -> None:
+    """Remove every leftover staged file after a commit/abort has
+    processed its messages. Task attempts that crashed before
+    returning a commit message (or speculative/retried attempts)
+    leave orphan staged files no message ever references; by the time
+    the driver finishes commit/abort, every surviving file in
+    ``_staging`` is garbage by construction (ADVICE r5)."""
+    import glob as _glob
+    import os as _os
+
+    for leftover in _glob.glob(_os.path.join(staging_dir, "part-*.jsonl")):
+        try:
+            _os.remove(leftover)
+        except OSError:
+            pass
+
+
 class RecordPublishWriter(DataSourceWriter):
     """Batch writer with a stage-then-commit protocol: tasks write to
     ``<path>/_staging``; only the driver's ``commit`` (all tasks
@@ -193,6 +210,7 @@ class RecordPublishWriter(DataSourceWriter):
                 continue
             final = _os.path.join(self.path, _os.path.basename(m.staged))
             _os.replace(m.staged, final)
+        _clear_staging(_os.path.join(self.path, "_staging"))
 
     def abort(self, messages):
         import os as _os
@@ -200,6 +218,7 @@ class RecordPublishWriter(DataSourceWriter):
         for m in messages:
             if m is not None and _os.path.exists(m.staged):
                 _os.remove(m.staged)
+        _clear_staging(_os.path.join(self.path, "_staging"))
 
 
 class RecordPublishStreamWriter(DataSourceStreamWriter):
@@ -219,8 +238,19 @@ class RecordPublishStreamWriter(DataSourceStreamWriter):
         return _publish_rows(iterator, _os.path.join(self.path, "_staging"))
 
     def commit(self, messages, batchId):
+        import glob as _glob
         import os as _os
 
+        # A replayed epoch may legitimately produce FEWER files than a
+        # prior partially-committed attempt (fewer partitions after a
+        # repartition, or emptier tasks); renaming over the new
+        # indices alone would leave the prior attempt's higher-index
+        # files visible and duplicate records (ADVICE r5). Clear every
+        # file of this epoch before renaming the new set in.
+        for stale in _glob.glob(
+            _os.path.join(self.path, f"epoch-{batchId:06d}-*.jsonl")
+        ):
+            _os.remove(stale)
         for i, m in enumerate(messages):
             if m is None:
                 continue
@@ -228,6 +258,7 @@ class RecordPublishStreamWriter(DataSourceStreamWriter):
                 self.path, f"epoch-{batchId:06d}-{i:04d}.jsonl"
             )
             _os.replace(m.staged, final)
+        _clear_staging(_os.path.join(self.path, "_staging"))
 
     def abort(self, messages, batchId):
         import os as _os
@@ -235,6 +266,7 @@ class RecordPublishStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m is not None and _os.path.exists(m.staged):
                 _os.remove(m.staged)
+        _clear_staging(_os.path.join(self.path, "_staging"))
 
 
 class RecordPublishDataSource(DataSource):

@@ -41,6 +41,17 @@ def _fold_ordered(
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if not chunks:
         return None
+    if len(chunks) == 1:
+        # Fast path (the overwhelmingly common case: one Arrow chunk
+        # per key per micro-batch): skip the concat, and skip the
+        # sort too when the chunk is already event-time-ordered — an
+        # O(n) monotonicity probe vs an O(n log n) stable sort.
+        # Semantics identical; the multi-chunk fold-order regression
+        # test pins the slow path (VERDICT r5 item 6).
+        only = chunks[0]
+        if only[by].is_monotonic_increasing:
+            return only
+        return only.sort_values(by, kind="mergesort")
     return pd.concat(chunks, ignore_index=True).sort_values(
         by, kind="mergesort"
     )

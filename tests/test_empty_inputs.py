@@ -104,6 +104,11 @@ REPRESENTATIVES = [
     "pipeline_forget_expand",        # CC-expanded deletion set
     "dedup_minhash_estimate_audit",  # signature-agreement audit
     "sketch_countmin_accuracy",      # d x w cell audit
+    "events_markov_transitions",     # per-user lead + transition agg
+    "events_top_paths_3step",        # double-lead path top-k
+    "events_anomaly_mad",            # median/MAD robust flags
+    "orders_benford_audit",          # first-digit distribution audit
+    "pipeline_admission_decisions",  # reason-coded admission audit
 ]
 
 

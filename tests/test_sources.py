@@ -440,3 +440,71 @@ def test_record_publish_stream_writer_epochs(spark, tmp_path):
     assert len(rows) >= 20
     assert {r["sensor_id"] for r in rows} <= {"1", "2", "3", "4", "5"}
     assert all(27 <= r["temperature"] <= 32 for r in rows)
+
+
+def test_record_publish_epoch_replay_clears_stale_files(tmp_path):
+    # ADVICE r5: a replayed epoch that commits FEWER files than a
+    # prior partially-committed attempt must not leave the prior
+    # attempt's higher-index files visible (duplicate records).
+    # Driver-side protocol test: call the writer's commit directly.
+    import os
+
+    from msk_flink_streaming_cdk_spark.sources.pydatasource import (
+        RecordPublishStreamWriter,
+        _PublishCommit,
+    )
+
+    out = str(tmp_path / "pub")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    w = RecordPublishStreamWriter({"path": out})
+
+    def stage(name, payload):
+        p = os.path.join(staging, name)
+        with open(p, "w") as f:
+            f.write(payload)
+        return _PublishCommit(staged=p, n_rows=1)
+
+    # Attempt 1: epoch 3 commits THREE files.
+    msgs = [stage(f"part-a{i}.jsonl", f'{{"r": {i}}}\n') for i in range(3)]
+    w.commit(msgs, 3)
+    assert len(os.listdir(out)) - 1 == 3  # 3 epoch files + _staging
+
+    # Replay of epoch 3 commits only ONE file (fewer partitions after
+    # recovery) — indices 0001/0002 from attempt 1 must be gone.
+    msgs = [stage("part-b0.jsonl", '{"r": 99}\n')]
+    w.commit(msgs, 3)
+    visible = sorted(
+        f for f in os.listdir(out) if f.startswith("epoch-")
+    )
+    assert visible == ["epoch-000003-0000.jsonl"]
+    with open(os.path.join(out, visible[0])) as f:
+        assert f.read() == '{"r": 99}\n'
+
+
+def test_record_publish_commit_clears_orphan_staged_files(tmp_path):
+    # ADVICE r5: staged files from task attempts that crashed before
+    # returning a commit message are never referenced by any message;
+    # commit/abort must clear the whole staging area afterwards.
+    import os
+
+    from msk_flink_streaming_cdk_spark.sources.pydatasource import (
+        RecordPublishWriter,
+        _PublishCommit,
+    )
+
+    out = str(tmp_path / "pub_batch")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    committed = os.path.join(staging, "part-ok.jsonl")
+    with open(committed, "w") as f:
+        f.write('{"r": 1}\n')
+    orphan = os.path.join(staging, "part-crashed-attempt.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"r": 2}\n')
+
+    w = RecordPublishWriter({"path": out})
+    w.commit([_PublishCommit(staged=committed, n_rows=1)])
+    assert os.path.exists(os.path.join(out, "part-ok.jsonl"))
+    assert not os.path.exists(orphan)
+    assert os.listdir(staging) == []
