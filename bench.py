@@ -127,6 +127,7 @@ HEADLINE = [
     "orders_benford_audit",
     # round 6 additions
     "pipeline_admission_decisions",
+    "text_dsir_importance_weights",
 ]
 
 

@@ -1064,6 +1064,108 @@ def pipeline_admission_decisions(spark, sf_dir):
 
 
 @register(
+    "text_dsir_importance_weights",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents),
+    wf AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(w), 1, 4))::BIGINT % 256 AS f
+      FROM words WHERE length(w) > 0),
+    tgt AS (SELECT f, count(*) AS ct FROM wf WHERE lang = 'en' GROUP BY f),
+    raw AS (SELECT f, count(*) AS cr FROM wf GROUP BY f),
+    tots AS (SELECT (SELECT count(*) FROM wf WHERE lang = 'en') AS t_tot,
+                    (SELECT count(*) FROM wf) AS r_tot),
+    wt AS (
+      SELECT r.f,
+             ln((coalesce(t.ct, 0) + 1.0) / (tots.t_tot + 256))
+               - ln((r.cr + 1.0) / (tots.r_tot + 256)) AS w
+      FROM raw r LEFT JOIN tgt t USING (f), tots),
+    db AS (SELECT doc_id, f, count(*) AS c FROM wf GROUP BY doc_id, f)
+    SELECT db.doc_id,
+           CAST(sum(c) AS BIGINT) AS n_terms,
+           sum(c * w) / sum(c) AS logratio
+    FROM db JOIN wt USING (f)
+    GROUP BY db.doc_id
+    """,
+)
+def text_dsir_importance_weights(spark, sf_dir):
+    """DSIR-style importance weights for domain matching (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — public method): score every document by the average
+    hashed-unigram log-likelihood ratio between a TARGET distribution
+    (here the ``lang='en'`` slice plays the target domain) and the
+    raw pool, with add-1 smoothing over B=256 hash buckets. Positive
+    ``logratio`` = looks like the target domain; downstream selection
+    resamples proportional to exp(logratio) — the standard recipe for
+    tilting a 100 TB crawl toward a quality/domain reference corpus.
+
+    Scale shape: both feature-frequency tables are <= B rows
+    (broadcast joins), totals are one agg row; the per-doc stage is
+    scan -> explode -> two hash aggregates keyed by (doc_id, bucket)
+    then doc_id. Nothing collects; the hash is the md5-prefix integer
+    both engines compute identically (no engine-native hash
+    divergence)."""
+    B = 256
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+                % B
+            ).alias("f"),
+        )
+    )
+    wf = materialize_once(wf)
+    tgt = wf.filter(F.col("lang") == "en").groupBy("f").agg(
+        F.count("*").alias("ct")
+    )
+    raw = wf.groupBy("f").agg(F.count("*").alias("cr"))
+    tots = wf.agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_tot"),
+        F.count("*").alias("r_tot"),
+    )
+    wt = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "f",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("t_tot") + B)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("r_tot") + B))
+            ).alias("w"),
+        )
+    )
+    db = wf.groupBy("doc_id", "f").agg(F.count("*").alias("c"))
+    return (
+        db.join(F.broadcast(wt), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_terms"),
+            (F.sum(F.col("c") * F.col("w")) / F.sum("c")).alias(
+                "logratio"
+            ),
+        )
+        .select("doc_id", "n_terms", "logratio")
+    )
+
+
+@register(
     "pipeline_near_dedup_corpus",
     oracle=r"""
     WITH words AS (

@@ -109,6 +109,7 @@ REPRESENTATIVES = [
     "events_anomaly_mad",            # median/MAD robust flags
     "orders_benford_audit",          # first-digit distribution audit
     "pipeline_admission_decisions",  # reason-coded admission audit
+    "text_dsir_importance_weights",  # hashed-ngram domain log-ratios
 ]
 
 
@@ -186,6 +187,8 @@ def test_text_ops_survive_nulls_and_unicode(spark, tmp_path, sf_small):
         "dq_duplicate_rate_by_source",
         "dq_ks_drift_by_source",
         "quality_logistic_score",
+        "pipeline_admission_decisions",
+        "text_dsir_importance_weights",
     ):
         rows = QUERIES[name](spark, path).collect()  # must not raise
         assert isinstance(rows, list)
