@@ -163,6 +163,10 @@ def incremental_near_dup(
     predicate ``min_len >= t * max_len`` on the join. Unlike the
     round-5 absolute +/-16-char band, a doc and its 2x-length
     superset at J>=0.5 is always a candidate, at any document length.
+    The wider (correct) candidate set costs measured bench time —
+    1.41s -> 2.09s at sf0.1 (r5 -> r6 full-suite runs) — the price of
+    recall the old band silently dropped; the per-candidate work is
+    unchanged.
 
     Scale shape: the corpus side is shingled and bucketed ONCE (at
     100 TB this frame is the thing you persist between ingests); the

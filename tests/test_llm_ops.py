@@ -588,6 +588,28 @@ def test_zorder_query_bucket_consistency(spark, sf_small):
         assert (x, y) == (r.x, r.y), r
 
 
+def test_dsir_weights_favor_target_domain(spark, sf_small):
+    # Semantic pin beyond oracle equality: documents IN the target
+    # slice (lang='en') must average a higher hashed-unigram
+    # log-likelihood ratio than documents outside it — the whole
+    # point of importance weighting. (Individual docs can cross over;
+    # the group means must separate.)
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+
+    w = QUERIES["text_dsir_importance_weights"](spark, sf_small)
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    rows = (
+        w.join(docs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("logratio").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r.m for r in rows}
+    assert means[True] > means[False], means
+
+
 def test_narrow_when_tiny_layout_policy(spark):
     # Tiny frames collapse to one partition (iterative consumers run
     # single-task rounds); big frames keep their layout (distribution
