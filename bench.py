@@ -128,6 +128,7 @@ HEADLINE = [
     # round 6 additions
     "pipeline_admission_decisions",
     "text_dsir_importance_weights",
+    "embedding_matryoshka_recall",
 ]
 
 

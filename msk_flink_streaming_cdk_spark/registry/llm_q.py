@@ -879,6 +879,98 @@ def similarity_cosine_topk(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_matryoshka_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id < 10),
+    fs AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(q.query_vec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]),
+                                        CAST(q.query_vec AS DOUBLE[])))), 9)
+               AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ft AS (SELECT query_id, vec_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS rank
+      FROM fs) WHERE rank <= 5),
+    ts AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]),
+                              CAST(q.query_vec[1:16] AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]),
+                                      CAST(e.embedding[1:16] AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q.query_vec[1:16] AS DOUBLE[]),
+                                        CAST(q.query_vec[1:16] AS DOUBLE[])))),
+                   9) AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    tt AS (SELECT query_id, vec_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS rank
+      FROM ts) WHERE rank <= 5)
+    SELECT f.query_id,
+           CAST(count(*) AS BIGINT) AS n_full,
+           CAST(count(t.vec_id) AS BIGINT) AS n_common,
+           count(t.vec_id) / 5.0 AS recall
+    FROM ft f LEFT JOIN tt t
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def embedding_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation audit: per-query top-5 recall of
+    QUARTER-dimension embeddings (first 16 of 64 dims, the MRL
+    truncation recipe — Kusupati et al. 2022, public) against the
+    full-dimension exact top-5. The production question this answers:
+    how much retrieval quality does the 4x-cheaper index keep? Both
+    rankings are exact brute force with 9dp-rounded scores and vec_id
+    tie-break, so the whole audit is engine-deterministic and fully
+    SQL-oracled (unlike the ANN recall pins, which are rows-only).
+
+    Scale shape: two broadcast-query corpus scans (the truncated one
+    reads a 16-element slice) + one <=100-row join of the two top-5
+    sets. Truncation is a projection — no re-embedding, no shuffle."""
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    emb = _emb(spark, sf_dir)
+    d4 = 16
+    qf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    full = cosine_topk_bruteforce(emb, qf, k=5).select(
+        "query_id", "vec_id"
+    )
+    emb_t = emb.select(
+        "vec_id", F.slice("embedding", 1, d4).alias("embedding")
+    )
+    qt = qf.select(
+        "query_id", F.slice("query_vec", 1, d4).alias("query_vec")
+    )
+    trunc = cosine_topk_bruteforce(emb_t, qt, k=5).select(
+        "query_id", F.col("vec_id").alias("t_vec_id")
+    )
+    return (
+        full.join(
+            trunc,
+            (full.query_id == trunc.query_id)
+            & (full.vec_id == trunc.t_vec_id),
+            "left",
+        )
+        .drop(trunc.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_full"),
+            F.count("t_vec_id").alias("n_common"),
+            (F.count("t_vec_id") / 5.0).alias("recall"),
+        )
+    )
+
+
 @register("dedup_embedding_cosine_pairs")  # LSH candidates → rows-only
 def dedup_embedding_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine >= 0.45) via

@@ -110,6 +110,7 @@ REPRESENTATIVES = [
     "orders_benford_audit",          # first-digit distribution audit
     "pipeline_admission_decisions",  # reason-coded admission audit
     "text_dsir_importance_weights",  # hashed-ngram domain log-ratios
+    "embedding_matryoshka_recall",   # truncated-dim retrieval audit
 ]
 
 

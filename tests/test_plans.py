@@ -414,3 +414,22 @@ def test_mmr_candidate_stage_is_take_ordered(spark, sf_small):
     plan = formatted_plan(mmr_candidate_plan(spark, sf_small))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_admission_decisions_plan(spark, sf_small):
+    # Near-dup flag must join the (tiny) pair-graph doc_b side by
+    # broadcast, never a shuffle of the full document scan; no NLJ.
+    df = QUERIES["pipeline_admission_decisions"](spark, sf_small)
+    assert_no_nested_loop_join(df)
+    assert_broadcast_hash_join(df)
+
+
+def test_dsir_weights_plan(spark, sf_small):
+    # Both feature-weight joins (<=256-row tables) must broadcast.
+    # The totals crossJoin is the one-row scalar-broadcast pattern
+    # (prints as BroadcastNestedLoopJoin — same exemption as q11/q22);
+    # anything CartesianProduct-shaped is a real bug.
+    df = QUERIES["text_dsir_importance_weights"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert_broadcast_hash_join(df)
