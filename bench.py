@@ -129,6 +129,7 @@ HEADLINE = [
     "pipeline_admission_decisions",
     "text_dsir_importance_weights",
     "embedding_matryoshka_recall",
+    "dedup_incremental_components",
 ]
 
 

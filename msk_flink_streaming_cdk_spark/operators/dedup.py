@@ -595,6 +595,62 @@ def connected_components(
     return labels
 
 
+def incremental_connected_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Merge a BATCH of new edges into a maintained ``(node, label)``
+    component table — the incremental twin of
+    ``connected_components``, for the daily-ingest shape where the
+    corpus labeling is a persisted table and a new batch of near-dup
+    pairs arrives (the same posture ``incremental_near_dup`` takes
+    for pair generation).
+
+    Standard batch union-find merge: each new-edge endpoint collapses
+    to its current component label (itself if unlabeled), connected
+    components runs on that COLLAPSED graph — whose size is bounded
+    by the touched classes plus the batch, never the corpus — and the
+    resulting class-merge map broadcasts back over the maintained
+    labeling. Because every class label is the minimum id of its
+    class, the merged label is the true global minimum, so the output
+    equals ``connected_components`` on the full edge set (pinned by
+    the registry query's closure oracle and a property test).
+
+    Returns (node, label) covering every previously-labeled node plus
+    every node incident to ``new_edges``.
+    """
+    l_a = labels.select(F.col("node").alias(a), F.col("label").alias("la"))
+    l_b = labels.select(F.col("node").alias(b), F.col("label").alias("lb"))
+    collapsed = (
+        new_edges.join(l_a, a, "left")
+        .join(l_b, b, "left")
+        .select(
+            F.coalesce("la", F.col(a)).alias("u"),
+            F.coalesce("lb", F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    merged = connected_components(collapsed, a="u", b="v")
+    remap = merged.select(
+        F.col("node").alias("label"), F.col("label").alias("new_label")
+    )
+    relabeled = labels.join(F.broadcast(remap), "label", "left").select(
+        "node", F.coalesce("new_label", "label").alias("label")
+    )
+    new_nodes = (
+        new_edges.select(F.col(a).alias("node"))
+        .unionAll(new_edges.select(F.col(b).alias("node")))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+    )
+    new_labeled = new_nodes.join(merged, "node", "left").select(
+        "node", F.coalesce("label", "node").alias("label")
+    )
+    return relabeled.unionByName(new_labeled)
+
+
 def connected_components_star(
     pairs: DataFrame,
     a: str = "doc_a",

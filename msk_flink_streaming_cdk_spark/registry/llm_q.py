@@ -536,6 +536,7 @@ PAIR_GRAPH_CONSUMERS = frozenset(
         "pipeline_near_dedup_keep_central",
         "pipeline_admission_decisions",
         "pipeline_forget_expand",
+        "dedup_incremental_components",
         "dedup_minhash_recall",
         "dedup_minhash_estimate_audit",
         "dedup_simhash_recall",
@@ -783,6 +784,48 @@ def dedup_connected_components(spark, sf_dir):
             F.col("label").alias("component_id"),
         )
         .withColumn("component_size", F.count("*").over(w))
+    )
+
+
+@register(
+    "dedup_incremental_components",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, peer) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    )
+    SELECT node AS doc_id, min(peer) AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_incremental_components(spark, sf_dir):
+    """Incremental component maintenance: every 5th document plays
+    the incoming batch; the corpus-only labeling is the MAINTAINED
+    table (built here for the fixture; persisted between ingests in
+    production), and the batch's pairs merge into it via
+    ``incremental_connected_components`` — collapse endpoints to
+    current labels, run CC on the collapsed graph (bounded by touched
+    classes + batch, never the corpus), broadcast the class-merge map
+    back. Output must equal full-graph CC, which is exactly what the
+    recursive-closure oracle checks."""
+    from ..operators.dedup import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    pairs = shared_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
+    is_batch_a = F.col("doc_a") % 5 == 0
+    is_batch_b = F.col("doc_b") % 5 == 0
+    corpus_pairs = pairs.filter(~is_batch_a & ~is_batch_b)
+    delta_pairs = pairs.filter(is_batch_a | is_batch_b)
+    labels0 = connected_components(corpus_pairs)
+    final = incremental_connected_components(labels0, delta_pairs)
+    return final.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
 
 

@@ -111,6 +111,7 @@ REPRESENTATIVES = [
     "pipeline_admission_decisions",  # reason-coded admission audit
     "text_dsir_importance_weights",  # hashed-ngram domain log-ratios
     "embedding_matryoshka_recall",   # truncated-dim retrieval audit
+    "dedup_incremental_components",  # batch union-find merge
 ]
 
 

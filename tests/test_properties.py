@@ -263,6 +263,53 @@ def test_incremental_near_dup_matches_bruteforce(spark, docs):
     assert got == want
 
 
+def test_incremental_components_match_full_cc(spark):
+    # Batch union-find merge must equal full-graph CC on arbitrary
+    # splits: seeded random graphs, edges split into "corpus" and
+    # "batch" halves several ways (including all-batch and all-corpus)
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        connected_components,
+        incremental_connected_components,
+    )
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(6, 24)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(3, 2 * n))
+            }
+        )
+        for frac in (0.0, 0.4, 1.0):
+            k = int(len(edges) * frac)
+            corpus, batch = edges[k:], edges[:k]
+            full = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+            want = {
+                (r.node, r.label)
+                for r in connected_components(full).collect()
+            }
+            labels0 = connected_components(
+                spark.createDataFrame(
+                    corpus or [(None, None)], "doc_a long, doc_b long"
+                ).dropna()
+            )
+            got_df = (
+                incremental_connected_components(
+                    labels0,
+                    spark.createDataFrame(
+                        batch or [(None, None)],
+                        "doc_a long, doc_b long",
+                    ).dropna(),
+                )
+                if batch
+                else labels0
+            )
+            got = {(r.node, r.label) for r in got_df.collect()}
+            assert got == want, (trial, frac, corpus, batch)
+
+
 def test_incremental_near_dup_finds_long_superset(spark):
     # VERDICT r5 "what's wrong" #3: under the old absolute +-16-char
     # band, a doc and its 1.5x-length superset with J>=0.5 was NEVER
