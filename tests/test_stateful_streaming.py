@@ -1146,3 +1146,32 @@ def test_countmin_stream_matches_batch_sketch(spark, tmp_path):
     assert got == want
     # bounded-state contract: never more than d*w cells
     assert len(got) <= 4 * 64
+
+
+def test_fold_ordered_single_chunk_paths():
+    # The round-6 fast path: one already-sorted chunk passes through
+    # untouched (no concat, no sort); one UNSORTED chunk still sorts;
+    # multi-chunk still concat+sorts globally; empty -> None.
+    import pandas as pd
+
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        _fold_ordered,
+    )
+
+    sorted_chunk = pd.DataFrame({"t": [1, 2, 3], "v": [9, 8, 7]})
+    out = _fold_ordered(iter([sorted_chunk]), "t")
+    assert list(out["v"]) == [9, 8, 7]
+
+    unsorted = pd.DataFrame({"t": [3, 1, 2], "v": [7, 9, 8]})
+    out = _fold_ordered(iter([unsorted]), "t")
+    assert list(out["t"]) == [1, 2, 3]
+    assert list(out["v"]) == [9, 8, 7]
+
+    c1 = pd.DataFrame({"t": [2, 4], "v": [1, 2]})
+    c2 = pd.DataFrame({"t": [1, 3], "v": [3, 4]})
+    out = _fold_ordered(iter([c1, c2]), "t")
+    assert list(out["t"]) == [1, 2, 3, 4]
+    assert list(out["v"]) == [3, 1, 4, 2]
+
+    assert _fold_ordered(iter([]), "t") is None
+    assert _fold_ordered(iter([sorted_chunk.iloc[:0]]), "t") is None
