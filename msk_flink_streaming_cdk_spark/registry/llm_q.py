@@ -4148,6 +4148,13 @@ def _pagerank_ranks(pairs):
                 ).alias("r"),
                 "n",
             )
+            # Each round consumes r TWICE (contrib + carry-through);
+            # without truncation the lazy plan re-evaluates the whole
+            # prior-round subtree per consumer — O(2^iters) rank
+            # joins. Lazy per-round checkpoint (same policy as
+            # connected_components) makes the loop linear: bench A/B
+            # at sf0.1, pagerank 3.26s -> see commit for after.
+            .localCheckpoint(eager=False)
         )
     return r.select("id", "r")
 
@@ -5386,6 +5393,11 @@ def graph_label_propagation(spark, sf_dir):
                 .otherwise(F.coalesce("blab", "plab"))
                 .alias("lab"),
             )
+            # lab is consumed twice next round (votes + plab carry);
+            # truncate lineage per round or the lazy plan re-evaluates
+            # the prior rounds once per consumer (same fix as
+            # _pagerank_ranks — see bench A/B in the commit).
+            .localCheckpoint(eager=False)
         )
     return (
         nodes.join(lab, "id")
