@@ -3010,7 +3010,12 @@ def pipeline_strip_duplicate_passages(spark, sf_dir):
                 ),
             ).otherwise(F.array().cast("array<struct<s:int,ph:bigint>>"))
         ).alias("g"),
-    ).select("doc_id", "g.s", "g.ph")
+    ).select("doc_id", "g.s", "g.ph").transform(
+        # Consumed by BOTH the dup-hash agg and the covered-starts
+        # join; without this the 16-gram explode + hash runs twice
+        # (bench A/B at sf0.1: 2.36s -> see commit).
+        materialize_once
+    )
     dup = (
         grams.select("doc_id", "ph")
         .distinct()
