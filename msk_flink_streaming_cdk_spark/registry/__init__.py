@@ -92,6 +92,12 @@ ROTATION_WINDOW: list[str] = [
 # driver row, in planned rotation order. Keeping them HERE (not just
 # in a comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    # Round-6 additions — registered after the round-6 window froze;
+    # first in line for round-7 driver rows.
+    "pipeline_admission_decisions",
+    "text_dsir_importance_weights",
+    "embedding_matryoshka_recall",
+    "dedup_incremental_components",
     "not_in_subquery_customers",
     "profile_key_skew_orders",
     "profile_table_stats_orders",
