@@ -304,3 +304,139 @@ def test_streaming_observe_metrics_surface(spark, tmp_path):
     assert metrics is not None, "no observed metrics in progress"
     assert metrics["n_rows"] == 4
     assert metrics["n_hot"] == 2
+
+
+def test_streaming_near_dup_admission_matches_batch(spark, tmp_path, sf_small):
+    # The streaming admission gate must produce, across any
+    # micro-batch split of the incoming docs, exactly the decisions
+    # the batch operator produces on the whole incoming set — a doc's
+    # decision depends only on (doc, corpus). Replay the sf0.001
+    # incoming slice in single-file micro-batches and diff.
+    import glob
+    import os
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        near_dup_admission_stream,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_small, "documents.parquet"))
+    corpus = docs.filter("doc_id % 5 != 0")
+    incoming = docs.filter("doc_id % 5 = 0").select(
+        "doc_id", "text", "n_chars"
+    )
+
+    # Split incoming into 3 files (micro-batches) by doc_id band.
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    import time as _t
+
+    for i, pred in enumerate(
+        ("doc_id < 150", "doc_id >= 150 and doc_id < 300", "doc_id >= 300")
+    ):
+        part = str(tmp_path / f"part{i}")
+        incoming.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            part
+        )
+        (f,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(f, dst)
+        mtime = _t.time() - 1000 + i * 10
+        os.utime(dst, (mtime, mtime))
+
+    stream = stream_parquet_dir(
+        spark, src, incoming.schema, max_files_per_trigger=1
+    )
+    got = []
+    n_batches = []
+
+    def sink(df, bid):
+        got.extend(
+            (r.doc_id, r.matched_doc, round(r.jaccard, 9))
+            for r in df.collect()
+        )
+        n_batches.append(bid)
+
+    q = near_dup_admission_stream(
+        stream, corpus, str(tmp_path / "ckpt"), sink
+    )
+    q.awaitTermination()
+    assert len(n_batches) == 3  # one decision set per micro-batch
+
+    want = {
+        (r.doc_id, r.matched_doc, round(r.jaccard, 9))
+        for r in incremental_near_dup(corpus, incoming).collect()
+    }
+    assert set(got) == want and len(got) == len(want)
+    assert want, "fixture must produce at least one near-dup decision"
+
+
+def test_streaming_component_maintenance_reaches_full_cc(spark, tmp_path):
+    # Edges stream in three micro-batches; after the replay the
+    # maintained labeling must equal full-graph CC — including
+    # cross-batch merges (components that only connect via a later
+    # batch's bridge edge).
+    import glob
+    import os
+    import time as _t
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        connected_components,
+    )
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        component_maintenance_stream,
+    )
+
+    batches = [
+        [(1, 2), (3, 4), (10, 11)],
+        [(5, 6), (2, 3)],          # bridges {1,2} and {3,4}
+        [(4, 5), (20, 21)],        # bridges the merged chain and {5,6}
+    ]
+    src = str(tmp_path / "edges")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        part = str(tmp_path / f"epart{i}")
+        spark.createDataFrame(
+            rows, "doc_a long, doc_b long"
+        ).coalesce(1).write.mode("overwrite").parquet(part)
+        (f,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(f, dst)
+        mtime = _t.time() - 1000 + i * 10
+        os.utime(dst, (mtime, mtime))
+
+    schema = "doc_a long, doc_b long"
+    from pyspark.sql.types import _parse_datatype_string
+
+    stream = stream_parquet_dir(
+        spark, src, _parse_datatype_string(schema), max_files_per_trigger=1
+    )
+    seen = []
+    q, state = component_maintenance_stream(
+        stream,
+        str(tmp_path / "cc_ckpt"),
+        on_update=lambda df, bid: seen.append(bid),
+    )
+    q.awaitTermination()
+    assert seen == [0, 1, 2]
+
+    all_edges = spark.createDataFrame(
+        [e for rows in batches for e in rows], schema
+    )
+    want = {
+        (r.node, r.label)
+        for r in connected_components(all_edges).collect()
+    }
+    got = {(r.node, r.label) for r in state["labels"].collect()}
+    assert got == want
+    # the cross-batch merges really collapsed: 1..6 one component
+    labels = {r.node: r.label for r in state["labels"].collect()}
+    assert len({labels[n] for n in (1, 2, 3, 4, 5, 6)}) == 1
