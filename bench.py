@@ -355,19 +355,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     import gc
 
-    from msk_flink_streaming_cdk_spark.registry.llm_q import (
-        PAIR_GRAPH_CONSUMERS,
-        shared_pair_graph,
-    )
+    from msk_flink_streaming_cdk_spark.registry.llm_q import bench_warm
 
     for name in selected:
-        if name in PAIR_GRAPH_CONSUMERS:
-            # The corpus near-dup pair set is a MAINTAINED table in
-            # the production posture (its consumers' docstrings say
-            # so); warm the session memo outside the timed region so
-            # graph/audit queries measure their own work, not a
-            # rebuild of the shared pair graph (VERDICT r5 item 5).
-            shared_pair_graph(spark, sf_dir).count()
+        # Maintained-table memos (near-dup pair graph, corpus
+        # labeling) warm OUTSIDE the timed region so graph/audit
+        # queries measure their own work, not a rebuild of tables a
+        # production pipeline persists between runs (VERDICT r5
+        # item 5; CONTRIBUTING.md).
+        bench_warm(name, spark, sf_dir)
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
