@@ -623,6 +623,8 @@ def incremental_connected_components(
     """
     l_a = labels.select(F.col("node").alias(a), F.col("label").alias("la"))
     l_b = labels.select(F.col("node").alias(b), F.col("label").alias("lb"))
+    from .util import narrow_when_tiny
+
     collapsed = (
         new_edges.join(l_a, a, "left")
         .join(l_b, b, "left")
@@ -631,6 +633,11 @@ def incremental_connected_components(
             F.coalesce("lb", F.col(b)).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
+        # The collapsed graph is bounded by touched classes + batch —
+        # usually a few hundred rows even when the corpus is huge, so
+        # the single-partition layout (2k threshold, the re-measured
+        # one) makes each CC round a narrow one-task stage.
+        .transform(narrow_when_tiny)
     )
     merged = connected_components(collapsed, a="u", b="v")
     remap = merged.select(
