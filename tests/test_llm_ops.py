@@ -640,3 +640,25 @@ def test_minhash_estimate_audit_error_bounds(spark, sf_small):
     assert r.n_pairs > 0
     assert r.mae <= 0.15, r
     assert r.max_err <= 0.35, r
+
+
+def test_shared_memos_survive_clear_cache(spark, sf_small):
+    # bench.py isolates queries with clearCache(); the maintained-
+    # table memos must re-persist on next access instead of silently
+    # degrading to per-consumer recompute (or erroring).
+    from msk_flink_streaming_cdk_spark.registry.llm_q import (
+        shared_corpus_labels,
+        shared_pair_graph,
+    )
+
+    p1 = shared_pair_graph(spark, sf_small)
+    n_pairs = p1.count()
+    l1 = shared_corpus_labels(spark, sf_small)
+    n_labels = l1.count()
+    spark.catalog.clearCache()
+    p2 = shared_pair_graph(spark, sf_small)
+    assert p2.storageLevel.useMemory or p2.storageLevel.useDisk
+    assert p2.count() == n_pairs
+    l2 = shared_corpus_labels(spark, sf_small)
+    assert l2.storageLevel.useMemory or l2.storageLevel.useDisk
+    assert l2.count() == n_labels
