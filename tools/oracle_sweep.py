@@ -2,9 +2,16 @@
 vs DuckDB at an arbitrary SF (default sf0.01 — the driver's gate scale).
 
 Usage: python tools/oracle_sweep.py [sf_dir] [name_substring ...]
+       python tools/oracle_sweep.py sf_dir --skip-heavy
 
 Prints one line per query (ok / MISMATCH / ERR) and a summary; exits
 non-zero on any failure so it can gate commits.
+
+``--skip-heavy`` excludes the recursive-closure / unrolled-iteration
+oracles (``HEAVY_ORACLES``): DuckDB re-evaluates a CTE per reference,
+so those replays are quadratic-plus above oracle scale — they stay
+gated at sf0.001 (pytest) and sf0.01 (driver). With the flag, the
+remaining 186 oracles were verified green at sf0.1 in round 6.
 """
 
 from __future__ import annotations
@@ -24,14 +31,32 @@ from msk_flink_streaming_cdk_spark.session import get_spark
 from tests.oracle import compare
 
 
+HEAVY_ORACLES = {
+    "dedup_graph_pagerank",
+    "dedup_connected_components",
+    "dedup_connected_components_star",
+    "pipeline_near_dedup_keep_central",
+    "pipeline_forget_expand",
+    "graph_label_propagation",
+    "er_golden_records",
+    "similarity_mmr_diversified",
+    "dedup_incremental_components",
+    "embedding_kmeans_lloyd2",
+    "quality_logistic_fit",
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    subs = sys.argv[2:]
+    subs = [a for a in sys.argv[2:] if a != "--skip-heavy"]
+    skip_heavy = "--skip-heavy" in sys.argv[2:]
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
     names = [
         n
         for n in sorted(QUERIES)
-        if n in ORACLES and (not subs or any(s in n for s in subs))
+        if n in ORACLES
+        and (not subs or any(s in n for s in subs))
+        and not (skip_heavy and n in HEAVY_ORACLES)
     ]
     failed = []
     for i, name in enumerate(names, 1):
