@@ -130,6 +130,7 @@ HEADLINE = [
     "text_dsir_importance_weights",
     "embedding_matryoshka_recall",
     "dedup_incremental_components",
+    "dq_split_leakage",
 ]
 
 

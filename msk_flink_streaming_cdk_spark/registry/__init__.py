@@ -98,6 +98,7 @@ NEXT_TRANCHE: list[str] = [
     "text_dsir_importance_weights",
     "embedding_matryoshka_recall",
     "dedup_incremental_components",
+    "dq_split_leakage",
     "not_in_subquery_customers",
     "profile_key_skew_orders",
     "profile_table_stats_orders",

@@ -537,6 +537,7 @@ PAIR_GRAPH_CONSUMERS = frozenset(
         "pipeline_admission_decisions",
         "pipeline_forget_expand",
         "dedup_incremental_components",
+        "dq_split_leakage",
         "dedup_minhash_recall",
         "dedup_minhash_estimate_audit",
         "dedup_simhash_recall",
@@ -2378,6 +2379,69 @@ def text_split_assign(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "dq_split_leakage",
+    oracle=f"""
+    WITH {_NGRAM_PAIRS_CTES},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT a.split AS split_a, b.split AS split_b,
+           p.doc_a, p.doc_b, p.jaccard
+    FROM pairs p
+    JOIN sp a ON a.doc_id = p.doc_a
+    JOIN sp b ON b.doc_id = p.doc_b
+    WHERE a.split <> b.split
+    """,
+)
+def dq_split_leakage(spark, sf_dir):
+    """Cross-split near-dup LEAKAGE audit: every near-dup pair whose
+    two documents land in different train/val/test splits — the
+    eval-contamination check every serious pipeline runs before
+    training (a val doc whose near-verbatim twin is in train inflates
+    eval scores). Composition of the content-addressed split
+    (``text_split_assign`` buckets) and the maintained pair graph;
+    empty output = clean splits, each row = one leak with its
+    severity (jaccard).
+
+    Scale shape: two broadcast-able joins of the (tiny) pair set
+    against the split projection — the corpus is scanned once for the
+    split column; the pair graph is the maintained table."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    sp = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(h < "cd", "train")
+        .when(h < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = shared_pair_graph(spark, sf_dir)
+    out = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("split_a", "split_b", "doc_a", "doc_b", "jaccard")
+    )
+    return out
 
 
 @register(

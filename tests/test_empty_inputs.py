@@ -112,6 +112,7 @@ REPRESENTATIVES = [
     "text_dsir_importance_weights",  # hashed-ngram domain log-ratios
     "embedding_matryoshka_recall",   # truncated-dim retrieval audit
     "dedup_incremental_components",  # batch union-find merge
+    "dq_split_leakage",              # cross-split near-dup audit
 ]
 
 
