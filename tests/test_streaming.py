@@ -440,3 +440,77 @@ def test_streaming_component_maintenance_reaches_full_cc(spark, tmp_path):
     # the cross-batch merges really collapsed: 1..6 one component
     labels = {r.node: r.label for r in state["labels"].collect()}
     assert len({labels[n] for n in (1, 2, 3, 4, 5, 6)}) == 1
+
+
+def test_component_maintenance_restart_from_initial_labels(
+    spark, tmp_path
+):
+    # The documented restart contract: the labeling is the pipeline's
+    # own maintained table — a restarted run passes it back as
+    # initial_labels and must end at the same full-graph CC as an
+    # uninterrupted run over all edges.
+    import glob
+    import os
+    import time as _t
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        connected_components,
+    )
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        component_maintenance_stream,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = "doc_a long, doc_b long"
+    run1 = [[(1, 2), (3, 4)]]
+    run2 = [[(2, 3), (5, 6)], [(4, 5)]]
+
+    def stage(batches, subdir):
+        src = str(tmp_path / subdir)
+        os.makedirs(src)
+        for i, rows in enumerate(batches):
+            part = str(tmp_path / f"{subdir}_p{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part)
+            (f,) = glob.glob(os.path.join(part, "*.parquet"))
+            dst = os.path.join(src, f"b{i}.parquet")
+            os.rename(f, dst)
+            mt = _t.time() - 1000 + i * 10
+            os.utime(dst, (mt, mt))
+        return src
+
+    st = _parse_datatype_string(schema)
+    q1, s1 = component_maintenance_stream(
+        stream_parquet_dir(
+            spark, stage(run1, "run1"), st, max_files_per_trigger=1
+        ),
+        str(tmp_path / "ck1"),
+    )
+    q1.awaitTermination()
+    # "Persist" the maintained table between runs, then restart.
+    saved = [tuple(r) for r in s1["labels"].collect()]
+    restored = spark.createDataFrame(saved, "node long, label long")
+    q2, s2 = component_maintenance_stream(
+        stream_parquet_dir(
+            spark, stage(run2, "run2"), st, max_files_per_trigger=1
+        ),
+        str(tmp_path / "ck2"),
+        initial_labels=restored,
+    )
+    q2.awaitTermination()
+
+    all_edges = spark.createDataFrame(
+        [e for rows in run1 + run2 for e in rows], schema
+    )
+    want = {
+        (r.node, r.label)
+        for r in connected_components(all_edges).collect()
+    }
+    got = {(r.node, r.label) for r in s2["labels"].collect()}
+    assert got == want
+    labels = dict(got)
+    assert len({labels[n] for n in (1, 2, 3, 4, 5, 6)}) == 1
