@@ -14,13 +14,13 @@ catches conf-dependence bugs the test suite can't (see
 """
 
 import math
+import os
 import sys
 from datetime import datetime, timezone
 from decimal import Decimal
 
 sys.path.insert(
-    0, __import__("os").path.dirname(__import__("os").path.dirname(
-        __import__("os").path.abspath(__file__)))
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
 import duckdb
@@ -32,7 +32,7 @@ TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 
 
 def canon_value(v):
