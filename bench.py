@@ -131,6 +131,7 @@ HEADLINE = [
     "embedding_matryoshka_recall",
     "dedup_incremental_components",
     "dq_split_leakage",
+    "orders_abc_pareto_classes",
 ]
 
 

@@ -99,6 +99,7 @@ NEXT_TRANCHE: list[str] = [
     "embedding_matryoshka_recall",
     "dedup_incremental_components",
     "dq_split_leakage",
+    "orders_abc_pareto_classes",
     "not_in_subquery_customers",
     "profile_key_skew_orders",
     "profile_table_stats_orders",

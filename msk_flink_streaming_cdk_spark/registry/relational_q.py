@@ -4139,3 +4139,79 @@ def attribution_last_touch(spark, sf_dir):
             "attributed_value"
         ),
     )
+
+
+@register(
+    "orders_abc_pareto_classes",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem GROUP BY l_partkey),
+    cum AS (
+      SELECT partkey, revenue_cents,
+             CAST(sum(revenue_cents) OVER (
+                    ORDER BY revenue_cents DESC, partkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev,
+             CAST(sum(revenue_cents) OVER () AS BIGINT) AS total_rev
+      FROM rev)
+    SELECT partkey, revenue_cents,
+           CASE WHEN 5 * cum_rev <= 4 * total_rev THEN 'A'
+                WHEN 20 * cum_rev <= 19 * total_rev THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    """,
+)
+def orders_abc_pareto_classes(spark, sf_dir):
+    """ABC / Pareto inventory classification: parts ranked by total
+    revenue, class A = the head covering the first 80% of cumulative
+    revenue, B = to 95%, C = the tail. Class boundaries compare
+    ``5*cum <= 4*total`` / ``20*cum <= 19*total`` in DECIMAL — no
+    division, no floats, so the classification is bit-exact in both
+    engines and under any aggregation order.
+
+    Revenue is summed in exact integer CENTS (per-row
+    double-product rounded to cents is bit-identical in both engines;
+    the BIGINT sum is then order-independent) — a DECIMAL(18,2) cast
+    of a double SUM flips cents at .xx5 boundaries depending on
+    aggregation order, which a first A/B against the oracle caught.
+
+    Scale shape: the revenue rollup is a fact-table hash aggregate
+    keyed on partkey; the ranking window runs over the DIMENSION-sized
+    rollup (|parts|, not |lineitem|) — a single-reducer global sort of
+    a frame that fits one node at any fact scale. The same shape
+    classifies customers or SKUs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("revenue_cents")
+    )
+    w = Window.orderBy(
+        F.col("revenue_cents").desc(), "partkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = rev.select(
+        "partkey",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_rev"),
+        F.sum("revenue_cents").over(wt).alias("total_rev"),
+    )
+    return cum.select(
+        "partkey",
+        "revenue_cents",
+        F.when(
+            F.col("cum_rev") * 5 <= F.col("total_rev") * 4, F.lit("A")
+        )
+        .when(
+            F.col("cum_rev") * 20 <= F.col("total_rev") * 19, F.lit("B")
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

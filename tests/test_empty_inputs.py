@@ -113,6 +113,7 @@ REPRESENTATIVES = [
     "embedding_matryoshka_recall",   # truncated-dim retrieval audit
     "dedup_incremental_components",  # batch union-find merge
     "dq_split_leakage",              # cross-split near-dup audit
+    "orders_abc_pareto_classes",     # Pareto cumulative classing
 ]
 
 
