@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_incremental_components",
     "dq_split_leakage",
     "orders_abc_pareto_classes",
+    "dedup_cluster_stats",
 ]
 
 

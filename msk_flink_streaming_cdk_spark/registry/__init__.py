@@ -100,6 +100,7 @@ NEXT_TRANCHE: list[str] = [
     "dedup_incremental_components",
     "dq_split_leakage",
     "orders_abc_pareto_classes",
+    "dedup_cluster_stats",
     "not_in_subquery_customers",
     "profile_key_skew_orders",
     "profile_table_stats_orders",

@@ -538,6 +538,7 @@ PAIR_GRAPH_CONSUMERS = frozenset(
         "pipeline_forget_expand",
         "dedup_incremental_components",
         "dq_split_leakage",
+        "dedup_cluster_stats",
         "dedup_minhash_recall",
         "dedup_minhash_estimate_audit",
         "dedup_simhash_recall",
@@ -864,6 +865,65 @@ def dedup_incremental_components(spark, sf_dir):
     return final.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, peer) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    comp AS (SELECT node, min(peer) AS component_id
+             FROM reach GROUP BY node),
+    sizes AS (SELECT component_id, count(*) AS k
+              FROM comp GROUP BY component_id),
+    dist AS (SELECT k AS cluster_size,
+                    CAST(count(*) AS BIGINT) AS n_clusters,
+                    CAST(sum(k) AS BIGINT) AS n_docs
+             FROM sizes GROUP BY k),
+    singles AS (
+      SELECT (SELECT count(*) FROM documents)
+             - (SELECT count(*) FROM comp) AS n1)
+    SELECT cluster_size, n_clusters, n_docs FROM dist
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), n1, n1 FROM singles WHERE n1 > 0
+    """,
+)
+def dedup_cluster_stats(spark, sf_dir):
+    """Near-dup CLUSTER-SIZE distribution — the dedup dashboard
+    metric (how much of the corpus is duplicated, and in what shape:
+    many small mirror pairs vs few giant boilerplate clusters):
+    one row per cluster size k with the number of clusters and docs
+    covered, including the singleton row (docs in no near-dup pair).
+
+    Scale shape: two grouped aggregates over the maintained labeling
+    (|nodes| then |clusters| rows); the singleton count is two scalar
+    counts. Output is bounded by the number of DISTINCT cluster
+    sizes — dashboard-sized at any corpus scale."""
+    from ..operators.dedup import connected_components
+
+    docs = _docs(spark, sf_dir)
+    labels = connected_components(
+        shared_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("k"))
+    dist = sizes.groupBy(F.col("k").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("k").alias("n_docs"),
+    )
+    n_single = docs.count() - labels.count()
+    if n_single > 0:
+        single = spark.createDataFrame(
+            [(1, n_single, n_single)],
+            "cluster_size long, n_clusters long, n_docs long",
+        )
+        dist = dist.unionByName(single)
+    return dist
 
 
 @register(

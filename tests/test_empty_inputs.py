@@ -114,6 +114,7 @@ REPRESENTATIVES = [
     "dedup_incremental_components",  # batch union-find merge
     "dq_split_leakage",              # cross-split near-dup audit
     "orders_abc_pareto_classes",     # Pareto cumulative classing
+    "dedup_cluster_stats",           # cluster-size distribution
 ]
 
 

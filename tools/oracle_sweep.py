@@ -41,6 +41,7 @@ HEAVY_ORACLES = {
     "er_golden_records",
     "similarity_mmr_diversified",
     "dedup_incremental_components",
+    "dedup_cluster_stats",
     "embedding_kmeans_lloyd2",
     "quality_logistic_fit",
 }
