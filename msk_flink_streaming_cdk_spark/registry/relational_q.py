@@ -63,8 +63,10 @@ def _t(spark, sf_dir, name):
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum({_DISC_PRICE_SQL}) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE), 4)
+             AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_discount), 4) AS avg_disc,
            count(*) AS count_order
@@ -75,15 +77,22 @@ def _t(spark, sf_dir, name):
 )
 def agg_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary: multi-aggregate hash agg with
-    map-side partial aggregation; scan-level predicate pushdown."""
+    map-side partial aggregation; scan-level predicate pushdown.
+    Money sums are exact decimal internally but surface as
+    double+round (see rollup_status_priority for why: Spark Decimal
+    and DuckDB decimal render differently in the driver hash)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("sum_base_price"),
-            F.sum(_disc_price_spark()).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double"), 2
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(_disc_price_spark()).cast("double"), 4
+            ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -191,7 +200,8 @@ def case_when_price_buckets(spark, sf_dir):
     "join_orders_per_segment",
     oracle="""
     SELECT c_mktsegment, count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total_price
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     """,
@@ -205,7 +215,9 @@ def join_orders_per_segment(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"), 2
+            ).alias("total_price"),
         )
     )
 
@@ -214,7 +226,7 @@ def join_orders_per_segment(spark, sf_dir):
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           sum({_DISC_PRICE_SQL}) AS revenue,
+           round(CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -236,7 +248,7 @@ def q3_shipping_priority(spark, sf_dir):
         li, o.o_orderkey == li.l_orderkey
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
-        F.sum(_disc_price_spark()).alias("revenue")
+        F.round(F.sum(_disc_price_spark()).cast("double"), 4).alias("revenue")
     )
     return global_top_k(
         agg.select("l_orderkey", "revenue", "o_orderdate"),
@@ -1672,7 +1684,7 @@ def join_salted_skew_orders(spark, sf_dir):
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           sum({_DISC_PRICE_SQL}) AS revenue,
+           round(CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue,
            count(*) AS n_items
     FROM customer
       JOIN orders ON c_custkey = o_custkey
@@ -1707,7 +1719,7 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.sum(_disc_price_spark()).alias("revenue"),
+        F.round(F.sum(_disc_price_spark()).cast("double"), 4).alias("revenue"),
         F.count("*").alias("n_items"),
     )
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
@@ -1722,8 +1734,8 @@ def q10_returned_items(spark, sf_dir):
       HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
     )
     SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
-           total_qty
+           round(CAST(o_totalprice AS DOUBLE), 2) AS total_price,
+           round(CAST(total_qty AS DOUBLE), 2) AS total_qty
     FROM big
       JOIN orders ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
@@ -1753,8 +1765,10 @@ def q18_large_volume_orders(spark, sf_dir):
             "c_name",
             "o_orderkey",
             "o_orderdate",
-            F.col("o_totalprice").cast(_DEC).alias("total_price"),
-            "total_qty",
+            F.round(F.col("o_totalprice").cast(_DEC).cast("double"), 2).alias(
+                "total_price"
+            ),
+            F.round(F.col("total_qty").cast("double"), 2).alias("total_qty"),
         )
     )
 
@@ -1926,14 +1940,18 @@ def session_window_dynamic_gap(spark, sf_dir):
     oracle="""
     WITH c AS (
       SELECT c_mktsegment, c_custkey,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_rev
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_rev_dec
       FROM customer JOIN orders ON o_custkey = c_custkey
-      GROUP BY c_mktsegment, c_custkey)
+      GROUP BY c_mktsegment, c_custkey),
+    r AS (
+      SELECT c_mktsegment, c_custkey, cust_rev_dec,
+             round(CAST(cust_rev_dec AS DOUBLE), 2) AS cust_rev
+      FROM c)
     SELECT c_mktsegment, c_custkey, cust_rev,
-           round(CAST(cust_rev AS DOUBLE) /
-                 CAST(sum(cust_rev) OVER (PARTITION BY c_mktsegment)
+           round(CAST(cust_rev_dec AS DOUBLE) /
+                 CAST(sum(cust_rev_dec) OVER (PARTITION BY c_mktsegment)
                       AS DOUBLE), 6) AS segment_share
-    FROM c
+    FROM r
     """,
 )
 def window_share_of_segment(spark, sf_dir):
@@ -1957,7 +1975,7 @@ def window_share_of_segment(spark, sf_dir):
     return c.select(
         "c_mktsegment",
         "c_custkey",
-        "cust_rev",
+        F.round(F.col("cust_rev").cast("double"), 2).alias("cust_rev"),
         F.round(
             F.col("cust_rev").cast("double")
             / F.sum("cust_rev").over(w).cast("double"),
@@ -2029,8 +2047,8 @@ def outlier_orders_iqr(spark, sf_dir):
            CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
            CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS nulls_totalprice,
-           CAST(min(o_totalprice) AS DECIMAL(18,2)) AS min_price,
-           CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price,
+           round(CAST(min(o_totalprice) AS DOUBLE), 2) AS min_price,
+           round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price,
            min(o_orderdate) AS min_date,
            max(o_orderdate) AS max_date
     FROM orders
@@ -2050,8 +2068,12 @@ def profile_table_stats_orders(spark, sf_dir):
         F.sum(
             F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
         ).alias("nulls_totalprice"),
-        F.min("o_totalprice").cast(_DEC).alias("min_price"),
-        F.max("o_totalprice").cast(_DEC).alias("max_price"),
+        F.round(F.min("o_totalprice").cast(_DEC).cast("double"), 2).alias(
+            "min_price"
+        ),
+        F.round(F.max("o_totalprice").cast(_DEC).cast("double"), 2).alias(
+            "max_price"
+        ),
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
     )

@@ -55,6 +55,49 @@ def test_no_oracle_returns_hugeint(sf_small):
         con.close()
 
 
+def test_no_query_surfaces_decimal(spark, sf_small):
+    """Lint: no registered query may OUTPUT a DecimalType column.
+
+    Spark collects DecimalType as `decimal.Decimal` objects (pandas
+    object dtype, str renders keep the scale: '276.00') while DuckDB
+    converts DECIMAL results to float64 ('276.0'), so any final
+    decimal column hash-mismatches in the driver canon on every value
+    whose last scale digit is 0 — this bit `q10_returned_items`,
+    `q18_large_volume_orders` and `window_share_of_segment` in round
+    6. Internal arithmetic should stay decimal-exact; the OUTPUT must
+    be `round(CAST(... AS DOUBLE), scale)` on both sides (the exact
+    sum sits on the decimal grid, so the round is unambiguous — see
+    rollup_status_priority). Checks the Spark plan schema (no
+    execution) and the oracle's LIMIT-0 types.
+    """
+    import duckdb
+    from pyspark.sql.types import DecimalType
+
+    from msk_flink_streaming_cdk_spark.sources.fixtures import TABLES
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_small)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, DecimalType):
+                offenders.append(f"spark:{name}.{f.name}: {f.dataType}")
+    con = duckdb.connect()
+    try:
+        for name in TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"'{sf_small}/{name}.parquet'"
+            )
+        for name, sql in ORACLES.items():
+            rel = con.sql(f"SELECT * FROM ({sql}) lint_q LIMIT 0")
+            for col, typ in zip(rel.columns, rel.types):
+                if "DECIMAL" in str(typ).upper():
+                    offenders.append(f"oracle:{name}.{col}: {typ}")
+    finally:
+        con.close()
+    assert not offenders, offenders
+
+
 def test_every_query_runs_rows_nonnegative(spark, sf_small):
     for name, fn in QUERIES.items():
         df = fn(spark, sf_small)

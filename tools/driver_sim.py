@@ -36,17 +36,24 @@ SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 
 
 def canon_value(v):
-    if v is None:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "\0NULL"
+    if v != v:  # pandas NaT (from the oracle's .df() fetch)
         return "\0NULL"
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         r = round(v, 6)
         return "0.0" if r == 0 else repr(r)
     if isinstance(v, Decimal):
-        return repr(round(float(v), 6))
+        # Dtype-faithful on purpose: Spark collects DecimalType as
+        # Decimal ('276.00') while the driver's DuckDB .df() fetch
+        # renders DECIMAL as float64 ('276.0'). Keeping str() here
+        # makes the sim catch any decimal-typed OUTPUT column the way
+        # the real driver does (round-6 red rows). Queries must cast
+        # final money columns to double (lint in
+        # tests/test_reference_queries.py::test_no_query_surfaces_decimal).
+        return str(v)
     if isinstance(v, datetime):
         if v.tzinfo is not None:
             v = v.astimezone(timezone.utc).replace(tzinfo=None)
@@ -103,9 +110,14 @@ def main():
             if name not in oracles:
                 print(f"ROWS_ONLY {name} rows={len(srows)}")
                 continue
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # .df(), not fetchall(): the driver compares pandas frames,
+            # and DuckDB's pandas conversion turns DECIMAL/HUGEINT into
+            # float64 — the dtype asymmetry behind the round-5/6 red
+            # rows. fetchall() would hand back Decimal objects and hide
+            # it.
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = list(odf.itertuples(index=False, name=None))
             sc, sr = canon(scols, srows)
             oc, orr = canon(ocols, orows)
             ok_rows = len(sr) == len(orr)
