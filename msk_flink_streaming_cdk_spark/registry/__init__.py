@@ -10,16 +10,18 @@ each round, while long-proven shapes rotate to the tail (they remain
 fully covered by ``tests/test_reference_queries.py``, which checks ALL
 oracle-backed queries).
 
-Round-6 rotation: the window keeps the 4 reference queries plus the
-re-proven ``text_pack_sequences`` (its oracle's HUGEINT cast fixed
-this round), then gives FIRST-EVER driver rows to the next 45 keys of
-the round-5 ``NEXT_TRANCHE`` in their planned order: the four
-behavioral queries, the multimodal/UDF singles, and the whole TPC-H
-q2-q22 tranche. ``ROTATION_WINDOW`` pins the first
+Round-8 rotation (the round-7 verdict's #1 item): the window keeps the
+4 reference queries, re-proves the 3 decimal-fix rows one more round
+(``window_share_of_segment``, ``q10_returned_items``,
+``q18_large_volume_orders``), then gives FIRST-EVER driver rows to all
+28 keys of the round-7 ``NEXT_TRANCHE`` (every round-6 operator plus
+the older never-checked tail), and fills the remaining 15 slots with
+the STALEST previously-checked keys (last driver row in round 1 or
+round 3, fewest total rows). ``ROTATION_WINDOW`` pins the first
 ``ROTATION_WINDOW_SIZE`` keys explicitly and a test asserts the
 ordering, so the planned rotation is enforced by code, not a comment;
-the remaining never-checked keys are kept IN ORDER at the tail of
-``PRIORITY`` as the next tranche.
+the next-stalest keys are kept IN ORDER at the tail of ``PRIORITY`` as
+the round-9 tranche.
 """
 
 from ._core import ORACLES, QUERIES, register
@@ -37,63 +39,13 @@ ROTATION_WINDOW: list[str] = [
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
-    # Round-5 driver-red row — oracle HUGEINT cast fixed this round,
-    # kept in the window to prove green.
-    "text_pack_sequences",
-    # Round-5 NEXT_TRANCHE, first 45 in planned order: behavioral
-    # queries, multimodal/UDF singles, TPC-H q2–q22, relational tail.
-    "events_markov_transitions",
-    "events_top_paths_3step",
-    "events_anomaly_mad",
-    "orders_benford_audit",
-    "multimodal_frame_sample",
-    "grouped_map_centered_balance",
+    # Round-7 decimal-fix rows — hash-green in r7, kept one more round
+    # of re-proof per the round-7 verdict's rotation plan.
     "window_share_of_segment",
-    "sql_front_door_pipeline",
-    "outlier_orders_iqr",
-    "asof_join_next_error",
-    "agg_time_weighted_value",
-    "similarity_lsh_ann_topk",
-    "dedup_embedding_cosine_pairs",
-    "text_approx_topk_words",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
     "q10_returned_items",
-    "q11_important_stock",
-    "q12_urgency_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
     "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q20_excess_share_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_rich_customers",
-    "correlated_subquery_above_avg",
-    "unpivot_lineitem_measures",
-    "agg_max_by_priciest_item",
-    "agg_listagg_nations_per_region",
-    "agg_exact_percentiles",
-    "timeseries_gapfill_daily",
-    "sample_hash_orders",
-    "cross_join_region_pairs",
-    "union_by_name_balances",
-    "map_event_type_counts",
-    "dedup_latest_event_per_user",
-    "join_salted_skew_orders",]
-
-# Next tranche (round 6+): the remaining keys that have never had a
-# driver row, in planned rotation order. Keeping them HERE (not just
-# in a comment) makes the plan part of the ordered registry.
-NEXT_TRANCHE: list[str] = [
-    # Round-6 additions — registered after the round-6 window froze;
-    # first in line for round-7 driver rows.
+    # Round-7 NEXT_TRANCHE, all 28, in planned order — FIRST-EVER
+    # driver rows for every round-6 operator plus the older tail.
     "pipeline_admission_decisions",
     "text_dsir_importance_weights",
     "embedding_matryoshka_recall",
@@ -121,7 +73,57 @@ NEXT_TRANCHE: list[str] = [
     "text_rolling_md5_fingerprints",
     "text_seeded_shuffle",
     "text_char_entropy",
-    "multimodal_audio_segments",]
+    "multimodal_audio_segments",
+    # Stalest previously-checked keys (last driver row r1 or r3) —
+    # refresh their signal after 5+ rounds without one.
+    "sql_front_door_exists",
+    "text_token_counts",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint_md5",
+    "text_rolling_fingerprints",
+    "dedup_exact_text",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "sketch_hll_users_by_type",
+    "sketch_theta_user_overlap",
+    "join_full_outer_activity",
+    "q5_region_revenue",
+    "join_range_clicks_before_purchase",]
+
+# Next tranche (round 9): the next-stalest previously-checked keys
+# (last driver row round 3), in staleness order. Keeping them HERE
+# (not just in a comment) makes the plan part of the ordered registry.
+NEXT_TRANCHE: list[str] = [
+    "window_range_frame_avg30d",
+    "window_percent_rank_cume_dist",
+    "agg_monthly_revenue",
+    "histogram_price_buckets",
+    "scalar_null_handling",
+    "agg_pricing_summary",
+    "distinct_suppliers_per_brand",
+    "rollup_status_priority",
+    "cube_status_priority",
+    "case_when_price_buckets",
+    "join_orders_per_segment",
+    "q3_shipping_priority",
+    "join_left_order_counts",
+    "join_semi_open_order_customers",
+    "join_anti_customers_without_orders",
+    "join_broadcast_region_suppliers",
+    "window_top3_orders_per_customer",
+    "window_running_total",
+    "window_lag_days_between_orders",
+    "window_rank_functions",
+    "top20_orders_by_price",
+    "setop_union_active_or_rich",
+    "setop_intersect_active_and_rich",
+    "setop_except_rich_without_open_orders",
+    "setop_union_all_order_events",
+    "explode_top_words",
+    "scalar_string_functions",
+    "scalar_date_math",]
 
 PRIORITY: list[str] = ROTATION_WINDOW + NEXT_TRANCHE
 
