@@ -5,6 +5,7 @@ from .checks import (
     assert_read_schema_pruned,
     count_exchanges,
     formatted_plan,
+    unpartitioned_window_nodes,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "assert_read_schema_pruned",
     "count_exchanges",
     "formatted_plan",
+    "unpartitioned_window_nodes",
 ]

@@ -92,3 +92,54 @@ def count_exchanges(df: DataFrame) -> int:
     """Number of distinct shuffle exchanges in the physical plan
     (before AQE runtime coalescing; BroadcastExchange excluded)."""
     return count_nodes(df, "Exchange")
+
+
+def _toplevel_bracket_groups(s: str) -> list[str]:
+    """Split ``[a], [b, [c]], [d]`` into its top-level ``[...]``
+    groups (bracket-depth parser — expression text may nest)."""
+    groups: list[str] = []
+    depth = 0
+    start = -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start : i + 1])
+                start = -1
+    return groups
+
+
+def unpartitioned_window_nodes(df: DataFrame) -> list[str]:
+    """Arguments lines of physical ``Window`` nodes with an EMPTY
+    partition spec — a SinglePartition exchange + one-reducer sort of
+    the whole input at scale (the round-7 verdict's global-window
+    class). Formatted-explain detail blocks print Window arguments as
+    ``[exprs], [partitionSpec], [orderSpec]`` with EMPTY specs
+    omitted: 3 groups = partitioned; 2 groups is partitioned-no-order
+    (second group is bare expressions) or unpartitioned-with-order
+    (second group carries ASC/DESC sort directions); 1 group = fully
+    global. Only the unpartitioned shapes are returned."""
+    plan = formatted_plan(df)
+    import re
+
+    out: list[str] = []
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or not re.match(r"\(\d+\) Window$", lines[0].strip()):
+            continue
+        arg = next(
+            (ln for ln in lines if ln.startswith("Arguments: ")), ""
+        )
+        groups = _toplevel_bracket_groups(arg)
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):
+            continue  # partitioned window with no order spec
+        out.append(f"{lines[0].strip()} {arg}")
+    return out

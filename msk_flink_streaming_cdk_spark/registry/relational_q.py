@@ -22,10 +22,13 @@ from pyspark.sql import functions as F
 from ..operators.relational import (
     asof_join_backward,
     global_top_k,
+    partitioned_row_number,
+    partitioned_running_sum,
     salted_join,
     sessionize,
     top_k_per_group,
 )
+from ..operators.util import materialize_once
 from ..sources.fixtures import load_table, register_views
 from ._core import register
 
@@ -3605,26 +3608,34 @@ def cohort_weekly_retention(spark, sf_dir):
       FROM orders GROUP BY 1)
     SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
            frequency, CAST(monetary AS DOUBLE) AS monetary,
-           ntile(5) OVER (ORDER BY recency_days, c_custkey) AS r_score,
-           ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS f_score,
-           ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS m_score
+           greatest(1, CAST(ceil(percent_rank() OVER (
+             ORDER BY recency_days, c_custkey) * 5) AS BIGINT)) AS r_score,
+           greatest(1, CAST(ceil(percent_rank() OVER (
+             ORDER BY frequency DESC, c_custkey) * 5) AS BIGINT)) AS f_score,
+           greatest(1, CAST(ceil(percent_rank() OVER (
+             ORDER BY monetary DESC, c_custkey) * 5) AS BIGINT)) AS m_score
     FROM base
     """,
 )
 def customer_rfm_segments(spark, sf_dir):
     """RFM segmentation (recency / frequency / monetary quintiles per
     customer) — the classic CRM composite. One agg to customer grain;
-    the global anchor date is a one-row broadcast scalar subquery; the
-    three ntiles are global windows over the (already reduced)
-    customer frame with (metric, custkey) total orders so bucket
-    boundaries are engine-deterministic. Monetary sums in
-    decimal(18,2) per the repo's money convention. Note the global
-    ntile is a single-partition sort of the CUSTOMER-grain frame — at
-    100 TB segment within a region/market partition (or swap ntile
-    for percent_rank bucketing) to avoid the one-reducer sort."""
+    the global anchor date is a one-row broadcast scalar subquery.
+
+    Scores are percent_rank quintiles (``greatest(1, ceil(pr * 5))``
+    over the (metric, custkey) total order) rather than ntile: the
+    customer-grain frame scales linearly with SF in TPC-H, and a
+    global ntile is a one-reducer sort of it ×3. Here each exact rank
+    comes from the two-pass partition-offset row number
+    (``partitioned_row_number`` — range-bucketed local windows +
+    broadcast prefix offsets), pr = (rank-1)/(n-1) with n a broadcast
+    scalar, so no unpartitioned WindowExec exists anywhere in the
+    plan. Both engines compute pr*5 in IEEE double from identical
+    integer ranks, so bucket assignment is bit-deterministic.
+    Monetary sums in decimal(18,2) per the repo's money convention."""
     o = _t(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("anchor"))
-    base = (
+    base = materialize_once(
         o.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
             F.max("o_orderdate").alias("last_order"),
@@ -3643,15 +3654,30 @@ def customer_rfm_segments(spark, sf_dir):
             F.col("monetary").cast("double").alias("monetary"),
         )
     )
-    wr = Window.orderBy("recency_days", "c_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "c_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "c_custkey")
-    return base.select(
-        "*",
-        F.ntile(5).over(wr).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
-    )
+    n = base.count()
+
+    def quintile(metric: str, descending: bool, out: str):
+        order = [
+            F.col(metric).desc() if descending else F.col(metric),
+            F.col("c_custkey"),
+        ]
+        ranked = partitioned_row_number(
+            base.select("c_custkey", metric), metric, descending, order, "_rn"
+        )
+        pr = (
+            (F.col("_rn") - 1) / F.lit(n - 1)
+            if n > 1
+            else F.lit(0.0)
+        )
+        return ranked.select(
+            "c_custkey",
+            F.greatest(F.lit(1), F.ceil(pr * 5)).alias(out),
+        )
+
+    r = quintile("recency_days", False, "r_score")
+    f = quintile("frequency", True, "f_score")
+    m = quintile("monetary", True, "m_score")
+    return base.join(r, "c_custkey").join(f, "c_custkey").join(m, "c_custkey")
 
 
 @register(
@@ -4201,10 +4227,15 @@ def orders_abc_pareto_classes(spark, sf_dir):
     aggregation order, which a first A/B against the oracle caught.
 
     Scale shape: the revenue rollup is a fact-table hash aggregate
-    keyed on partkey; the ranking window runs over the DIMENSION-sized
-    rollup (|parts|, not |lineitem|) — a single-reducer global sort of
-    a frame that fits one node at any fact scale. The same shape
-    classifies customers or SKUs."""
+    keyed on partkey; the part rollup SCALES WITH SF (200k x SF rows
+    in TPC-H), so the cumulative ranking must not be a one-reducer
+    global window. It is the two-pass partition-offset running sum
+    (``partitioned_running_sum``): range-bucket on revenue_cents desc
+    from sampled boundaries, local cumsum per bucket, broadcast
+    prefix offsets — bit-identical output to the oracle's global
+    window. total_rev is a one-row aggregate broadcast, not an
+    unbounded-frame window. The same shape classifies customers or
+    SKUs."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(
@@ -4213,17 +4244,15 @@ def orders_abc_pareto_classes(spark, sf_dir):
             ).cast("long")
         ).alias("revenue_cents")
     )
-    w = Window.orderBy(
-        F.col("revenue_cents").desc(), "partkey"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wt = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = rev.select(
-        "partkey",
+    cum = partitioned_running_sum(
+        rev,
         "revenue_cents",
-        F.sum("revenue_cents").over(w).alias("cum_rev"),
-        F.sum("revenue_cents").over(wt).alias("total_rev"),
+        True,
+        [F.col("revenue_cents").desc(), F.col("partkey")],
+        F.col("revenue_cents"),
+        "cum_rev",
+    ).crossJoin(
+        F.broadcast(rev.agg(F.sum("revenue_cents").alias("total_rev")))
     )
     return cum.select(
         "partkey",

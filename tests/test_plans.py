@@ -433,3 +433,43 @@ def test_dsir_weights_plan(spark, sf_small):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert_broadcast_hash_join(df)
+
+
+# Allowlist for the global-window lint: frames PROVEN bounded, where
+# a single-reducer window is over O(constant) rows by construction.
+_BOUNDED_GLOBAL_WINDOW_OK = {
+    # Two rerank row_numbers over the <=50-row fused candidate frame
+    # (both inputs are TakeOrderedAndProject limit-50 outputs).
+    "retrieval_hybrid_rrf",
+    # Global CDF cumsum over DISTINCT integer document lengths — the
+    # frame is bounded by the length VALUE DOMAIN (max doc length),
+    # not corpus cardinality; at billions of distinct values you bin
+    # first (docstring), which keeps the same bound.
+    "dq_ks_drift_by_source",
+}
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_small):
+    # The round-7 verdict's global-window class (text_pmi_pairs
+    # row_number-over-vocabulary, text_pack_sequences global cumsum,
+    # customer_rfm_segments ntile x3, orders_abc_pareto_classes
+    # cum-revenue): each was correct but planned a SinglePartition
+    # sort of an unbounded frame. All four now use
+    # TakeOrderedAndProject / the two-pass partition-offset cumsum;
+    # this lint ends the class the way the HUGEINT and Decimal lints
+    # ended theirs.
+    from msk_flink_streaming_cdk_spark.plans import (
+        unpartitioned_window_nodes,
+    )
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in _BOUNDED_GLOBAL_WINDOW_OK:
+            continue
+        nodes = unpartitioned_window_nodes(fn(spark, sf_small))
+        if nodes:
+            offenders[name] = nodes
+    assert not offenders, (
+        "unpartitioned Window over unbounded input (add the scale-safe "
+        f"two-pass form or justify an allowlist entry): {offenders}"
+    )
