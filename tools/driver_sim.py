@@ -24,6 +24,7 @@ sys.path.insert(
 )
 
 import duckdb
+import pandas as pd
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
@@ -34,16 +35,33 @@ TABLES = (
 ).split()
 SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 
+# Integer DuckDB declarations pandas floats when the column has NULLs.
+# HUGEINT and DECIMAL are deliberately NOT here — the real driver
+# surfaces those as float64, and the sim must keep catching them.
+_INT_DECLS = {
+    "TINYINT",
+    "SMALLINT",
+    "INTEGER",
+    "BIGINT",
+    "UTINYINT",
+    "USMALLINT",
+    "UINTEGER",
+    "UBIGINT",
+}
+
 
 def canon_value(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None or v is pd.NA or v is pd.NaT:
         return "\0NULL"
-    if v != v:  # pandas NaT (from the oracle's .df() fetch)
+    if isinstance(v, float) and math.isnan(v):
         return "\0NULL"
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, float):
-        r = round(v, 6)
+        # float(v) first: np.float64 subclasses float, and under
+        # numpy >= 2.0 repr(np.float64(x)) is 'np.float64(x)', which
+        # would hash-mismatch every float column (round-7 advice).
+        r = round(float(v), 6)
         return "0.0" if r == 0 else repr(r)
     if isinstance(v, Decimal):
         # Dtype-faithful on purpose: Spark collects DecimalType as
@@ -114,8 +132,21 @@ def main():
             # and DuckDB's pandas conversion turns DECIMAL/HUGEINT into
             # float64 — the dtype asymmetry behind the round-5/6 red
             # rows. fetchall() would hand back Decimal objects and hide
-            # it.
-            odf = con.execute(oracles[name]).df()
+            # it. But pandas ALSO over-coerces two dtypes the driver
+            # doesn't float (round-7 advice): DATE -> datetime64 and
+            # nullable integer -> float64. Un-coerce ONLY those two,
+            # using the relation's declared DuckDB types, so the sim
+            # keeps catching DECIMAL/HUGEINT leaks while no longer
+            # false-FAILing date/int columns the real driver passes.
+            rel = con.sql(oracles[name])
+            decl = dict(zip(rel.columns, (str(t) for t in rel.types)))
+            odf = rel.df()
+            for c in odf.columns:
+                dt = str(odf[c].dtype)
+                if decl.get(c) == "DATE" and dt.startswith("datetime64"):
+                    odf[c] = odf[c].dt.date
+                elif decl.get(c) in _INT_DECLS and dt == "float64":
+                    odf[c] = odf[c].astype("Int64")
             ocols = list(odf.columns)
             orows = list(odf.itertuples(index=False, name=None))
             sc, sr = canon(scols, srows)
