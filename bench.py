@@ -344,6 +344,7 @@ def main() -> None:
     # on shared infrastructure); the min measures the engine, which is
     # what round-over-round regression tracking needs.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    HEAVY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "1.5"))
     # A/B discipline (VERDICT r5 item 8): any change claiming a bench
     # effect lands with before/after numbers from THIS script. Subset
     # runs via SPARK_GRAFT_BENCH_ONLY="name1,name2" keep the exact
@@ -368,12 +369,18 @@ def main() -> None:
         # item 5; CONTRIBUTING.md).
         bench_warm(name, spark, sf_dir)
         best = float("inf")
-        for _ in range(runs):
+        done = 0
+        while done < runs or (best >= HEAVY_SEC and done < runs + 1):
+            # Heavy queries (>= HEAVY_SEC warm) get one extra run:
+            # judge re-timings in round 7 showed ±0.5s/query noise at
+            # runs=2, which made sub-0.3s vs_prev deltas on the graph
+            # queries read as regressions (VERDICT r7 item 5).
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             best = min(best, time.perf_counter() - t0)
+            done += 1
         timings[name] = round(best, 3)
         # Per-query isolation, outside the timed region: drop this
         # query's persisted frames and let the JVM reclaim
@@ -401,7 +408,24 @@ def main() -> None:
         "runs_per_query": runs,
         "agg": "min",
     }
-    out["streaming"] = _streaming_rate(spark, sf_dir)
+    # Streaming replay is a ~3 s measurement: a single shot scattered
+    # 50k-115k eps on identical code (judge-measured, VERDICT r7
+    # item 5) — run it several times and report the MEDIAN, with the
+    # cold first run recorded separately.
+    stream_reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "3"))
+    stream_runs = [_streaming_rate(spark, sf_dir) for _ in range(stream_reps)]
+    rates = sorted(r["rate_eps"] for r in stream_runs)
+    median_rate = rates[len(rates) // 2]
+    streaming = dict(
+        next(r for r in stream_runs if r["rate_eps"] == median_rate)
+    )
+    streaming.update(
+        rate_eps=median_rate,
+        streaming_eps_median_of=stream_reps,
+        rates_all=rates,
+        cold_rate_eps=stream_runs[0]["rate_eps"],
+    )
+    out["streaming"] = streaming
     if prev_n is not None:
         out["vs_prev"] = vs_prev
         out["prev_round"] = prev_n
@@ -451,6 +475,9 @@ def main() -> None:
         "agg": "min",
         "n_queries": len(timings),
         "streaming_eps": out["streaming"]["rate_eps"],
+        "streaming_eps_median_of": out["streaming"][
+            "streaming_eps_median_of"
+        ],
         "full": "BENCH_FULL.json",
     }
     for k in ("prev_round", "prev_total_common", "total_common"):

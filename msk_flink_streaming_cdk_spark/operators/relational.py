@@ -44,6 +44,23 @@ def global_top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order_cols).limit(k)
 
 
+def boundaries_from_sample(
+    values: list, descending: bool, sample_per_bucket: int = 32
+) -> list:
+    """Range-bucket boundaries from an already-collected value sample:
+    sort, take every ``sample_per_bucket``-th value, deduplicate.
+    Exposed so a caller running SEVERAL running sums over one frame
+    (e.g. the three RFM quintiles) can pay for ONE sample job and
+    derive each metric's boundaries from the same collected rows."""
+    sample = sorted(values, reverse=descending)
+    bounds = sample[sample_per_bucket::sample_per_bucket]
+    out: list = []
+    for b in bounds:
+        if not out or b != out[-1]:
+            out.append(b)
+    return out
+
+
 def _range_bucket_boundaries(
     df: DataFrame,
     bucket_col: str,
@@ -70,13 +87,7 @@ def _range_bucket_boundaries(
         .limit(n)
         .collect()
     ]
-    sample.sort(reverse=descending)
-    bounds = sample[sample_per_bucket::sample_per_bucket]
-    out: list = []
-    for b in bounds:
-        if not out or b != out[-1]:
-            out.append(b)
-    return out
+    return boundaries_from_sample(sample, descending, sample_per_bucket)
 
 
 def partitioned_running_sum(
@@ -87,6 +98,7 @@ def partitioned_running_sum(
     value_col: Column,
     out_col: str,
     buckets: int = 32,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Global-ORDER-BY running sum WITHOUT a single-reducer window.
 
@@ -95,54 +107,68 @@ def partitioned_running_sum(
     whose FIRST component is ``bucket_col`` (asc/desc per
     ``descending``) and ``bucket_col`` is non-null.
 
-    Two-pass partition-offset scheme:
+    Two-pass partition-offset scheme, ALL inside one lazy plan (the
+    only driver action is the boundary sample, and callers running
+    several sums over one frame can share it via ``boundaries``):
       1. assign each row a range bucket from sampled boundaries — a
          pure deterministic expression, so ties on ``bucket_col``
          always land in one bucket and buckets are contiguous runs of
          the total order;
       2. local running sum per bucket (``Window.partitionBy(bucket)``
          — parallel, no global exchange-to-one);
-      3. per-bucket totals (≤ ``buckets`` rows) → prefix offsets on
-         the driver → broadcast join back; out = local + offset.
+      3. per-bucket totals (≤ buckets rows) → prefix offsets via a
+         bounded explode + equi-join over the tiny totals frame
+         (each bucket's total contributes to every HIGHER bucket's
+         offset — O(buckets²) intermediate rows, all JVM-side, no
+         driver collect) → broadcast back; out = local + offset.
 
-    The only driver-side state is O(buckets), independent of row
-    count, so the shape holds at 100 TB with buckets sized to the
-    cluster (e.g. 10k). Scale-safe replacement for the global-window
-    cumsum family flagged in the round-7 verdict."""
-    unique = [bucket_col] + [
-        c for c in df.columns if c != bucket_col
-    ]
-    bounds = _range_bucket_boundaries(
-        df, bucket_col, descending, unique, buckets
-    )
+    No driver-side state beyond the O(buckets) boundary list, so the
+    shape holds at 100 TB with buckets sized to the cluster (at ~10k+
+    buckets swap step 3's explode for a non-equi broadcast join —
+    the intermediate is buckets², fine to ~1k). Scale-safe
+    replacement for the global-window cumsum family flagged in the
+    round-7 verdict."""
+    if boundaries is None:
+        unique = [bucket_col] + [
+            c for c in df.columns if c != bucket_col
+        ]
+        bounds = _range_bucket_boundaries(
+            df, bucket_col, descending, unique, buckets
+        )
+    else:
+        bounds = boundaries
     c = F.col(bucket_col)
     bucket_expr = F.lit(0)
     for b in bounds:
         passed = c < F.lit(b) if descending else c > F.lit(b)
         bucket_expr = bucket_expr + passed.cast("int")
+    nb = len(bounds) + 1
     bucketed = df.withColumn("_bucket", bucket_expr)
     w = Window.partitionBy("_bucket").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     local = bucketed.withColumn("_local_cum", F.sum(value_col).over(w))
-    totals = (
-        bucketed.groupBy("_bucket")
-        .agg(F.sum(value_col).alias("_tot"))
-        .collect()
+    totals = bucketed.groupBy("_bucket").agg(
+        F.sum(value_col).alias("_tot")
     )
-    totals.sort(key=lambda r: r["_bucket"])
-    offsets, acc = [], 0
-    for r in totals:
-        offsets.append((r["_bucket"], acc))
-        acc += r["_tot"] or 0
-    spark = df.sparkSession
-    if offsets:
-        off_df = spark.createDataFrame(offsets, "_bucket int, _offset long")
-    else:
-        off_df = spark.createDataFrame([], "_bucket int, _offset long")
+    offsets = (
+        totals.select(
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias(
+                "_obucket"
+            ),
+            "_bucket",
+            "_tot",
+        )
+        .filter(F.col("_obucket") > F.col("_bucket"))
+        .groupBy(F.col("_obucket").alias("_bucket"))
+        .agg(F.sum("_tot").alias("_offset"))
+    )
     return (
-        local.join(F.broadcast(off_df), "_bucket")
-        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
+        local.join(F.broadcast(offsets), "_bucket", "left")
+        .withColumn(
+            out_col,
+            F.col("_local_cum") + F.coalesce(F.col("_offset"), F.lit(0)),
+        )
         .drop("_bucket", "_local_cum", "_offset")
     )
 
@@ -154,13 +180,21 @@ def partitioned_row_number(
     order_cols: list[Column],
     out_col: str,
     buckets: int = 32,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Global ``row_number() OVER (ORDER BY order_cols)`` via the
     two-pass partition-offset scheme (running sum of 1) — same
     contract as :func:`partitioned_running_sum`. Feeds exact
     percent_rank / quantile bucketing without a one-reducer sort."""
     return partitioned_running_sum(
-        df, bucket_col, descending, order_cols, F.lit(1), out_col, buckets
+        df,
+        bucket_col,
+        descending,
+        order_cols,
+        F.lit(1),
+        out_col,
+        buckets,
+        boundaries,
     )
 
 

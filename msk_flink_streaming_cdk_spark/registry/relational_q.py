@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import (
     asof_join_backward,
+    boundaries_from_sample,
     global_top_k,
     partitioned_row_number,
     partitioned_running_sum,
@@ -3655,29 +3656,45 @@ def customer_rfm_segments(spark, sf_dir):
         )
     )
     n = base.count()
+    # ONE bounded sample job feeds all three metrics' range-bucket
+    # boundaries (1024 rows in xxhash64 order — deterministic).
+    sample = (
+        base.orderBy(F.xxhash64("c_custkey")).limit(1024).collect()
+    )
 
-    def quintile(metric: str, descending: bool, out: str):
+    def quintile(src, metric: str, descending: bool, out: str):
         order = [
             F.col(metric).desc() if descending else F.col(metric),
             F.col("c_custkey"),
         ]
         ranked = partitioned_row_number(
-            base.select("c_custkey", metric), metric, descending, order, "_rn"
+            src,
+            metric,
+            descending,
+            order,
+            "_rn",
+            boundaries=boundaries_from_sample(
+                [r[metric] for r in sample], descending
+            ),
         )
         pr = (
             (F.col("_rn") - 1) / F.lit(n - 1)
             if n > 1
             else F.lit(0.0)
         )
-        return ranked.select(
-            "c_custkey",
-            F.greatest(F.lit(1), F.ceil(pr * 5)).alias(out),
-        )
+        return ranked.withColumn(
+            out, F.greatest(F.lit(1), F.ceil(pr * 5))
+        ).drop("_rn")
 
-    r = quintile("recency_days", False, "r_score")
-    f = quintile("frequency", True, "f_score")
-    m = quintile("monetary", True, "m_score")
-    return base.join(r, "c_custkey").join(f, "c_custkey").join(m, "c_custkey")
+    # r-pass carries the FULL base so only two custkey joins remain.
+    r = quintile(base, "recency_days", False, "r_score")
+    f = quintile(
+        base.select("c_custkey", "frequency"), "frequency", True, "f_score"
+    ).drop("frequency")
+    m = quintile(
+        base.select("c_custkey", "monetary"), "monetary", True, "m_score"
+    ).drop("monetary")
+    return r.join(f, "c_custkey").join(m, "c_custkey")
 
 
 @register(
@@ -4237,12 +4254,17 @@ def orders_abc_pareto_classes(spark, sf_dir):
     unbounded-frame window. The same shape classifies customers or
     SKUs."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum(
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-            ).cast("long")
-        ).alias("revenue_cents")
+    # Cached: the two-pass cumsum reads this rollup three times
+    # (boundary sample, bucket totals, final plan) plus the total_rev
+    # aggregate — without the cache each pass re-runs the fact scan.
+    rev = materialize_once(
+        li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents")
+        )
     )
     cum = partitioned_running_sum(
         rev,

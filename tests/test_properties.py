@@ -359,3 +359,72 @@ def test_incremental_near_dup_string_ids(spark):
     # exact dup of both 'a' and 'b' — tie must break to 'a'.
     assert got[0].doc_id == "z" and got[0].matched_doc == "a"
     assert got[0].jaccard == 1.0
+
+
+def test_partitioned_running_sum_matches_global_window(spark):
+    # The two-pass partition-offset cumsum must be BIT-IDENTICAL to
+    # sum() OVER (ORDER BY ...) — including heavy ties on the bucket
+    # column (ties must land in one bucket) and a descending order.
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from msk_flink_streaming_cdk_spark.operators.relational import (
+        partitioned_row_number,
+        partitioned_running_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice([1, 2, 2, 2, 3, 50]), rng.randint(-5, 100))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "k long, b long, v long").repartition(8)
+
+    got = {
+        r.k: r.cum
+        for r in partitioned_running_sum(
+            df, "b", False, [F.col("b"), F.col("k")], F.col("v"), "cum",
+            buckets=8,
+        ).collect()
+    }
+    w = Window.orderBy("b", "k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {r.k: r.cum for r in df.select(
+        "k", F.sum("v").over(w).alias("cum")).collect()}
+    assert got == want
+
+    # Descending row_number against the global window.
+    got_rn = {
+        r.k: r.rn
+        for r in partitioned_row_number(
+            df, "v", True, [F.col("v").desc(), F.col("k")], "rn", buckets=8
+        ).collect()
+    }
+    wd = Window.orderBy(F.col("v").desc(), "k")
+    want_rn = {r.k: r.rn for r in df.select(
+        "k", F.row_number().over(wd).alias("rn")).collect()}
+    assert got_rn == want_rn
+
+
+def test_partitioned_running_sum_empty_and_tiny(spark):
+    from pyspark.sql import functions as F
+
+    from msk_flink_streaming_cdk_spark.operators.relational import (
+        partitioned_running_sum,
+    )
+
+    empty = spark.createDataFrame([], "k long, v long")
+    assert (
+        partitioned_running_sum(
+            empty, "k", False, [F.col("k")], F.col("v"), "cum"
+        ).collect()
+        == []
+    )
+    one = spark.createDataFrame([(1, 10)], "k long, v long")
+    got = partitioned_running_sum(
+        one, "k", False, [F.col("k")], F.col("v"), "cum"
+    ).collect()
+    assert [(r.k, r.cum) for r in got] == [(1, 10)]
