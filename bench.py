@@ -133,6 +133,10 @@ HEADLINE = [
     "dq_split_leakage",
     "orders_abc_pareto_classes",
     "dedup_cluster_stats",
+    # round 8 additions
+    "text_curriculum_stages",
+    "text_source_cap_rebalance",
+    "agg_regr_price_vs_qty",
 ]
 
 

@@ -92,10 +92,14 @@ ROTATION_WINDOW: list[str] = [
     "q5_region_revenue",
     "join_range_clicks_before_purchase",]
 
-# Next tranche (round 9): the next-stalest previously-checked keys
-# (last driver row round 3), in staleness order. Keeping them HERE
-# (not just in a comment) makes the plan part of the ordered registry.
+# Next tranche (round 9): round-8 additions first (never checked),
+# then the next-stalest previously-checked keys (last driver row
+# round 3), in staleness order. Keeping them HERE (not just in a
+# comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    "text_curriculum_stages",
+    "text_source_cap_rebalance",
+    "agg_regr_price_vs_qty",
     "window_range_frame_avg30d",
     "window_percent_rank_cume_dist",
     "agg_monthly_revenue",

@@ -40,7 +40,11 @@ from ..operators.text import (
     rolling_hash_col,
     whitespace_token_count,
 )
-from ..operators.relational import global_top_k, partitioned_running_sum
+from ..operators.relational import (
+    global_top_k,
+    partitioned_row_number,
+    partitioned_running_sum,
+)
 from ..operators.util import materialize_once
 from ..sources.fixtures import load_table
 from ._core import register
@@ -2589,6 +2593,129 @@ def text_token_balanced_mixture(spark, sf_dir):
             )
             / 10000
         ).alias("sample_rate"),
+    )
+
+
+@register(
+    "text_curriculum_stages",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    r AS (SELECT doc_id, n_tokens,
+                 CAST(row_number() OVER (ORDER BY n_tokens, doc_id)
+                   AS BIGINT) AS rank
+          FROM t),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+    SELECT doc_id, n_tokens, rank,
+           CAST(floor(((rank - 1) * 8) / CAST(n_total AS DOUBLE))
+             AS BIGINT) AS stage
+    FROM r, n
+    """,
+)
+def text_curriculum_stages(spark, sf_dir):
+    """Curriculum ordering: every document's exact global rank by
+    length (shortest first, doc_id tie-break) and its assignment to 8
+    equal-size curriculum stages — the easy-to-hard schedule of
+    curriculum learning, where early training batches draw from stage
+    0 and later ones graduate upward.
+
+    The exact global rank comes from the two-pass partition-offset
+    row number (``partitioned_row_number``: sampled range buckets,
+    per-bucket local windows, broadcast prefix offsets) — no
+    single-reducer sort of the corpus anywhere; n_total is a one-row
+    broadcast. Stage arithmetic is integer-exact in both engines
+    ((rank-1)*8 / n as a double floor of exact BIGINTs)."""
+    t = materialize_once(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    ranked = partitioned_row_number(
+        t, "n_tokens", False, [F.col("n_tokens"), F.col("doc_id")], "rank"
+    )
+    n = t.agg(F.count("*").alias("n_total"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_tokens",
+        "rank",
+        F.floor(
+            ((F.col("rank") - 1) * 8) / F.col("n_total").cast("double")
+        )
+        .cast("long")
+        .alias("stage"),
+    )
+
+
+@register(
+    "text_source_cap_rebalance",
+    oracle="""
+    WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+    c AS (SELECT source, n_tokens,
+                 least(n_tokens * 10, total * 3) AS capped_x10
+          FROM s, tot),
+    z AS (SELECT CAST(sum(capped_x10) AS BIGINT) AS capped_total FROM c)
+    SELECT source, n_tokens,
+           floor(CAST(capped_x10 AS DOUBLE) / (n_tokens * 10) * 10000)
+             / 10000 AS sample_rate,
+           floor(CAST(capped_x10 AS DOUBLE) / capped_total * 10000)
+             / 10000 AS mix_share
+    FROM c, z
+    """,
+)
+def text_source_cap_rebalance(spark, sf_dir):
+    """Source-cap rebalancing (the CCNet / web-crawl curation move):
+    no source may exceed 30% of the training mix — oversized sources
+    get a downsampling rate, and every source's post-cap mixture
+    share is reported. Complements ``text_token_balanced_mixture``
+    (equalize) — this one only intervenes on dominant sources.
+
+    The cap compare is EXACT integer arithmetic (n_tokens*10 vs
+    total*3 — no 0.3*total float), so the capped weights and their
+    sum are order-independent BIGINTs; only the final two rates
+    divide, floor-truncated at 4 decimals so no half-way digit splits
+    the engines. Shape: one partial-agg scan to source grain, two
+    one-row broadcasts — the fact scan never shuffles."""
+    s = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("n_tokens"))
+    )
+    tot = s.agg(F.sum("n_tokens").alias("total"))
+    c = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.least(
+            F.col("n_tokens") * 10, F.col("total") * 3
+        ).alias("capped_x10"),
+    )
+    z = c.agg(F.sum("capped_x10").alias("capped_total"))
+    return c.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("capped_x10").cast("double")
+                / (F.col("n_tokens") * 10)
+                * 10000
+            )
+            / 10000
+        ).alias("sample_rate"),
+        (
+            F.floor(
+                F.col("capped_x10").cast("double")
+                / F.col("capped_total")
+                * 10000
+            )
+            / 10000
+        ).alias("mix_share"),
     )
 
 

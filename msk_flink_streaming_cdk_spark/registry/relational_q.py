@@ -3741,6 +3741,82 @@ def winsorize_order_prices(spark, sf_dir):
 
 
 @register(
+    "agg_regr_price_vs_qty",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n,
+                 6) AS intercept,
+           round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS r2
+    FROM m
+    """,
+)
+def agg_regr_price_vs_qty(spark, sf_dir):
+    """Grouped least-squares regression of price on quantity (slope /
+    intercept / r²) per return flag — the built-in ``regr_slope``
+    family's semantics, but computed from EXACT decimal sufficient
+    statistics: float ``regr_*`` aggregates are order-dependent in
+    their last bits (different partial-aggregation trees between
+    engines), while DECIMAL sums of 2-dp-exact casts are
+    order-independent, so the final double formula evaluates the same
+    IEEE operations on identical inputs in both engines.
+
+    Shape: one partial-agg scan to 6 moments per group (map-side
+    combine, k rows shuffled), formulas applied on the k-row result —
+    the sufficient-statistics pattern, same as quality_logistic_fit's
+    normal equations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_DEC)
+    y = F.col("l_extendedprice").cast(_DEC)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+@register(
     "histogram_equidepth_prices",
     oracle="""
     WITH c AS (SELECT quantile_cont(o_totalprice,

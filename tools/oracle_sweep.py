@@ -3,6 +3,7 @@ vs DuckDB at an arbitrary SF (default sf0.01 — the driver's gate scale).
 
 Usage: python tools/oracle_sweep.py [sf_dir] [name_substring ...]
        python tools/oracle_sweep.py sf_dir --skip-heavy
+       python tools/oracle_sweep.py sf_dir --only-heavy
 
 Prints one line per query (ok / MISMATCH / ERR) and a summary; exits
 non-zero on any failure so it can gate commits.
@@ -12,6 +13,12 @@ oracles (``HEAVY_ORACLES``): DuckDB re-evaluates a CTE per reference,
 so those replays are quadratic-plus above oracle scale — they stay
 gated at sf0.001 (pytest) and sf0.01 (driver). With the flag, the
 remaining 186 oracles were verified green at sf0.1 in round 6.
+
+``--only-heavy`` runs JUST the recursive/closure oracles — the
+round-7 verdict's item 7: scale-dependent fixpoint bugs (an iteration
+count that converges at sf0.01 but not sf0.1, a tie-break that only
+ties at scale) are invisible to the sf0.01 driver gate, so this runs
+once per round at sf0.1 (log committed as tools/heavy_sweep_r{N}.log).
 """
 
 from __future__ import annotations
@@ -49,8 +56,13 @@ HEAVY_ORACLES = {
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    subs = [a for a in sys.argv[2:] if a != "--skip-heavy"]
+    subs = [
+        a
+        for a in sys.argv[2:]
+        if a not in ("--skip-heavy", "--only-heavy")
+    ]
     skip_heavy = "--skip-heavy" in sys.argv[2:]
+    only_heavy = "--only-heavy" in sys.argv[2:]
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
     names = [
         n
@@ -58,6 +70,7 @@ def main() -> int:
         if n in ORACLES
         and (not subs or any(s in n for s in subs))
         and not (skip_heavy and n in HEAVY_ORACLES)
+        and not (only_heavy and n not in HEAVY_ORACLES)
     ]
     failed = []
     for i, name in enumerate(names, 1):
