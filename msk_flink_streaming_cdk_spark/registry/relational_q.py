@@ -3655,9 +3655,10 @@ def customer_rfm_segments(spark, sf_dir):
             F.col("monetary").cast("double").alias("monetary"),
         )
     )
-    n = base.count()
-    # ONE bounded sample job feeds all three metrics' range-bucket
-    # boundaries (1024 rows in xxhash64 order — deterministic).
+    # n rides along as a one-row broadcast scalar (no driver count
+    # job); the ONE bounded sample job feeds all three metrics'
+    # range-bucket boundaries (1024 rows in xxhash64 order).
+    ncnt = base.agg(F.count("*").alias("_n"))
     sample = (
         base.orderBy(F.xxhash64("c_custkey")).limit(1024).collect()
     )
@@ -3677,14 +3678,15 @@ def customer_rfm_segments(spark, sf_dir):
                 [r[metric] for r in sample], descending
             ),
         )
-        pr = (
-            (F.col("_rn") - 1) / F.lit(n - 1)
-            if n > 1
-            else F.lit(0.0)
+        pr = F.when(
+            F.col("_n") > 1,
+            (F.col("_rn") - 1) / (F.col("_n") - 1),
+        ).otherwise(F.lit(0.0))
+        return (
+            ranked.crossJoin(F.broadcast(ncnt))
+            .withColumn(out, F.greatest(F.lit(1), F.ceil(pr * 5)))
+            .drop("_rn", "_n")
         )
-        return ranked.withColumn(
-            out, F.greatest(F.lit(1), F.ceil(pr * 5))
-        ).drop("_rn")
 
     # r-pass carries the FULL base so only two custkey joins remain.
     r = quintile(base, "recency_days", False, "r_score")
