@@ -3633,7 +3633,13 @@ def customer_rfm_segments(spark, sf_dir):
     scalar, so no unpartitioned WindowExec exists anywhere in the
     plan. Both engines compute pr*5 in IEEE double from identical
     integer ranks, so bucket assignment is bit-deterministic.
-    Monetary sums in decimal(18,2) per the repo's money convention."""
+    Monetary sums in decimal(18,2) per the repo's money convention.
+
+    A/B (bench.py subset, sf0.1 min-of-2): 0.6s as global ntile ×3 →
+    ~2.7–3.1s in this form — fixed job/plan overhead (boundary sample
+    + three bucketed rank subplans), paid deliberately: the ntile
+    form's one-reducer sort of the customer-grain frame ×3 scales
+    with SF and dies at 100× (round-7 verdict item 4)."""
     o = _t(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("anchor"))
     base = materialize_once(
@@ -4330,7 +4336,12 @@ def orders_abc_pareto_classes(spark, sf_dir):
     prefix offsets — bit-identical output to the oracle's global
     window. total_rev is a one-row aggregate broadcast, not an
     unbounded-frame window. The same shape classifies customers or
-    SKUs."""
+    SKUs.
+
+    A/B (bench.py subset, sf0.1 min-of-2): 0.45s as a global window →
+    ~1.2-1.5s in this form (boundary-sample job + bucketed subplans)
+    — the deliberate local cost of removing the one-reducer sort
+    (round-7 verdict item 3)."""
     li = load_table(spark, sf_dir, "lineitem")
     # Cached: the two-pass cumsum reads this rollup three times
     # (boundary sample, bucket totals, final plan) plus the total_rev
