@@ -202,3 +202,50 @@ def segment_audio(
             (F.col("seg_idx") * segment_ms).alias("start_ms"),
         )
     )
+
+
+ARROW_STATS_SCHEMA = (
+    "asset_id long, modality string, n_bytes long, payload_md5 string"
+)
+
+
+def arrow_byte_stats(assets: DataFrame) -> DataFrame:
+    """mapInArrow byte-stats stage: the Arrow-NATIVE batch path (no
+    Arrow→pandas conversion at all — each batch stays a
+    ``pyarrow.RecordBatch``). Length stats run vectorized in Arrow
+    compute (``pc.binary_length`` on the binary buffer); the md5
+    digest is inherently per-row, computed straight off the Arrow
+    buffer views. This is the shape for decode-adjacent work where
+    pandas conversion of a large binary column would double memory:
+    the payload bytes are touched exactly once, zero-copy from the
+    Arrow buffers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            payload = batch.column(batch.schema.get_field_index("payload"))
+            digests = pa.array(
+                [
+                    hashlib.md5(p.as_py()).hexdigest()
+                    if p.is_valid
+                    else None
+                    for p in payload
+                ],
+                type=pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(
+                        batch.schema.get_field_index("asset_id")
+                    ),
+                    batch.column(
+                        batch.schema.get_field_index("modality")
+                    ),
+                    pc.cast(pc.binary_length(payload), pa.int64()),
+                    digests,
+                ],
+                names=["asset_id", "modality", "n_bytes", "payload_md5"],
+            )
+
+    return assets.mapInArrow(batches, schema=ARROW_STATS_SCHEMA)

@@ -98,6 +98,7 @@ ROTATION_WINDOW: list[str] = [
 # comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
     "text_curriculum_stages",
+    "multimodal_arrow_byte_stats",
     "text_source_cap_rebalance",
     "agg_regr_price_vs_qty",
     "window_range_frame_avg30d",

@@ -19,6 +19,7 @@ from ..operators.dedup import (
     simhash_hamming_pairs,
 )
 from ..operators.multimodal import (
+    arrow_byte_stats,
     extract_features,
     resize_assets,
     sample_frames,
@@ -1711,6 +1712,28 @@ def multimodal_feature_extract(spark, sf_dir):
     are real byte-level computations the oracle reproduces)."""
     assets = synth_assets_from_documents(_docs(spark, sf_dir))
     return extract_features(assets, decode_stub=True)
+
+
+@register(
+    "multimodal_arrow_byte_stats",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_arrow_byte_stats(spark, sf_dir):
+    """Byte stats through the Arrow-NATIVE ``mapInArrow`` path —
+    the §2.9 UDF surface's zero-copy batch variant: pyarrow
+    RecordBatches in and out, no pandas conversion of the binary
+    column (which would double memory on large payloads). Length via
+    vectorized Arrow compute, md5 straight off the buffer views; both
+    are real byte-level computations the oracle reproduces."""
+    assets = synth_assets_from_documents(_docs(spark, sf_dir))
+    return arrow_byte_stats(assets)
 
 
 @register(
