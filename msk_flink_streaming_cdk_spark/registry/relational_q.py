@@ -3598,6 +3598,167 @@ def cohort_weekly_retention(spark, sf_dir):
 
 
 @register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate) - 1)
+               AS cohort_m
+      FROM orders GROUP BY 1),
+    acts AS (
+      SELECT o.o_custkey, f.cohort_m,
+             year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+               - f.cohort_m AS age_months,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+      FROM orders o JOIN firsts f USING (o_custkey)),
+    cell AS (
+      SELECT cohort_m, age_months,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             sum(rev) AS revenue
+      FROM acts GROUP BY 1, 2)
+    SELECT CAST(cohort_m // 12 AS BIGINT) AS cohort_year,
+           CAST(cohort_m % 12 + 1 AS BIGINT) AS cohort_month,
+           CAST(age_months AS BIGINT) AS age_months,
+           n_customers,
+           round(CAST(revenue AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(revenue) OVER (
+                   PARTITION BY cohort_m ORDER BY age_months
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+             AS cum_revenue
+    FROM cell
+    """,
+)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, revenue accumulated by months-since-first-order — the
+    finance twin of the retention matrix (cohort_weekly_retention
+    counts heads; this sums money). Month arithmetic is integer
+    (year*12+month), exact in both engines; revenue sums in
+    decimal(18,2) and surfaces as round(CAST AS DOUBLE) per the money
+    convention. The cumulative LTV window is PARTITIONED by cohort
+    (bounded frame per cohort, parallel across cohorts) — not a
+    global sort. Shape: one agg to customer grain, one broadcast-able
+    join back, one agg to the (cohort, age) matrix."""
+    o = _t(spark, sf_dir, "orders")
+    month_idx = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(month_idx).alias("cohort_m")
+    )
+    acts = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        "cohort_m",
+        (month_idx - F.col("cohort_m")).alias("age_months"),
+        F.col("o_totalprice").cast(_DEC).alias("rev"),
+    )
+    cell = acts.groupBy("cohort_m", "age_months").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum("rev").alias("revenue"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        F.floor(F.col("cohort_m") / 12).cast("long").alias("cohort_year"),
+        (F.col("cohort_m") % 12 + 1).cast("long").alias("cohort_month"),
+        F.col("age_months").cast("long").alias("age_months"),
+        "n_customers",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("revenue").over(w).cast("double"), 2).alias(
+            "cum_revenue"
+        ),
+    )
+
+
+@register(
+    "dq_schema_drift_events",
+    oracle="""
+    WITH b AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2
+               AS mid FROM events),
+    h AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) <= b.mid THEN 0 ELSE 1 END AS half,
+             CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+             CASE WHEN value IS NULL THEN 1 ELSE 0 END AS is_null
+      FROM events, b),
+    s AS (
+      SELECT event_type, half,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v_micro) AS BIGINT) AS sv,
+             CAST(sum(is_null) AS BIGINT) AS nn
+      FROM h GROUP BY 1, 2)
+    SELECT a.event_type,
+           a.n AS n_first, c.n AS n_second,
+           round(a.sv / (a.n * 1000000.0), 6) AS avg_first,
+           round(c.sv / (c.n * 1000000.0), 6) AS avg_second,
+           round(c.sv / (c.n * 1000000.0)
+                 - a.sv / (a.n * 1000000.0), 6) AS avg_shift,
+           round(a.nn / CAST(a.n AS DOUBLE), 6) AS null_rate_first,
+           round(c.nn / CAST(c.n AS DOUBLE), 6) AS null_rate_second
+    FROM s a JOIN s c
+      ON a.event_type = c.event_type AND a.half = 0 AND c.half = 1
+    """,
+)
+def dq_schema_drift_events(spark, sf_dir):
+    """Schema/content drift check between the first and second half of
+    the event stream (split at the midpoint epoch): per event type,
+    row counts, value means, mean shift, and null rates — the canary
+    for an upstream producer silently changing units or dropping a
+    field. Means come from EXACT integer micro-unit sums
+    (round(value*1e6) per row, identical in both engines; the BIGINT
+    sum is order-independent), so the comparison is reproducible.
+    Shape: one scan to (type, half) grain with map-side partials, a
+    tiny self-join on the k-row summary — the fact stream never
+    shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    # Microsecond-exact integer midpoint (events carry sub-second
+    # timestamps; second-truncated epochs would split boundary rows
+    # differently than the oracle).
+    b = ev.agg(
+        F.expr(
+            "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"
+        ).alias("mid")
+    )
+    h = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(F.expr("unix_micros(ts)") <= F.col("mid"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.round(F.col("value") * 1000000)
+        .cast("long")
+        .alias("v_micro"),
+        F.when(F.col("value").isNull(), 1).otherwise(0).alias("is_null"),
+    )
+    s = h.groupBy("event_type", "half").agg(
+        F.count("*").alias("n"),
+        F.sum("v_micro").alias("sv"),
+        F.sum("is_null").alias("nn"),
+    )
+    a = s.filter(F.col("half") == 0).alias("a")
+    c = s.filter(F.col("half") == 1).alias("c")
+    avg_a = F.col("a.sv") / (F.col("a.n") * 1000000.0)
+    avg_c = F.col("c.sv") / (F.col("c.n") * 1000000.0)
+    return a.join(c, F.col("a.event_type") == F.col("c.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_first"),
+        F.col("c.n").alias("n_second"),
+        F.round(avg_a, 6).alias("avg_first"),
+        F.round(avg_c, 6).alias("avg_second"),
+        F.round(avg_c - avg_a, 6).alias("avg_shift"),
+        F.round(
+            F.col("a.nn") / F.col("a.n").cast("double"), 6
+        ).alias("null_rate_first"),
+        F.round(
+            F.col("c.nn") / F.col("c.n").cast("double"), 6
+        ).alias("null_rate_second"),
+    )
+
+
+@register(
     "customer_rfm_segments",
     oracle="""
     WITH base AS (
