@@ -101,6 +101,8 @@ NEXT_TRANCHE: list[str] = [
     "multimodal_arrow_byte_stats",
     "text_source_cap_rebalance",
     "agg_regr_price_vs_qty",
+    "orders_cohort_ltv",
+    "dq_schema_drift_events",
     "window_range_frame_avg30d",
     "window_percent_rank_cume_dist",
     "agg_monthly_revenue",
