@@ -137,6 +137,9 @@ HEADLINE = [
     "text_curriculum_stages",
     "text_source_cap_rebalance",
     "agg_regr_price_vs_qty",
+    "multimodal_arrow_byte_stats",
+    "orders_cohort_ltv",
+    "dq_schema_drift_events",
 ]
 
 
