@@ -140,6 +140,8 @@ HEADLINE = [
     "multimodal_arrow_byte_stats",
     "orders_cohort_ltv",
     "dq_schema_drift_events",
+    "part_skyline_price_size",
+    "dedup_edit_distance1_names",
 ]
 
 

@@ -103,6 +103,8 @@ NEXT_TRANCHE: list[str] = [
     "agg_regr_price_vs_qty",
     "orders_cohort_ltv",
     "dq_schema_drift_events",
+    "part_skyline_price_size",
+    "dedup_edit_distance1_names",
     "window_range_frame_avg30d",
     "window_percent_rank_cume_dist",
     "agg_monthly_revenue",

@@ -24,6 +24,7 @@ from ..operators.relational import (
     boundaries_from_sample,
     global_top_k,
     partitioned_row_number,
+    partitioned_running_min,
     partitioned_running_sum,
     salted_join,
     sessionize,
@@ -3755,6 +3756,132 @@ def dq_schema_drift_events(spark, sf_dir):
         F.round(
             F.col("c.nn") / F.col("c.n").cast("double"), 6
         ).alias("null_rate_second"),
+    )
+
+
+@register(
+    "part_skyline_price_size",
+    oracle="""
+    WITH dp AS (
+      SELECT p_retailprice AS price, min(p_size) AS msize
+      FROM part GROUP BY 1),
+    e AS (
+      SELECT price,
+             min(msize) OVER (ORDER BY price
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS excl_min
+      FROM dp)
+    SELECT p.p_partkey, p.p_name, p.p_retailprice,
+           CAST(p.p_size AS BIGINT) AS p_size
+    FROM part p JOIN e ON e.price = p.p_retailprice
+    WHERE e.excl_min IS NULL OR e.excl_min >= p.p_size
+    """,
+)
+def part_skyline_price_size(spark, sf_dir):
+    """2-D skyline (Pareto front) over parts: keep every part not
+    STRICTLY dominated on (price, size) — no other part is cheaper
+    AND smaller. The multi-objective shortlist query (cheapest
+    viable supplier per size class, best quality/cost frontier).
+
+    The classic 2-D sweep needs an EXCLUSIVE running min of size over
+    the price order — here that is ``partitioned_running_min``
+    (two-pass range-bucket scheme, frame UNBOUNDED PRECEDING..1
+    PRECEDING) over the DISTINCT-price rollup, so no single-reducer
+    sort exists even though prices scale with |part|; the verdict on
+    each part row is then one broadcast-able equi-join on price.
+    Dominance test: dominated iff min(size | price' < price) < size."""
+    p = load_table(spark, sf_dir, "part")
+    dp = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.min("p_size").alias("msize")
+    )
+    e = partitioned_running_min(
+        dp,
+        "price",
+        False,
+        [F.col("price")],
+        F.col("msize"),
+        "excl_min",
+        inclusive=False,
+    ).select("price", "excl_min")
+    return (
+        p.join(
+            F.broadcast(e),
+            p["p_retailprice"] == e["price"],
+        )
+        .filter(
+            F.col("excl_min").isNull()
+            | (F.col("excl_min") >= F.col("p_size"))
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+    )
+
+
+@register(
+    "dedup_edit_distance1_names",
+    oracle="""
+    WITH n AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+    FROM n a JOIN n b ON a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_edit_distance1_names(spark, sf_dir):
+    """Edit-distance-1 fuzzy self-join via FastSS deletion
+    neighborhoods: each name generates itself plus every
+    single-character deletion; two strings within Levenshtein
+    distance 1 MUST share a variant (complete blocking), so the
+    candidate join is an EQUI-join on the variant key — never a
+    quadratic all-pairs levenshtein. Candidates verify with exact
+    ``levenshtein <= 1``; the oracle replays the quadratic definition
+    (sound at oracle scale, where |customer| is small) and matches
+    because deletion-1 blocking is complete for ed<=1.
+
+    Scale: fan-out is len(name)+1 variants per row; bucket sizes are
+    the variant collision counts (tens, not thousands); the heavy
+    levenshtein runs only on candidate pairs. Same shape at 100 TB
+    with the variant join hash-partitioned."""
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_name")
+        .distinct()
+    )
+    variants = names.select(
+        "c_name",
+        F.explode(
+            F.concat(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i -> "
+                    "concat(substring(c_name, 1, i - 1), "
+                    "substring(c_name, i + 1, length(c_name))))"
+                ),
+            )
+        ).alias("variant"),
+    ).distinct()
+    a = variants.select(
+        F.col("c_name").alias("name_a"), "variant"
+    )
+    b = variants.select(
+        F.col("c_name").alias("name_b"), "variant"
+    )
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein("name_a", "name_b") <= 1
+    ).select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("lev"),
     )
 
 

@@ -428,3 +428,35 @@ def test_partitioned_running_sum_empty_and_tiny(spark):
         one, "k", False, [F.col("k")], F.col("v"), "cum"
     ).collect()
     assert [(r.k, r.cum) for r in got] == [(1, 10)]
+
+
+def test_partitioned_running_min_matches_global_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from msk_flink_streaming_cdk_spark.operators.relational import (
+        partitioned_running_min,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 40), rng.randint(-50, 50)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, b long, v long").repartition(8)
+    order = [F.col("b"), F.col("k")]
+
+    for inclusive in (True, False):
+        got = {
+            r.k: r.m
+            for r in partitioned_running_min(
+                df, "b", False, order, F.col("v"), "m",
+                buckets=8, inclusive=inclusive,
+            ).collect()
+        }
+        hi = Window.currentRow if inclusive else -1
+        w = Window.orderBy("b", "k").rowsBetween(
+            Window.unboundedPreceding, hi
+        )
+        want = {r.k: r.m for r in df.select(
+            "k", F.min("v").over(w).alias("m")).collect()}
+        assert got == want, f"inclusive={inclusive}"
