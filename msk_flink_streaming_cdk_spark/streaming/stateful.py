@@ -732,3 +732,99 @@ def countmin_stream(
         .groupBy("j", "cell")
         .agg(F.count("*").alias("n"))
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "sensor_id string, session_start timestamp, "
+    "session_end timestamp, n_events long, sum_temp long"
+)
+_SESSION_STATE_SCHEMA = "start_us long, end_us long, n long, s long"
+
+
+def make_session_fn(gap_seconds: int = 1800):
+    """Custom gap-sessionizer with EVENT-TIME TIMEOUT state eviction —
+    the one GroupStateTimeout mode the other stateful operators don't
+    exercise (they all run NoTimeout). Semantics match the
+    declarative ``session_window`` (and the batch
+    ``session_window_user_sessions`` twin): events strictly less than
+    ``gap_seconds`` after the session's last event merge; emitted
+    ``session_end`` is last event + gap.
+
+    A session closed by a later event in the SAME key emits
+    immediately; an open session emits when the watermark passes its
+    (last event + gap) timeout — so state for idle keys is evicted by
+    the engine instead of growing forever (the property that makes
+    per-key sessionization safe on an unbounded key space). State per
+    key is four scalars, O(1) forever."""
+    from datetime import datetime, timezone
+
+    us_gap = gap_seconds * 1_000_000
+
+    def _ts(us: int):
+        return datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                st, en, n, s = state.get
+                closed.append((st, en, n, s))
+            state.remove()
+        else:
+            cur = tuple(state.get) if state.exists else None
+            batch = _fold_ordered(pdfs, "event_time")
+            if batch is not None:
+                for row in batch.itertuples():
+                    t_us = int(pd.Timestamp(row.event_time).value // 1000)
+                    v = int(row.temperature)
+                    if cur is None:
+                        cur = (t_us, t_us, 1, v)
+                    elif t_us - cur[1] < us_gap:
+                        cur = (cur[0], t_us, cur[2] + 1, cur[3] + v)
+                    else:
+                        closed.append(cur)
+                        cur = (t_us, t_us, 1, v)
+            if cur is not None:
+                state.update(cur)
+                # Evict when the watermark passes last event + gap
+                # (setTimeoutTimestamp takes epoch millis).
+                state.setTimeoutTimestamp((cur[1] + us_gap) // 1000)
+        yield pd.DataFrame(
+            {
+                "sensor_id": [sensor_id] * len(closed),
+                "session_start": [_ts(c[0]) for c in closed],
+                "session_end": [_ts(c[1] + us_gap) for c in closed],
+                "n_events": [c[2] for c in closed],
+                "sum_temp": [c[3] for c in closed],
+            }
+        )
+
+    return update
+
+
+def session_summary_by_key(
+    readings: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """Per-sensor gap sessions with event-time-timeout state eviction;
+    requires a watermark (the timeout clock). Append mode: each
+    session emits exactly once — on the closing event or on timeout."""
+    return (
+        readings.withWatermark("event_time", watermark)
+        .groupBy("sensor_id")
+        .applyInPandasWithState(
+            make_session_fn(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

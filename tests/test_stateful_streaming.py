@@ -1175,3 +1175,68 @@ def test_fold_ordered_single_chunk_paths():
 
     assert _fold_ordered(iter([]), "t") is None
     assert _fold_ordered(iter([sorted_chunk.iloc[:0]]), "t") is None
+
+
+def test_session_timeout_matches_batch_sessionize(spark, tmp_path):
+    # EventTimeTimeout sessionizer: gap-closed sessions emit in-batch,
+    # the open session emits when the watermark passes last+gap, and
+    # the emitted sessions equal the declarative batch session_window
+    # over the same rows (the batch-twin contract).
+    from msk_flink_streaming_cdk_spark.operators.relational import (
+        sessionize,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        session_summary_by_key,
+    )
+
+    batches = [
+        [("1", 30, 0), ("1", 32, 10)],
+        [("1", 27, 50)],           # 50-10 >= 30 → closes session A
+        [("9", 20, 500)],          # advances watermark past 50+30
+        [("9", 21, 600)],          # next batch → timeout fires for "1"
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = (
+        session_summary_by_key(readings, gap_seconds=30)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (
+            (r.session_start, r.session_end, r.n_events, r.sum_temp)
+            for r in spark.sql(
+                "SELECT * FROM sess_test WHERE sensor_id = '1'"
+            ).collect()
+        )
+    )
+    assert got == [
+        (T0, T0 + timedelta(seconds=40), 2, 62),
+        (
+            T0 + timedelta(seconds=50),
+            T0 + timedelta(seconds=80),
+            1,
+            27,
+        ),
+    ]
+
+    # Batch twin: declarative session_window over the same rows.
+    rows = [(s, t, T0 + timedelta(seconds=off)) for b in batches for (s, t, off) in b]
+    batch_df = spark.createDataFrame(rows, SENSOR_READING)
+    twin = sorted(
+        (r.session_start, r.session_end, r.n_events)
+        for r in sessionize(
+            batch_df.filter("sensor_id = '1'"),
+            "event_time",
+            ["sensor_id"],
+            "30 seconds",
+            [F.count("*").alias("n_events")],
+        ).collect()
+    )
+    assert twin == [(g[0], g[1], g[2]) for g in got]
