@@ -473,3 +473,28 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_small):
         "unpartitioned Window over unbounded input (add the scale-safe "
         f"two-pass form or justify an allowlist entry): {offenders}"
     )
+
+
+def test_skyline_verdict_join_broadcasts(spark, sf_small):
+    # The distinct-price sweep frame must broadcast onto the part
+    # scan; the sweep itself must not contain an unpartitioned window
+    # (covered globally by the lint, re-asserted here for locality).
+    from msk_flink_streaming_cdk_spark.plans import (
+        unpartitioned_window_nodes,
+    )
+
+    df = QUERIES["part_skyline_price_size"](spark, sf_small)
+    assert_broadcast_hash_join(df)
+    assert_no_nested_loop_join(df)
+    assert unpartitioned_window_nodes(df) == []
+
+
+def test_edit_distance_blocking_is_equi_join(spark, sf_small):
+    # FastSS candidate generation must be an equi-join on the deletion
+    # variant — an NLJ here is the quadratic levenshtein the blocking
+    # exists to avoid.
+    df = QUERIES["dedup_edit_distance1_names"](spark, sf_small)
+    assert_no_nested_loop_join(df)
+    plan = formatted_plan(df)
+    key_lines = [ln for ln in plan.splitlines() if "variant" in ln]
+    assert key_lines, plan
