@@ -142,6 +142,8 @@ HEADLINE = [
     "dq_schema_drift_events",
     "part_skyline_price_size",
     "dedup_edit_distance1_names",
+    "text_token_fertility_by_lang",
+    "embedding_int8_quant_error",
 ]
 
 

@@ -105,6 +105,8 @@ NEXT_TRANCHE: list[str] = [
     "dq_schema_drift_events",
     "part_skyline_price_size",
     "dedup_edit_distance1_names",
+    "text_token_fertility_by_lang",
+    "embedding_int8_quant_error",
     "window_range_frame_avg30d",
     "window_percent_rank_cume_dist",
     "agg_monthly_revenue",

@@ -1879,6 +1879,133 @@ def embedding_norm_stats(spark, sf_dir):
 
 
 @register(
+    "text_token_fertility_by_lang",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS ws,
+             CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))
+               AS BIGINT) AS bpe,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility,
+           round(CAST(sum(nb) AS DOUBLE) / sum(bpe), 6)
+             AS bytes_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def text_token_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility by language: BPE-ish tokens per whitespace
+    word and bytes per token, per ``lang`` — the curation metric that
+    prices each language's context-window cost (high-fertility
+    languages consume budget faster) and flags tokenizer mismatch on
+    new sources. All counts are exact BIGINTs from scan-speed regexes
+    (no UDF); the two ratios divide once per group."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "lang",
+        whitespace_token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("nb"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.round(
+            F.sum("bpe").cast("double") / F.sum("ws"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("nb").cast("double") / F.sum("bpe"), 6
+        ).alias("bytes_per_token"),
+    )
+
+
+@register(
+    "embedding_int8_quant_error",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, CAST(v AS DOUBLE) AS v
+      FROM embeddings, unnest(embedding) AS t(v)),
+    mx AS (
+      SELECT vec_id, max(abs(v)) AS maxabs FROM ex GROUP BY vec_id),
+    q AS (
+      SELECT ex.vec_id, ex.label,
+             CASE WHEN mx.maxabs = 0 THEN CAST(0 AS DECIMAL(18,12))
+                  ELSE CAST(abs(ex.v
+                        - floor(ex.v * 127 / mx.maxabs + 0.5)
+                          * mx.maxabs / 127) AS DECIMAL(18,12))
+             END AS err
+      FROM ex JOIN mx USING (vec_id)),
+    pv AS (
+      SELECT vec_id, label,
+             sum(err) AS sum_err, max(err) AS mx_err,
+             CAST(count(*) AS BIGINT) AS dims
+      FROM q GROUP BY vec_id, label)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(sum_err) AS DOUBLE)
+                 / CAST(sum(dims) AS DOUBLE), 9) AS mean_abs_err,
+           round(CAST(max(mx_err) AS DOUBLE), 9) AS max_abs_err
+    FROM pv GROUP BY label
+    """,
+)
+def embedding_int8_quant_error(spark, sf_dir):
+    """Symmetric int8 quantization audit: quantize each vector with
+    its own max-abs scale (q = round(v*127/maxabs), the standard
+    int8 embedding storage scheme), reconstruct, and report per-label
+    mean/max absolute error — the go/no-go check before shipping
+    quantized vectors to the ANN index.
+
+    Determinism: elements cast float->double (exact), the quantize
+    uses floor(x+0.5) (identical in both engines — engine round()
+    half-rules differ on negatives), and each element's error is
+    cast to DECIMAL(18,12) once (positive values, same rounding both
+    engines) so all aggregation is exact-decimal and order-free.
+    Shape: explode -> per-vector max (hash agg) -> join back -> two
+    hash aggs; no window, no UDF."""
+    e = _emb(spark, sf_dir)
+    ex = e.select(
+        "vec_id", "label", F.explode("embedding").alias("vf")
+    ).select("vec_id", "label", F.col("vf").cast("double").alias("v"))
+    mx = ex.groupBy("vec_id").agg(F.max(F.abs("v")).alias("maxabs"))
+    recon = (
+        F.floor(F.col("v") * 127 / F.col("maxabs") + 0.5)
+        * F.col("maxabs")
+        / 127
+    )
+    q = ex.join(mx, "vec_id").select(
+        "vec_id",
+        "label",
+        F.when(
+            F.col("maxabs") == 0,
+            F.lit(0).cast("decimal(18,12)"),
+        )
+        .otherwise(
+            F.abs(F.col("v") - recon).cast("decimal(18,12)")
+        )
+        .alias("err"),
+    )
+    pv = q.groupBy("vec_id", "label").agg(
+        F.sum("err").alias("sum_err"),
+        F.max("err").alias("mx_err"),
+        F.count("*").alias("dims"),
+    )
+    return pv.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum("sum_err").cast("double")
+            / F.sum("dims").cast("double"),
+            9,
+        ).alias("mean_abs_err"),
+        F.round(F.max("mx_err").cast("double"), 9).alias("max_abs_err"),
+    )
+
+
+@register(
     "embedding_kmeans_assign",
     oracle="""
     WITH ex AS (
