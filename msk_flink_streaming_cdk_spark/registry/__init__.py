@@ -107,6 +107,7 @@ NEXT_TRANCHE: list[str] = [
     "dedup_edit_distance1_names",
     "text_token_fertility_by_lang",
     "embedding_int8_quant_error",
+    "agg_mode_disc_percentiles",
     "window_range_frame_avg30d",
     "window_percent_rank_cume_dist",
     "agg_monthly_revenue",

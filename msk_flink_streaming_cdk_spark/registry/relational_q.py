@@ -958,6 +958,98 @@ def stats_by_returnflag(spark, sf_dir):
     )
 
 
+@register(
+    "agg_mode_disc_percentiles",
+    oracle="""
+    WITH mc AS (
+      SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    md AS (
+      SELECT l_returnflag, l_linestatus AS mode_status, c AS mode_count
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY l_returnflag
+              ORDER BY c DESC, l_linestatus) AS rn FROM mc)
+      WHERE rn = 1),
+    qc AS (
+      SELECT l_returnflag, l_quantity AS q, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, q, c,
+             CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY q
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumc,
+             CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM qc),
+    pct AS (
+      SELECT l_returnflag, n,
+             min(CASE WHEN cumc * 2 >= n THEN q END) AS p50_disc,
+             min(CASE WHEN cumc * 10 >= n * 9 THEN q END) AS p90_disc
+      FROM cum GROUP BY l_returnflag, n)
+    SELECT p.l_returnflag, m.mode_status, m.mode_count,
+           p.p50_disc, p.p90_disc, p.n
+    FROM pct p JOIN md m USING (l_returnflag)
+    """,
+)
+def agg_mode_disc_percentiles(spark, sf_dir):
+    """Mode + DISCRETE percentiles per group, both with engine-proof
+    determinism: the mode is an explicit argmax with a (count desc,
+    value) total order (built-in mode() leaves ties undefined), and
+    discrete percentiles come from the value-histogram CDF (smallest
+    value whose cumulative count reaches p*n — integer comparisons
+    only, no interpolation, no float rank).
+
+    Shape: two hash aggregates to (group, value) grain, windows
+    PARTITIONED by group over the tiny histogram frames (quantity has
+    ~50 distinct values), one k-row join. At 100 TB this is the
+    standard way to take exact discrete quantiles of a LOW-CARDINALITY
+    measure without sorting facts."""
+    li = _t(spark, sf_dir, "lineitem")
+    mc = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("c")
+    )
+    md = top_k_per_group(
+        mc,
+        ["l_returnflag"],
+        [F.col("c").desc(), F.col("l_linestatus")],
+        1,
+    ).select(
+        "l_returnflag",
+        F.col("l_linestatus").alias("mode_status"),
+        F.col("c").alias("mode_count"),
+    )
+    qc = li.groupBy("l_returnflag", F.col("l_quantity").alias("q")).agg(
+        F.count("*").alias("c")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("l_returnflag")
+    cum = qc.select(
+        "l_returnflag",
+        "q",
+        F.sum("c").over(wc).alias("cumc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    pct = cum.groupBy("l_returnflag", "n").agg(
+        F.min(
+            F.when(F.col("cumc") * 2 >= F.col("n"), F.col("q"))
+        ).alias("p50_disc"),
+        F.min(
+            F.when(F.col("cumc") * 10 >= F.col("n") * 9, F.col("q"))
+        ).alias("p90_disc"),
+    )
+    return pct.join(md, "l_returnflag").select(
+        "l_returnflag",
+        "mode_status",
+        "mode_count",
+        "p50_disc",
+        "p90_disc",
+        "n",
+    )
+
+
 _GROUPING_SETS_SQL = """
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
