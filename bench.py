@@ -144,6 +144,11 @@ HEADLINE = [
     "dedup_edit_distance1_names",
     "text_token_fertility_by_lang",
     "embedding_int8_quant_error",
+    "text_cdc_duplicate_chunks",
+    "text_bpe_learn_merges",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "graph_kcore_mirror_clusters",
 ]
 
 

@@ -97,6 +97,11 @@ ROTATION_WINDOW: list[str] = [
 # round 3), in staleness order. Keeping them HERE (not just in a
 # comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    "text_cdc_duplicate_chunks",
+    "text_bpe_learn_merges",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "graph_kcore_mirror_clusters",
     "text_curriculum_stages",
     "multimodal_arrow_byte_stats",
     "text_source_cap_rebalance",

@@ -551,6 +551,7 @@ PAIR_GRAPH_CONSUMERS = frozenset(
         "dedup_graph_triangle_count",
         "dedup_graph_pagerank",
         "graph_label_propagation",
+        "graph_kcore_mirror_clusters",
     }
 )
 
@@ -6216,4 +6217,486 @@ def dq_event_lag_by_type(spark, sf_dir):
                 - F.col("latest_ts").cast("long")
             ).alias("lag_seconds"),
         )
+    )
+
+
+# --- content-defined chunking + tokenizer training --------------------------
+# Two training-data ops beyond fixed-stride windows: CDC-anchored
+# duplicate-chunk detection (position-independent substring dedup, the
+# rsync/LBFS boundary trick applied to corpus text) and the iterative
+# BPE merge loop itself (text_bpe_pair_counts is its single-step
+# sufficient statistic; this runs the fixpoint).
+
+
+@register(
+    "text_cdc_duplicate_chunks",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n
+               FROM documents WHERE length(text) >= 8),
+    pos AS (SELECT doc_id, text, n, unnest(generate_series(2, n-7)) AS p
+            FROM d WHERE n >= 9),
+    anch AS (SELECT doc_id, text, n, p FROM pos
+             WHERE substr(md5(substr(text, p, 8)), 1, 1) = '0'),
+    bd AS (SELECT doc_id, text, n, 1 AS p FROM d
+           UNION ALL
+           SELECT doc_id, text, n, p FROM anch),
+    ch AS (SELECT doc_id,
+                  substr(text, p,
+                         least(coalesce(lead(p) OVER (PARTITION BY doc_id
+                                                      ORDER BY p),
+                                        n + 1) - p,
+                               64)) AS chunk
+           FROM bd)
+    SELECT md5(chunk) AS chunk_md5,
+           CAST(min(length(chunk)) AS BIGINT) AS chunk_len,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM ch
+    GROUP BY md5(chunk)
+    HAVING count(DISTINCT doc_id) >= 2 AND min(length(chunk)) >= 16
+    """,
+)
+def text_cdc_duplicate_chunks(spark, sf_dir):
+    """Content-defined-chunking duplicate detection: cut every document
+    at content-defined anchors (positions whose 8-char window's md5
+    starts with hex '0' — expected gap 16 chars, chunk capped at 64),
+    then report every chunk of >=16 chars that appears in >=2 distinct
+    documents. Because boundaries are functions of CONTENT, not
+    offsets, a shared passage produces byte-identical chunks in every
+    document that contains it regardless of where it sits — the
+    rsync/LBFS anchoring trick, here the substring-level complement to
+    ``text_duplicate_passages`` (which needs passage-aligned
+    boundaries) and ``dedup_containment_pairs`` (doc-granular).
+
+    Scale shape: anchor scan, boundary assembly, and chunk extraction
+    are ALL per-row array HOFs (filter/zip_with over a sequence) — a
+    single narrow pass with zero shuffles and no per-doc explode until
+    the final chunk rows; the only shuffle is the map-side-combined
+    groupBy on chunk hash. Per-position md5 is the linear CDC cost,
+    embarrassingly parallel. The oracle reaches the same chunks via
+    lead() OVER (PARTITION BY doc_id) — partitioned, never global."""
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.length("text") >= 8)
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    chunks = F.expr(
+        "zip_with(bd, concat(slice(bd, 2, size(bd)-1), array(n + 1)),"
+        " (b, e) -> substring(text, b, least(e - b, 64)))"
+    )
+    ch = (
+        d.withColumn(
+            "bd",
+            F.expr(
+                "concat(array(1),"
+                " filter(sequence(2, greatest(n-7, 2)),"
+                "  i -> i <= n-7 AND"
+                "   substring(md5(substring(text, i, 8)), 1, 1) = '0'))"
+            ),
+        )
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .select(
+            "doc_id",
+            F.md5("chunk").alias("chunk_md5"),
+            F.length("chunk").alias("clen"),
+        )
+    )
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.min("clen").cast("long").alias("chunk_len"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .filter((F.col("n_docs") >= 2) & (F.col("chunk_len") >= 16))
+    )
+
+
+_BPE_ITERS = 6
+_BPE_VOCAB_CAP = 200
+
+
+def _bpe_oracle(iters: int) -> str:
+    """Chained-CTE DuckDB replay of the BPE merge loop: one
+    (pair-counts, best-pair, merged-vocab) CTE triple per iteration.
+    The merge application is the doubled-space replace trick (see the
+    query docstring) — plain left-to-right non-overlapping replace(),
+    identical semantics in DuckDB and Spark, so the replay is exact."""
+    head = rf"""
+    WITH w AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents) q
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY w ORDER BY freq DESC, word LIMIT {_BPE_VOCAB_CAP}
+    ),
+    v0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g'))
+                  || ' _ ' AS s, freq
+           FROM w),
+    """
+    stage = """
+    p{r} AS (
+      SELECT t[i] || ' ' || t[i+1] AS pair,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM v{p}) q,
+           LATERAL unnest(generate_series(1, len(t)-1)) AS g(i)
+      WHERE len(t) >= 2
+      GROUP BY t[i] || ' ' || t[i+1]
+    ),
+    b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+    v{r} AS (SELECT replace(replace(replace(v{p}.s, ' ', '  '),
+                            ' ' || replace(b{r}.pair, ' ', '  ') || ' ',
+                            ' ' || replace(b{r}.pair, ' ', '') || ' '),
+                    '  ', ' ') AS s, freq
+             FROM v{p}, b{r})"""
+    tail = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair,"
+        f" replace(pair, ' ', '') AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, iters + 1)
+    )
+    return (
+        head
+        + ",".join(stage.format(r=r, p=r - 1) for r in range(1, iters + 1))
+        + "\n    "
+        + tail
+    )
+
+
+@register("text_bpe_learn_merges", oracle=_bpe_oracle(_BPE_ITERS))
+def text_bpe_learn_merges(spark, sf_dir):
+    """The BPE tokenizer-training loop itself (Sennrich et al. 2016):
+    starting from character symbols plus an end-of-word marker '_',
+    run 6 merge iterations — each picks the corpus-weighted most
+    frequent adjacent symbol pair (ties broken lexicographically) and
+    fuses it everywhere — and emit the learned merge table
+    (rank, pair, merged symbol, pair count). ``text_bpe_pair_counts``
+    is the single-step sufficient statistic; this runs the fixpoint.
+
+    Scale shape: the loop runs over the DISTINCT-WORD vocabulary
+    weighted by word frequency (here capped at the top-200 words via
+    TakeOrderedAndProject, the same cap real tokenizer trainers apply
+    orders-of-magnitude higher), so corpus size only affects the ONE
+    word-count aggregation — materialized once; each iteration is a
+    vocabulary-bounded pair explode + map-side-combined count + a
+    1-row TakeOrderedAndProject collect (bounded driver state, the
+    same sufficient-statistics pattern as quality_logistic_fit).
+
+    The merge application is pure string algebra both engines share:
+    double every space, replace ' a  b ' with ' ab ' (left-to-right
+    non-overlapping — exactly BPE's greedy scan, and adjacent
+    occurrences no longer share delimiter chars so none are skipped),
+    then halve the spaces back. No UDFs anywhere."""
+    words = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    vocab = global_top_k(
+        words, [F.col("freq").desc(), F.col("word").asc()], _BPE_VOCAB_CAP
+    )
+    cur = materialize_once(
+        vocab.select(
+            F.concat(
+                F.lit(" "),
+                F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+                F.lit(" _ "),
+            ).alias("s"),
+            "freq",
+        )
+    )
+    merges = []
+    for rank in range(1, _BPE_ITERS + 1):
+        pairs = (
+            cur.select(
+                "freq", F.split(F.trim(F.col("s")), " ").alias("t")
+            )
+            .filter(F.size("t") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t)-1),"
+                        " i -> concat(element_at(t, i), ' ',"
+                        " element_at(t, i+1)))"
+                    )
+                ).alias("pair"),
+            )
+        )
+        agg = pairs.groupBy("pair").agg(
+            F.sum("freq").cast("long").alias("cnt")
+        )
+        best = global_top_k(
+            agg, [F.col("cnt").desc(), F.col("pair").asc()], 1
+        ).collect()[0]
+        merges.append(
+            (rank, best["pair"], best["pair"].replace(" ", ""), best["cnt"])
+        )
+        pat = " " + best["pair"].replace(" ", "  ") + " "
+        rep = " " + best["pair"].replace(" ", "") + " "
+        cur = cur.select(
+            F.replace(
+                F.replace(
+                    F.replace(F.col("s"), F.lit(" "), F.lit("  ")),
+                    F.lit(pat),
+                    F.lit(rep),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            ).alias("s"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank long, pair string, merged string, pair_count long"
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 [md5(array_to_string(w[i:i+3], ' '))
+                  || lpad(CAST(99999 - i AS VARCHAR), 5, '0')
+                  for i in generate_series(1, len(w)-3)] AS keys
+          FROM d WHERE len(w) >= 4),
+    f AS (SELECT doc_id,
+                 unnest(list_distinct(
+                   [list_min(keys[s:s+3])
+                    for s in generate_series(1, len(keys)-3)])) AS k
+          FROM g WHERE len(keys) >= 4)
+    SELECT doc_id,
+           CAST(99999 - CAST(substr(k, 33, 5) AS BIGINT) AS BIGINT)
+             AS fp_pos,
+           substr(k, 1, 32) AS gram_md5
+    FROM f
+    """,
+)
+def text_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every 4-word gram, slide a
+    4-gram window over the hash sequence, and keep each window's
+    minimum hash, rightmost occurrence on ties. Unlike
+    ``text_rolling_md5_fingerprints`` (ALL windows), winnowing keeps
+    an expected 2/(w+1) ~ 40% density subset with a coverage
+    GUARANTEE: any shared run of >= 7 words produces at least one
+    identical selected fingerprint in both documents, at a
+    position-independent offset — the standard index for plagiarism /
+    clone detection at corpus scale.
+
+    The rightmost-min tie-break rides one string key: md5hex ||
+    lpad(99999 - pos), whose plain min() is (hash asc, pos desc) —
+    both selection and decoding are engine-identical string algebra.
+    Scale shape: the ENTIRE selection runs as per-row array HOFs
+    (transform -> array_min over 4-element slices -> array_distinct)
+    — a single narrow pass, zero shuffles, nothing but the parquet
+    scan in the exchange census; corpus size only multiplies rows."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    g = d.filter(F.size("w") >= 4).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(w)-3),"
+            " i -> concat(md5(concat_ws(' ', slice(w, i, 4))),"
+            "  lpad(cast(99999 - i as string), 5, '0')))"
+        ).alias("keys"),
+    )
+    f = g.filter(F.size("keys") >= 4).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(keys)-3),"
+                " s -> array_min(slice(keys, s, 4))))"
+            )
+        ).alias("k"),
+    )
+    return f.select(
+        "doc_id",
+        (F.lit(99999) - F.substring("k", 33, 5).cast("long"))
+        .cast("long")
+        .alias("fp_pos"),
+        F.substring("k", 1, 32).alias("gram_md5"),
+    )
+
+
+_WINNOW_FP_CTES = r"""
+    wd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+    wg AS (SELECT doc_id,
+                  [md5(array_to_string(w[i:i+3], ' '))
+                   || lpad(CAST(99999 - i AS VARCHAR), 5, '0')
+                   for i in generate_series(1, len(w)-3)] AS keys
+           FROM wd WHERE len(w) >= 4),
+    wf AS (SELECT DISTINCT doc_id,
+                  substr(unnest(list_distinct(
+                    [list_min(keys[s:s+3])
+                     for s in generate_series(1, len(keys)-3)])), 1, 32)
+                    AS h
+           FROM wg WHERE len(keys) >= 4),
+    wkeep AS (SELECT h FROM wf GROUP BY h HAVING count(*) <= 20),
+    wff AS (SELECT wf.doc_id, wf.h FROM wf JOIN wkeep USING (h))"""
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH {_WINNOW_FP_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM wff a JOIN wff b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 3
+    """,
+)
+def dedup_winnowing_pairs(spark, sf_dir):
+    """MOSS-style near-dup candidate generation from winnowing
+    fingerprints: doc pairs sharing >= 3 selected fingerprints, after
+    dropping fingerprints present in > 20 documents (the stopword-gram
+    gate every fingerprint index applies). A third independent
+    candidate strategy beside MinHash-LSH (random-permutation bands)
+    and SimHash (hamming balls): winnowing's selection is
+    position-robust and guarantees any shared >= 7-word run leaves a
+    common fingerprint, so candidates concentrate on documents with
+    CONTIGUOUS shared passages — recall >= 0.9 vs the exact banded
+    Jaccard pairs is pinned in tests/test_llm_ops.py.
+
+    Scale shape: fingerprint extraction is the zero-shuffle HOF pass
+    of ``text_winnowing_fingerprints``; the document-frequency gate
+    bounds every fingerprint bucket at 20 docs, so the self-join is a
+    skew-proof equi-join on fingerprint hash emitting <= 190 pairs per
+    bucket — never a corpus self-join. The fingerprint frame is
+    persisted once and read by both join sides."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    f = (
+        d.filter(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(w)-3),"
+                " i -> concat(md5(concat_ws(' ', slice(w, i, 4))),"
+                "  lpad(cast(99999 - i as string), 5, '0')))"
+            ).alias("keys"),
+        )
+        .filter(F.size("keys") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(keys)-3),"
+                    " s -> substring(array_min(slice(keys, s, 4)),"
+                    " 1, 32)))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    keep = f.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= 20
+    )
+    ff = materialize_once(f.join(keep.select("h"), "h"))
+    a, b = ff.alias("a"), ff.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling replay: per round, an edge CTE restricted to
+    surviving endpoints and a node CTE keeping degree >= k. Both
+    engines run EXACTLY ``rounds`` rounds; that the fixpoint is
+    reached within them is pinned by a pytest against a pure-Python
+    peeling loop (tests/test_llm_ops.py)."""
+    parts = [
+        f"WITH {_NGRAM_PAIRS_CTES},",
+        "und AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        " UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),",
+        "n0 AS (SELECT DISTINCT u AS id FROM und),",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"e{i} AS (SELECT e.u, e.v FROM und e"
+            f" JOIN n{p} a ON e.u = a.id JOIN n{p} b ON e.v = b.id),"
+        )
+        parts.append(
+            f"n{i} AS (SELECT u AS id FROM e{i}"
+            f" GROUP BY u HAVING count(*) >= {k}),"
+        )
+    body = "\n    ".join(parts)[:-1]
+    return (
+        body + f"\n    SELECT e.u AS doc_id,"
+        f" CAST(count(*) AS BIGINT) AS core_degree"
+        f" FROM e{rounds} e JOIN n{rounds} n ON e.u = n.id"
+        f" GROUP BY e.u"
+    )
+
+
+@register(
+    "graph_kcore_mirror_clusters",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+)
+def graph_kcore_mirror_clusters(spark, sf_dir):
+    """2-core of the near-dup pair graph: iteratively peel documents
+    with fewer than 2 surviving near-dup neighbors until only densely
+    mirrored clusters remain, reporting each survivor's in-core degree.
+    The k-core is the standard dense-subgraph primitive for telling
+    true mirror FARMS (every copy near-dups several others) from
+    incidental one-off pairs — completing the graph-analytics family
+    (triangles, PageRank, label propagation, connected components)
+    over the same maintained pair graph.
+
+    Both engines run exactly 4 peeling rounds; a pytest pins that 4
+    rounds reach the true peeling fixpoint on the fixtures (it
+    converges in 1), and at production scale peeling is
+    O(diameter)-bounded with each round one equi-join + grouped count
+    over the CURRENT edge set — monotonically shrinking, memoized
+    base graph, no collect anywhere."""
+    pairs = shared_pair_graph(spark, sf_dir)
+    und = materialize_once(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+            )
+        )
+    )
+    nodes = und.select(F.col("u").alias("id")).distinct()
+    edges = und
+    for _ in range(_KCORE_ROUNDS):
+        edges = (
+            und.join(nodes.withColumnRenamed("id", "u"), "u")
+            .join(nodes.withColumnRenamed("id", "v"), "v")
+            .select("u", "v")
+        )
+        nodes = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("u").alias("id"))
+        )
+    return (
+        edges.join(nodes.withColumnRenamed("id", "u"), "u")
+        .groupBy(F.col("u").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )

@@ -662,3 +662,169 @@ def test_shared_memos_survive_clear_cache(spark, sf_small):
     l2 = shared_corpus_labels(spark, sf_small)
     assert l2.storageLevel.useMemory or l2.storageLevel.useDisk
     assert l2.count() == n_labels
+
+
+# --- winnowing / CDC / BPE property gates -----------------------------------
+# text_winnowing_fingerprints, text_cdc_duplicate_chunks, and
+# text_bpe_learn_merges are fully oracle-checked; these tests pin the
+# ALGORITHMIC claims the oracle can't express: winnowing's coverage
+# guarantee, CDC's position independence, and that the shared
+# doubled-space replace trick really is greedy left-to-right BPE.
+
+
+def _write_docs(spark, tmp_path, texts):
+    """Materialize a documents.parquet fixture-shaped table for
+    registry queries that only need (doc_id, text)."""
+    rows = [
+        (i, t, "en", "test", len(t)) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_winnowing_guarantee_shared_run(spark, tmp_path):
+    """Any shared run of >= w+k-1 = 7 words must yield at least one
+    identical fingerprint in both docs, wherever the run sits."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    shared = [rng.choice(vocab) for _ in range(12)]
+    a = [rng.choice(vocab) for _ in range(31)] + shared + [
+        rng.choice(vocab) for _ in range(9)
+    ]
+    b = [rng.choice(vocab) for _ in range(4)] + shared + [
+        rng.choice(vocab) for _ in range(26)
+    ]
+    sf = _write_docs(spark, tmp_path, [" ".join(a), " ".join(b)])
+    fp = QUERIES["text_winnowing_fingerprints"](spark, sf).collect()
+    by_doc = {0: set(), 1: set()}
+    for r in fp:
+        by_doc[r.doc_id].add(r.gram_md5)
+    assert by_doc[0] & by_doc[1], (
+        "winnowing must select a common fingerprint inside a shared"
+        " 12-word run"
+    )
+
+
+def test_cdc_shared_passage_position_independent(spark, tmp_path):
+    """A passage embedded at DIFFERENT offsets in two documents must
+    surface as >= 1 common chunk: boundaries are content-defined, so
+    chunk identity survives arbitrary repositioning."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["scan", "merge", "hash", "probe", "spill", "sort", "agg"]
+    passage = " ".join(rng.choice(vocab) for _ in range(40))
+    pre_a = " ".join(rng.choice(vocab) for _ in range(3))
+    pre_b = " ".join(rng.choice(vocab) for _ in range(29))
+    post = " ".join(rng.choice(vocab) for _ in range(10))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [f"{pre_a} {passage} {post}", f"{pre_b} {passage}"],
+    )
+    out = QUERIES["text_cdc_duplicate_chunks"](spark, sf).collect()
+    assert out and any(r.n_docs == 2 for r in out), (
+        "CDC must find a chunk shared by both docs despite the offset"
+        " shift"
+    )
+
+
+def test_bpe_learn_merges_matches_python_reference(spark, sf_small):
+    """The registered query's replace-trick merges equal a plain
+    Python BPE (greedy left-to-right pair fusion) on the same corpus
+    — validating the string-algebra encoding, not just cross-engine
+    agreement on it."""
+    import collections
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    words = collections.Counter()
+    for t in docs["text"]:
+        for w in t.strip().split():
+            if re.fullmatch("[a-z]+", w):
+                words[w] += 1
+    vocab = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    seqs = [(list(w) + ["_"], c) for w, c in vocab]
+    expect = []
+    for rank in range(1, 7):
+        cnt = collections.Counter()
+        for toks, c in seqs:
+            for a, b in zip(toks, toks[1:]):
+                cnt[(a, b)] += c
+        (a, b), n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, f"{a} {b}", a + b, n))
+        new = []
+        for toks, c in seqs:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new.append((out, c))
+        seqs = new
+    got = [
+        (r.merge_rank, r.pair, r.merged, r.pair_count)
+        for r in QUERIES["text_bpe_learn_merges"](spark, sf_small)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_winnowing_pairs_recall_vs_exact(spark, sf_small):
+    """Winnowing candidate pairs must recover >= 90% of the exact
+    banded-Jaccard near-dup pairs (MOSS-style candidate generation
+    is approximate by design — the floor pins its quality)."""
+    exact = _pairs(QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_small))
+    cand = _pairs(QUERIES["dedup_winnowing_pairs"](spark, sf_small))
+    assert exact, "fixture should contain injected near-dups"
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"winnowing-pair recall {recall:.2f}"
+
+
+def test_kcore_four_rounds_reach_fixpoint(spark, sf_small, sf_medium):
+    """The registered 4-round peeling must equal the true k-core
+    fixpoint (pure-Python peeling to convergence on the same pair
+    graph) — guarding the unroll depth against scale-dependent
+    under-iteration."""
+    import collections
+
+    for sf in (sf_small, sf_medium):
+        pairs = QUERIES["dedup_ngram_jaccard_pairs"](spark, sf).collect()
+        adj = collections.defaultdict(set)
+        for r in pairs:
+            adj[r.doc_a].add(r.doc_b)
+            adj[r.doc_b].add(r.doc_a)
+        nodes = set(adj)
+        while True:
+            drop = {
+                n
+                for n in nodes
+                if sum(1 for m in adj[n] if m in nodes) < 2
+            }
+            if not drop:
+                break
+            nodes -= drop
+        expect = {
+            n: sum(1 for m in adj[n] if m in nodes) for n in nodes
+        }
+        got = {
+            r.doc_id: r.core_degree
+            for r in QUERIES["graph_kcore_mirror_clusters"](
+                spark, sf
+            ).collect()
+        }
+        assert got == expect
