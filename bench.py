@@ -149,6 +149,7 @@ HEADLINE = [
     "text_winnowing_fingerprints",
     "dedup_winnowing_pairs",
     "graph_kcore_mirror_clusters",
+    "json_variant_typed_extract",
 ]
 
 

@@ -102,6 +102,7 @@ NEXT_TRANCHE: list[str] = [
     "text_winnowing_fingerprints",
     "dedup_winnowing_pairs",
     "graph_kcore_mirror_clusters",
+    "json_variant_typed_extract",
     "text_curriculum_stages",
     "multimodal_arrow_byte_stats",
     "text_source_cap_rebalance",

@@ -4764,3 +4764,45 @@ def orders_abc_pareto_classes(spark, sf_dir):
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+@register(
+    "json_variant_typed_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS max_k,
+           CAST(count(json_extract(props, '$.missing')) AS BIGINT)
+             AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def json_variant_typed_extract(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured JSON (SURVEY §2.8):
+    ``parse_json`` decodes the props column ONCE into the binary
+    VARIANT encoding, then ``variant_get`` pulls typed fields without
+    re-parsing per access — the engine-native answer to repeated
+    get_json_object calls (which re-parse the string per extraction;
+    ``json_extract_props`` keeps that classic form). try_variant_get
+    on an absent path exercises the null-safe accessor; the grouped
+    aggregate surfaces only plain typed columns, so the oracle is
+    ordinary DuckDB json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.missing", "double").alias("miss"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count("miss").cast("long").alias("n_missing"),
+        )
+    )
