@@ -150,6 +150,7 @@ HEADLINE = [
     "dedup_winnowing_pairs",
     "graph_kcore_mirror_clusters",
     "json_variant_typed_extract",
+    "text_ngram_heaps_curve",
 ]
 
 

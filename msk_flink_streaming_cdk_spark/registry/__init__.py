@@ -103,6 +103,7 @@ NEXT_TRANCHE: list[str] = [
     "dedup_winnowing_pairs",
     "graph_kcore_mirror_clusters",
     "json_variant_typed_extract",
+    "text_ngram_heaps_curve",
     "text_curriculum_stages",
     "multimodal_arrow_byte_stats",
     "text_source_cap_rebalance",

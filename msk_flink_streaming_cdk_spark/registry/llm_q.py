@@ -6700,3 +6700,82 @@ def graph_kcore_mirror_clusters(spark, sf_dir):
         .groupBy(F.col("u").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+_HEAPS_CUTS = [
+    (p * 10, format((256 * p) // 10, "02x") if p < 10 else "g")
+    for p in range(1, 11)
+]
+
+
+@register(
+    "text_ngram_heaps_curve",
+    oracle=rf"""
+    WITH d AS (SELECT doc_id,
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+                      string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    g AS (SELECT b,
+                 unnest(list_distinct(
+                   [array_to_string(w[i:i+4], ' ')
+                    for i in range(1, len(w)-3)])) AS gram
+          FROM d WHERE len(w) >= 5),
+    m AS (SELECT gram, min(b) AS mb FROM g GROUP BY gram),
+    t(pct, cut) AS (VALUES {", ".join(
+        f"({p}, '{c}')" for p, c in _HEAPS_CUTS)}),
+    nd AS (SELECT pct, CAST(count(*) AS BIGINT) AS n_docs
+           FROM d, t WHERE d.b < t.cut GROUP BY pct),
+    ng AS (SELECT pct, CAST(count(*) AS BIGINT) AS n_grams
+           FROM m, t WHERE m.mb < t.cut GROUP BY pct)
+    SELECT CAST(nd.pct AS BIGINT) AS pct, nd.n_docs, ng.n_grams
+    FROM nd JOIN ng USING (pct)
+    """,
+)
+def text_ngram_heaps_curve(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve: distinct 5-gram count at 10
+    nested corpus samples (10%..100%), the data-scaling-law audit that
+    answers "how much NEW text is the next crawl batch actually
+    bringing?" before committing tokens to it. Nesting is exact and
+    free of resampling: a document's md5 bucket decides the SMALLEST
+    sample containing it, so each gram's membership in every sample is
+    determined by ONE grouped min over its documents' buckets — the
+    curve never materializes 10 sub-corpora. The decile cuts compare
+    2-hex-char strings (fixed width, so string order = numeric order);
+    both engines share them as literals.
+
+    Scale shape: gram explode (per-doc HOF, distinct within doc) ->
+    ONE map-side-combined groupBy(gram) min -> a 10-row broadcast
+    threshold join whose conditional counts partial-aggregate to 10
+    rows per task. Corpus size only flows through the gram aggregation
+    — no sample is ever re-scanned."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
+            "b"
+        ),
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+    )
+    g = d.filter(F.size("w") >= 5).select(
+        "b",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(w)-4),"
+                " i -> concat_ws(' ', slice(w, i, 5))))"
+            )
+        ).alias("gram"),
+    )
+    m = g.groupBy("gram").agg(F.min("b").alias("mb"))
+    t = spark.createDataFrame(_HEAPS_CUTS, "pct long, cut string")
+    nd = (
+        d.crossJoin(F.broadcast(t))
+        .filter(F.col("b") < F.col("cut"))
+        .groupBy("pct")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    ng = (
+        m.crossJoin(F.broadcast(t))
+        .filter(F.col("mb") < F.col("cut"))
+        .groupBy("pct")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    )
+    return nd.join(ng, "pct")
