@@ -46,7 +46,7 @@ from ..operators.relational import (
     partitioned_row_number,
     partitioned_running_sum,
 )
-from ..operators.util import materialize_once
+from ..operators.util import materialize_once, parallelize_narrow
 from ..sources.fixtures import load_table
 from ._core import register
 
@@ -6270,14 +6270,19 @@ def text_cdc_duplicate_chunks(spark, sf_dir):
 
     Scale shape: anchor scan, boundary assembly, and chunk extraction
     are ALL per-row array HOFs (filter/zip_with over a sequence) — a
-    single narrow pass with zero shuffles and no per-doc explode until
-    the final chunk rows; the only shuffle is the map-side-combined
+    single narrow pass with no per-doc explode until the final chunk
+    rows; the only aggregation shuffle is the map-side-combined
     groupBy on chunk hash. Per-position md5 is the linear CDC cost,
-    embarrassingly parallel. The oracle reaches the same chunks via
+    embarrassingly parallel — parallelize_narrow fans the fixture's
+    single parquet split across all cores (no-op on real multi-file
+    inputs). The oracle reaches the same chunks via
     lead() OVER (PARTITION BY doc_id) — partitioned, never global."""
     d = (
-        _docs(spark, sf_dir)
-        .filter(F.length("text") >= 8)
+        parallelize_narrow(
+            _docs(spark, sf_dir)
+            .filter(F.length("text") >= 8)
+            .select("doc_id", "text")
+        )
         .select("doc_id", "text", F.length("text").alias("n"))
     )
     chunks = F.expr(
@@ -6493,12 +6498,22 @@ def text_winnowing_fingerprints(spark, sf_dir):
     both selection and decoding are engine-identical string algebra.
     Scale shape: the ENTIRE selection runs as per-row array HOFs
     (transform -> array_min over 4-element slices -> array_distinct)
-    — a single narrow pass, zero shuffles, nothing but the parquet
-    scan in the exchange census; corpus size only multiplies rows."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
-    )
-    g = d.filter(F.size("w") >= 4).select(
+    — a single narrow pass with no aggregation shuffle; corpus size
+    only multiplies rows. The one repartition is parallelize_narrow
+    (a no-op on real multi-file inputs): the sf0.1 fixture arrives as
+    ONE parquet split, and fanning the hash work to all cores took
+    the bench time 4.01s -> 0.78-0.82s (bench.py subset, min-of-2,
+    two runs). The length gate is expressed
+    on the WORD count (size(w) >= 7 <=> size(keys) >= 4) so Catalyst's
+    filter pushdown below the repartition re-evaluates only the cheap
+    split, never the md5 transform."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = parallelize_narrow(
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.size(toks) >= 7)
+    ).select("doc_id", toks.alias("w"))
+    g = d.select(
         "doc_id",
         F.expr(
             "transform(sequence(1, size(w)-3),"
@@ -6506,7 +6521,7 @@ def text_winnowing_fingerprints(spark, sf_dir):
             "  lpad(cast(99999 - i as string), 5, '0')))"
         ).alias("keys"),
     )
-    f = g.filter(F.size("keys") >= 4).select(
+    f = g.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -6571,12 +6586,14 @@ def dedup_winnowing_pairs(spark, sf_dir):
     skew-proof equi-join on fingerprint hash emitting <= 190 pairs per
     bucket — never a corpus self-join. The fingerprint frame is
     persisted once and read by both join sides."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
-    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = parallelize_narrow(
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.size(toks) >= 7)
+    ).select("doc_id", toks.alias("w"))
     f = (
-        d.filter(F.size("w") >= 4)
-        .select(
+        d.select(
             "doc_id",
             F.expr(
                 "transform(sequence(1, size(w)-3),"
@@ -6584,7 +6601,6 @@ def dedup_winnowing_pairs(spark, sf_dir):
                 "  lpad(cast(99999 - i as string), 5, '0')))"
             ).alias("keys"),
         )
-        .filter(F.size("keys") >= 4)
         .select(
             "doc_id",
             F.explode(
@@ -6684,6 +6700,14 @@ def graph_kcore_mirror_clusters(spark, sf_dir):
     nodes = und.select(F.col("u").alias("id")).distinct()
     edges = und
     for _ in range(_KCORE_ROUNDS):
+        # Each e_i references n_{i-1} on BOTH join sides and n_{i-1}
+        # references e_{i-1}: without truncation the plan tree doubles
+        # per round (2^rounds copies of the base subtree — measured
+        # 6.5s at sf0.1 for a 477-node graph). localCheckpoint keeps
+        # every round's node set a materialized leaf, as the
+        # connected-components rounds do: 6.47s -> 1.4-1.9s
+        # (bench.py subset, min-of-2, two runs).
+        nodes = nodes.localCheckpoint(eager=False)
         edges = (
             und.join(nodes.withColumnRenamed("id", "u"), "u")
             .join(nodes.withColumnRenamed("id", "v"), "v")

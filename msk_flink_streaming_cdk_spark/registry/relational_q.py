@@ -4806,3 +4806,174 @@ def json_variant_typed_extract(spark, sf_dir):
             F.count("miss").cast("long").alias("n_missing"),
         )
     )
+
+
+@register(
+    "dq_expectation_suite",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS r1,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS r3
+      FROM orders),
+    l AS (
+      SELECT CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                           THEN 0 ELSE 1 END) AS BIGINT) AS r4,
+             CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.10
+                           THEN 0 ELSE 1 END) AS BIGINT) AS r5
+      FROM lineitem),
+    c AS (
+      SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS r6
+      FROM customer),
+    ref AS (
+      SELECT CAST(count(*) AS BIGINT) AS r7
+      FROM lineitem li LEFT JOIN orders oo
+        ON li.l_orderkey = oo.o_orderkey
+      WHERE oo.o_orderkey IS NULL),
+    shp AS (
+      SELECT CAST(sum(CASE WHEN li.l_shipdate < oo.o_orderdate
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r8
+      FROM lineitem li JOIN orders oo
+        ON li.l_orderkey = oo.o_orderkey),
+    rows_out(rule_id, rule, violations) AS (
+      SELECT 1, 'orders.o_custkey IS NOT NULL', r1 FROM o
+      UNION ALL SELECT 2, 'orders.o_totalprice > 0', r2 FROM o
+      UNION ALL SELECT 3,
+        'orders.o_orderstatus IN (O,F,P)', r3 FROM o
+      UNION ALL SELECT 4,
+        'lineitem.l_quantity BETWEEN 1 AND 50', r4 FROM l
+      UNION ALL SELECT 5,
+        'lineitem.l_discount BETWEEN 0 AND 0.10', r5 FROM l
+      UNION ALL SELECT 6, 'customer.c_custkey UNIQUE', r6 FROM c
+      UNION ALL SELECT 7,
+        'lineitem.l_orderkey REFERENCES orders', r7 FROM ref
+      UNION ALL SELECT 8,
+        'lineitem.l_shipdate >= orders.o_orderdate', r8 FROM shp)
+    SELECT CAST(rule_id AS BIGINT) AS rule_id, rule,
+           violations, violations = 0 AS passed
+    FROM rows_out
+    """,
+)
+def dq_expectation_suite(spark, sf_dir):
+    """Declarative expectation suite (the Great-Expectations / dbt-test
+    operating pattern): 8 rules — null, range, domain, uniqueness,
+    referential integrity, and cross-column order — each reported as
+    (rule_id, rule, violations, passed). The fixture data genuinely
+    fails rule 8 (~5% of lineitem rows ship before their order date),
+    so the suite demonstrates violation COUNTING, not just vacuous
+    greens.
+
+    Scale shape: all same-table rules share ONE scan via conditional
+    aggregation then stack() to rows (orders scanned once for rules
+    1-3, lineitem once for 4-5), uniqueness is a two-level count
+    distinct, and the two join rules are plain equi-joins (anti shape
+    for referential, inner for cross-column) the optimizer is free to
+    broadcast or shuffle by size. Eight rules cost 3 scans + 2 joins
+    at any scale."""
+    o = _t(spark, sf_dir, "orders").agg(
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("r1"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("r2"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isin("O", "F", "P"), 0
+            ).otherwise(1)
+        ).alias("r3"),
+    )
+    li = _t(spark, sf_dir, "lineitem").agg(
+        F.sum(
+            F.when(F.col("l_quantity").between(1, 50), 0).otherwise(1)
+        ).alias("r4"),
+        F.sum(
+            F.when(F.col("l_discount").between(0, 0.10), 0).otherwise(1)
+        ).alias("r5"),
+    )
+    c = _t(spark, sf_dir, "customer").agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("r6")
+    )
+    ref = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("r7"))
+    )
+    shp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            _t(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+            ),
+            "l_orderkey",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") < F.col("o_orderdate"), 1
+                ).otherwise(0)
+            ).alias("r8")
+        )
+    )
+    stacked = (
+        o.select(
+            F.expr(
+                "stack(3,"
+                " 1, 'orders.o_custkey IS NOT NULL', r1,"
+                " 2, 'orders.o_totalprice > 0', r2,"
+                " 3, 'orders.o_orderstatus IN (O,F,P)', r3)"
+                " as (rule_id, rule, violations)"
+            )
+        )
+        .unionAll(
+            li.select(
+                F.expr(
+                    "stack(2,"
+                    " 4, 'lineitem.l_quantity BETWEEN 1 AND 50', r4,"
+                    " 5, 'lineitem.l_discount BETWEEN 0 AND 0.10', r5)"
+                    " as (rule_id, rule, violations)"
+                )
+            )
+        )
+        .unionAll(
+            c.select(
+                F.lit(6).alias("rule_id"),
+                F.lit("customer.c_custkey UNIQUE").alias("rule"),
+                F.col("r6").alias("violations"),
+            )
+        )
+        .unionAll(
+            ref.select(
+                F.lit(7).alias("rule_id"),
+                F.lit("lineitem.l_orderkey REFERENCES orders").alias(
+                    "rule"
+                ),
+                F.col("r7").alias("violations"),
+            )
+        )
+        .unionAll(
+            shp.select(
+                F.lit(8).alias("rule_id"),
+                F.lit(
+                    "lineitem.l_shipdate >= orders.o_orderdate"
+                ).alias("rule"),
+                F.col("r8").alias("violations"),
+            )
+        )
+    )
+    return stacked.select(
+        F.col("rule_id").cast("long").alias("rule_id"),
+        "rule",
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )
