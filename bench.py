@@ -151,6 +151,7 @@ HEADLINE = [
     "graph_kcore_mirror_clusters",
     "json_variant_typed_extract",
     "text_ngram_heaps_curve",
+    "dq_expectation_suite",
 ]
 
 

@@ -104,6 +104,7 @@ NEXT_TRANCHE: list[str] = [
     "graph_kcore_mirror_clusters",
     "json_variant_typed_extract",
     "text_ngram_heaps_curve",
+    "dq_expectation_suite",
     "text_curriculum_stages",
     "multimodal_arrow_byte_stats",
     "text_source_cap_rebalance",
