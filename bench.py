@@ -152,6 +152,7 @@ HEADLINE = [
     "json_variant_typed_extract",
     "text_ngram_heaps_curve",
     "dq_expectation_suite",
+    "timeseries_lttb_downsample",
 ]
 
 

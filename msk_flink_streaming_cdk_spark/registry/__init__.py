@@ -105,6 +105,7 @@ NEXT_TRANCHE: list[str] = [
     "json_variant_typed_extract",
     "text_ngram_heaps_curve",
     "dq_expectation_suite",
+    "timeseries_lttb_downsample",
     "text_curriculum_stages",
     "multimodal_arrow_byte_stats",
     "text_source_cap_rebalance",

@@ -6803,3 +6803,181 @@ def text_ngram_heaps_curve(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
     )
     return nd.join(ng, "pct")
+
+
+@register(
+    "timeseries_lttb_downsample",
+    oracle=r"""
+    WITH p AS (
+      SELECT event_id, event_type, ts, value,
+             epoch_us(ts) AS ux,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vy,
+             epoch_us(ts) // 3600000000 AS b
+      FROM events),
+    a AS (
+      SELECT event_type, b,
+             CAST(sum(ux) AS BIGINT) AS sx,
+             CAST(sum(vy) AS BIGINT) AS sy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY event_type, b),
+    tri AS (
+      SELECT p.event_id, p.event_type, p.ts, p.value, p.ux, p.b,
+             abs(
+               CAST((pa.sx - pa.n * (p.b * 3600000000)) * na.n
+                    - (na.sx - na.n * (p.b * 3600000000)) * pa.n
+                 AS DOUBLE)
+               * CAST(p.vy * pa.n - pa.sy AS DOUBLE)
+               - CAST((pa.sx - pa.n * (p.b * 3600000000))
+                      - (p.ux - p.b * 3600000000) * pa.n AS DOUBLE)
+               * CAST(na.sy * pa.n - pa.sy * na.n AS DOUBLE)
+             ) AS area
+      FROM p
+      JOIN a pa ON pa.event_type = p.event_type AND pa.b = p.b - 1
+      JOIN a na ON na.event_type = p.event_type AND na.b = p.b + 1),
+    sel AS (
+      SELECT event_type, b, ts, value,
+             row_number() OVER (PARTITION BY event_type, b
+                                ORDER BY area DESC, ux, event_id) AS rn
+      FROM tri),
+    fl AS (
+      SELECT event_type,
+             min(struct_pack(ux := ux, event_id := event_id)) AS lo,
+             max(struct_pack(ux := ux, event_id := event_id)) AS hi
+      FROM p GROUP BY event_type),
+    firsts AS (
+      SELECT p.event_type, p.b, 'first' AS sel_kind, p.ts, p.value
+      FROM p JOIN fl ON fl.event_type = p.event_type
+       AND p.ux = fl.lo.ux AND p.event_id = fl.lo.event_id),
+    lasts AS (
+      SELECT p.event_type, p.b, 'last' AS sel_kind, p.ts, p.value
+      FROM p JOIN fl ON fl.event_type = p.event_type
+       AND p.ux = fl.hi.ux AND p.event_id = fl.hi.event_id)
+    SELECT event_type, CAST(b AS BIGINT) AS bucket,
+           'lttb' AS sel_kind, ts, value
+    FROM sel WHERE rn = 1
+    UNION ALL SELECT event_type, CAST(b AS BIGINT), sel_kind, ts, value
+    FROM firsts
+    UNION ALL SELECT event_type, CAST(b AS BIGINT), sel_kind, ts, value
+    FROM lasts
+    """,
+)
+def timeseries_lttb_downsample(spark, sf_dir):
+    """Largest-Triangle-Three-Buckets visual downsampling (Steinarsson
+    2013), the parallel bucketed variant: per hourly bucket and series,
+    keep the point with the largest triangle area against the PREVIOUS
+    and NEXT buckets' centroids (plus each series' exact first and last
+    points) — the downsampler charting stacks run before plotting
+    millions of points. Classic LTTB anchors on the previously
+    *selected* point, a sequential dependency; anchoring on the
+    neighbor centroid is the standard parallel relaxation and keeps
+    every bucket independent.
+
+    Cross-engine exactness: anchor sums are integer-exact (epoch
+    micros; value snapped to its 2-decimal grid as BIGINT), recentered
+    to the bucket origin so every triangle factor is an exact int64
+    that is also exactly representable as a double (holds while a
+    bucket has <= ~1500 points — shrink the bucket width at higher
+    densities); the area is then the SAME IEEE-754 double expression
+    on both engines, so the per-bucket argmax (area desc, ts, event_id)
+    matches bit-for-bit. Shape: one grouped anchor aggregate,
+    two bucket-grain equi-joins (AQE broadcasts the anchor frame),
+    and a per-(series, bucket)-partitioned top-1 window — no global
+    sort, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    p = materialize_once(
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.unix_micros("ts").alias("ux"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vy"),
+            F.expr("unix_micros(ts) div 3600000000").alias("b"),
+        )
+    )
+    a = p.groupBy("event_type", "b").agg(
+        F.sum("ux").cast("long").alias("sx"),
+        F.sum("vy").cast("long").alias("sy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pa = a.select(
+        F.col("event_type").alias("pa_type"),
+        (F.col("b") + 1).alias("pa_b"),
+        F.col("sx").alias("pa_sx"),
+        F.col("sy").alias("pa_sy"),
+        F.col("n").alias("pa_n"),
+    )
+    na = a.select(
+        F.col("event_type").alias("na_type"),
+        (F.col("b") - 1).alias("na_b"),
+        F.col("sx").alias("na_sx"),
+        F.col("sy").alias("na_sy"),
+        F.col("n").alias("na_n"),
+    )
+    tri = (
+        p.join(
+            pa,
+            (F.col("event_type") == F.col("pa_type"))
+            & (F.col("b") == F.col("pa_b")),
+        )
+        .join(
+            na,
+            (F.col("event_type") == F.col("na_type"))
+            & (F.col("b") == F.col("na_b")),
+        )
+        .withColumn(
+            "area",
+            F.expr(
+                "abs("
+                " cast((pa_sx - pa_n * (b * 3600000000L)) * na_n"
+                "      - (na_sx - na_n * (b * 3600000000L)) * pa_n"
+                "   as double)"
+                " * cast(vy * pa_n - pa_sy as double)"
+                " - cast((pa_sx - pa_n * (b * 3600000000L))"
+                "        - (ux - b * 3600000000L) * pa_n as double)"
+                " * cast(na_sy * pa_n - pa_sy * na_n as double))"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type", "b").orderBy(
+        F.col("area").desc(), "ux", "event_id"
+    )
+    sel = (
+        tri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("b").cast("long").alias("bucket"),
+            F.lit("lttb").alias("sel_kind"),
+            "ts",
+            "value",
+        )
+    )
+    fl = p.groupBy(F.col("event_type").alias("fl_type")).agg(
+        F.min(F.struct("ux", "event_id")).alias("lo"),
+        F.max(F.struct("ux", "event_id")).alias("hi"),
+    )
+    j = p.join(
+        F.broadcast(fl), F.col("event_type") == F.col("fl_type")
+    )
+    firsts = j.filter(
+        (F.col("ux") == F.col("lo.ux"))
+        & (F.col("event_id") == F.col("lo.event_id"))
+    ).select(
+        "event_type",
+        F.col("b").cast("long").alias("bucket"),
+        F.lit("first").alias("sel_kind"),
+        "ts",
+        "value",
+    )
+    lasts = j.filter(
+        (F.col("ux") == F.col("hi.ux"))
+        & (F.col("event_id") == F.col("hi.event_id"))
+    ).select(
+        "event_type",
+        F.col("b").cast("long").alias("bucket"),
+        F.lit("last").alias("sel_kind"),
+        "ts",
+        "value",
+    )
+    return sel.unionAll(firsts).unionAll(lasts)
