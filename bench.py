@@ -153,6 +153,8 @@ HEADLINE = [
     "text_ngram_heaps_curve",
     "dq_expectation_suite",
     "timeseries_lttb_downsample",
+    "sql_recursive_assembly_rollup",
+    "lateral_top2_suppliers_per_nation",
 ]
 
 

@@ -106,6 +106,8 @@ NEXT_TRANCHE: list[str] = [
     "text_ngram_heaps_curve",
     "dq_expectation_suite",
     "timeseries_lttb_downsample",
+    "sql_recursive_assembly_rollup",
+    "lateral_top2_suppliers_per_nation",
     "text_curriculum_stages",
     "multimodal_arrow_byte_stats",
     "text_source_cap_rebalance",

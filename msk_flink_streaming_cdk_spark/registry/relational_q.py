@@ -4977,3 +4977,87 @@ def dq_expectation_suite(spark, sf_dir):
         F.col("violations").cast("long").alias("violations"),
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+_SQL_RECURSIVE_ASSEMBLY = """
+WITH RECURSIVE chain(part_key, anc_key, hop, chain_cost_cents) AS (
+  SELECT p_partkey, p_partkey, 0, CAST(round(p_retailprice * 100) AS BIGINT)
+  FROM part
+  UNION ALL
+  SELECT c.part_key, p.p_partkey, c.hop + 1,
+         c.chain_cost_cents + CAST(round(p.p_retailprice * 100) AS BIGINT)
+  FROM chain c
+  JOIN part p ON p.p_partkey = CAST(floor(c.anc_key / 4) AS BIGINT)
+  WHERE c.anc_key > 1
+)
+SELECT hop AS depth,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(chain_cost_cents) AS BIGINT) AS total_chain_cost_cents,
+       CAST(min(part_key) AS BIGINT) AS min_part_key,
+       CAST(max(part_key) AS BIGINT) AS max_part_key
+FROM chain
+WHERE anc_key = 1
+GROUP BY hop
+ORDER BY depth
+"""
+
+
+@register("sql_recursive_assembly_rollup", oracle=_SQL_RECURSIVE_ASSEMBLY)
+def sql_recursive_assembly_rollup(spark, sf_dir):
+    """WITH RECURSIVE, run natively on BOTH engines from the SAME SQL
+    text (Spark 4's recursive CTE support — ``UnionLoop`` in the
+    physical plan). Every prior closure-shaped oracle in this repo is
+    an unrolled-iteration replay because recursion only landed in
+    Spark 4; this query is the genuinely recursive form: a
+    bill-of-materials ancestor walk over the part table's synthesized
+    assembly forest (parent(k) = floor(k/4), the complete-4-ary-tree
+    hierarchy), accumulating integer-cents chain cost up to the root
+    and rolling the terminal rows up by depth.
+
+    Termination and scale: every key has exactly ONE parent, so the
+    frontier never branches — no visited-set dedup is needed under
+    UNION ALL (Spark's recursive CTE does not yet allow UNION
+    distinct). Iterations = tree depth = log4(max part key): ~6 at
+    sf0.01, ~13 at sf100 — far under the 100-level default cap. Work
+    per iteration is ONE equi-join of the surviving frontier against
+    part (broadcast/shuffle-hash by key); total intermediate volume is
+    N*log4(N) rows, spread evenly across executors. The 1M-row default
+    recursion safety valve is raised in-function since N*log4(N)
+    exceeds it past ~sf0.3 by design, not runaway."""
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
+    return spark.sql(_SQL_RECURSIVE_ASSEMBLY)
+
+
+_SQL_LATERAL_TOP2 = """
+SELECT n.n_name AS nation, t.s_name AS supplier, t.bal_cents
+FROM nation n,
+LATERAL (
+  SELECT s.s_name, CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s.s_acctbal DESC, s.s_suppkey
+  LIMIT 2
+) AS t
+"""
+
+
+@register("lateral_top2_suppliers_per_nation", oracle=_SQL_LATERAL_TOP2)
+def lateral_top2_suppliers_per_nation(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the same
+    SQL text on both engines (SQL-surface parity for the LATERAL
+    join syntax, the idiom analysts reach for before learning window
+    functions). Catalyst decorrelates it into a per-key row_number
+    window + BroadcastHashJoin against the 25-row nation side — no
+    nested-loop join (plan-gated with the rest of the suite), and
+    determinism is pinned by the unique s_suppkey tiebreak.
+
+    Scale note: Spark's decorrelation currently materializes the
+    subquery's ORDER BY as a global range sort of supplier before the
+    per-nation window — redundant work the window re-does. At fact
+    scale prefer the registered window-top-k form
+    (window_top3_orders_per_customer shape: one hash exchange, no
+    range sort); this query exists to prove the LATERAL surface, over
+    a dimension-bounded (10k x SF supplier) input."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOP2)
