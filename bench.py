@@ -155,6 +155,7 @@ HEADLINE = [
     "timeseries_lttb_downsample",
     "sql_recursive_assembly_rollup",
     "lateral_top2_suppliers_per_nation",
+    "text_naive_bayes_lang",
 ]
 
 

@@ -108,6 +108,7 @@ NEXT_TRANCHE: list[str] = [
     "timeseries_lttb_downsample",
     "sql_recursive_assembly_rollup",
     "lateral_top2_suppliers_per_nation",
+    "text_naive_bayes_lang",
     "text_curriculum_stages",
     "multimodal_arrow_byte_stats",
     "text_source_cap_rebalance",

@@ -6981,3 +6981,163 @@ def timeseries_lttb_downsample(spark, sf_dir):
         "value",
     )
     return sel.unionAll(firsts).unionAll(lasts)
+
+
+@register(
+    "text_naive_bayes_lang",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang, doc_id % 5 = 0 AS is_test,
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    cnt AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE NOT is_test GROUP BY 1, 2
+    ),
+    langs AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+    vocab AS (SELECT DISTINCT word FROM cnt),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    model AS (
+      SELECT l.lang, w.word,
+             CAST(round(1000000 * ln((COALESCE(c.c, 0) + 1.0)
+                       / CAST(l.tot + s.v AS DOUBLE))) AS BIGINT) AS wt
+      FROM langs l CROSS JOIN vocab w CROSS JOIN vsize s
+      LEFT JOIN cnt c ON c.lang = l.lang AND c.word = w.word
+    ),
+    prior AS (
+      SELECT d.lang,
+             CAST(round(1000000 * ln(CAST(d.n AS DOUBLE) / g.n)) AS BIGINT)
+               AS pw
+      FROM (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+            FROM tok WHERE NOT is_test GROUP BY 1) d
+      CROSS JOIN (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+                  FROM tok WHERE NOT is_test) g
+    ),
+    testw AS (
+      SELECT doc_id, lang AS true_lang, word, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE is_test GROUP BY 1, 2, 3
+    ),
+    scores AS (
+      SELECT tw.doc_id, tw.true_lang, m.lang AS cand_lang,
+             p.pw + sum(tw.n * m.wt) AS score
+      FROM testw tw
+      JOIN model m ON m.word = tw.word
+      JOIN prior p ON p.lang = m.lang
+      GROUP BY tw.doc_id, tw.true_lang, m.lang, p.pw
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand_lang AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand_lang) AS rn
+      FROM scores
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def text_naive_bayes_lang(spark, sf_dir):
+    """Multinomial naive Bayes language classifier, trained and scored
+    entirely in the engine: deterministic 80/20 split (doc_id % 5),
+    add-1-smoothed per-(lang, word) log-likelihood model + log priors,
+    argmax posterior per held-out document, confusion-matrix rollup —
+    the train-a-cheap-classifier-on-metadata step pipelines use for
+    quality/language routing when a real langid model is overkill.
+
+    Cross-engine exactness: the model is snapped to integer
+    micro-nats (round(1e6 * ln(p)) as BIGINT) so posterior scores are
+    exact integer sums — no float-accumulation order sensitivity; the
+    per-document argmax is a (score DESC, lang) total order. Plan
+    shape: tokenization is one explode + two grouped counts; the
+    model grid is vocab x langs built via a constant-key
+    BroadcastHashJoin (no nested-loop); scoring joins exploded test
+    words to the BROADCAST model (vocab x 5 rows) and reduces
+    map-side; the only window is partitioned by doc_id. At 100 TB the
+    vocab would be capped by feature hashing (the DSIR queries'
+    B-bucket trick) keeping the broadcast model fixed-size;
+    out-of-train-vocab test words drop out of the inner scoring join
+    (standard NB OOV handling). Test docs whose words are ALL
+    out-of-vocab would drop from the output; with add-1 smoothing
+    over the shared fixture vocabulary none exist at any SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = materialize_once(
+        docs.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % 5 == 0).alias("is_test"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+        )
+    )
+    train = tok.filter(~F.col("is_test"))
+    cnt = materialize_once(
+        train.groupBy("lang", "word").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    langs = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    vocab = cnt.select("word").distinct()
+    v = vocab.count()  # bounded: fixture vocab; hashed-capped at scale
+    k = F.lit(1).alias("k")
+    grid = vocab.select("word", k).join(
+        F.broadcast(langs.select("lang", "tot", k)), "k"
+    )
+    model = grid.join(cnt, ["lang", "word"], "left").select(
+        "lang",
+        "word",
+        F.round(
+            F.lit(1000000)
+            * F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot") + F.lit(v)).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("wt"),
+    )
+    # Priors need doc counts only — straight off the base table, no
+    # tokenization (every fixture doc is non-empty, so this equals the
+    # oracle's distinct-doc_id-over-tokens count).
+    dl = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    g = dl.agg(F.sum("n").cast("long").alias("gn"))
+    prior = (
+        dl.select("lang", "n", k)
+        .join(F.broadcast(g.select("gn", k)), "k")
+        .select(
+            "lang",
+            F.round(
+                F.lit(1000000)
+                * F.log(F.col("n").cast("double") / F.col("gn"))
+            )
+            .cast("long")
+            .alias("pw"),
+        )
+    )
+    testw = tok.filter(F.col("is_test")).groupBy(
+        "doc_id", F.col("lang").alias("true_lang"), "word"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scores = (
+        testw.join(F.broadcast(model), "word")
+        .join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "true_lang", F.col("lang").alias("cand_lang"), "pw")
+        .agg(F.sum(F.col("n") * F.col("wt")).alias("s0"))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            (F.col("pw") + F.col("s0")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "cand_lang"
+    )
+    pred = scores.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return pred.groupBy(
+        "true_lang", F.col("cand_lang").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
