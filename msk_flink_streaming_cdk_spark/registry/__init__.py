@@ -10,18 +10,19 @@ each round, while long-proven shapes rotate to the tail (they remain
 fully covered by ``tests/test_reference_queries.py``, which checks ALL
 oracle-backed queries).
 
-Round-8 rotation (the round-7 verdict's #1 item): the window keeps the
-4 reference queries, re-proves the 3 decimal-fix rows one more round
-(``window_share_of_segment``, ``q10_returned_items``,
-``q18_large_volume_orders``), then gives FIRST-EVER driver rows to all
-28 keys of the round-7 ``NEXT_TRANCHE`` (every round-6 operator plus
-the older never-checked tail), and fills the remaining 15 slots with
-the STALEST previously-checked keys (last driver row in round 1 or
-round 3, fewest total rows). ``ROTATION_WINDOW`` pins the first
-``ROTATION_WINDOW_SIZE`` keys explicitly and a test asserts the
-ordering, so the planned rotation is enforced by code, not a comment;
-the next-stalest keys are kept IN ORDER at the tail of ``PRIORITY`` as
-the round-9 tranche.
+Round-9 rotation (the round-8 verdict's #1 item): the window keeps the
+4 reference queries, then takes the leading 46 keys of the round-8
+``NEXT_TRANCHE`` verbatim — FIRST-EVER driver rows for all 23 round-8
+operators (recursive CTE, expectation suite, naive Bayes, LTTB, BPE
+merge learning, winnowing, CDC chunking, k-core, skyline, FastSS,
+VARIANT, cohort LTV, drift canary, Heaps curve, fertility, int8 quant
+audit, curriculum, source cap, mapInArrow, LATERAL, regr/mode aggs)
+followed by the next-stalest round-3 keys in planned order.
+``ROTATION_WINDOW`` pins the first ``ROTATION_WINDOW_SIZE`` keys
+explicitly and a test asserts the ordering, so the planned rotation is
+enforced by code, not a comment; the round-10 tranche (leftover round-8
+tail + remaining round-3 keys + oldest round-4 single-check keys) is
+kept IN ORDER at the tail of ``PRIORITY``.
 """
 
 from ._core import ORACLES, QUERIES, register
@@ -39,64 +40,8 @@ ROTATION_WINDOW: list[str] = [
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
-    # Round-7 decimal-fix rows — hash-green in r7, kept one more round
-    # of re-proof per the round-7 verdict's rotation plan.
-    "window_share_of_segment",
-    "q10_returned_items",
-    "q18_large_volume_orders",
-    # Round-7 NEXT_TRANCHE, all 28, in planned order — FIRST-EVER
-    # driver rows for every round-6 operator plus the older tail.
-    "pipeline_admission_decisions",
-    "text_dsir_importance_weights",
-    "embedding_matryoshka_recall",
-    "dedup_incremental_components",
-    "dq_split_leakage",
-    "orders_abc_pareto_classes",
-    "dedup_cluster_stats",
-    "not_in_subquery_customers",
-    "profile_key_skew_orders",
-    "profile_table_stats_orders",
-    "window_ntile_quartiles",
-    "window_first_last_frame",
-    "scalar_try_arithmetic",
-    "text_stratified_sample",
-    "text_repetition_ratio",
-    "text_doc_frequency_idf",
-    "embedding_label_centroids",
-    "text_top_tfidf_term_per_doc",
-    "multimodal_resize_dims",
-    "text_duplicate_passages",
-    "embedding_norm_stats",
-    "text_sample_per_source",
-    "text_bigram_perplexity",
-    "embedding_kmeans_lloyd2",
-    "text_rolling_md5_fingerprints",
-    "text_seeded_shuffle",
-    "text_char_entropy",
-    "multimodal_audio_segments",
-    # Stalest previously-checked keys (last driver row r1 or r3) —
-    # refresh their signal after 5+ rounds without one.
-    "sql_front_door_exists",
-    "text_token_counts",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprint_md5",
-    "text_rolling_fingerprints",
-    "dedup_exact_text",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "sketch_hll_users_by_type",
-    "sketch_theta_user_overlap",
-    "join_full_outer_activity",
-    "q5_region_revenue",
-    "join_range_clicks_before_purchase",]
-
-# Next tranche (round 9): round-8 additions first (never checked),
-# then the next-stalest previously-checked keys (last driver row
-# round 3), in staleness order. Keeping them HERE (not just in a
-# comment) makes the plan part of the ordered registry.
-NEXT_TRANCHE: list[str] = [
+    # Round-8 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows for
+    # all 23 round-8 operators, then the next-stalest round-3 keys.
     "text_cdc_duplicate_chunks",
     "text_bpe_learn_merges",
     "text_winnowing_fingerprints",
@@ -142,12 +87,67 @@ NEXT_TRANCHE: list[str] = [
     "window_rank_functions",
     "top20_orders_by_price",
     "setop_union_active_or_rich",
-    "setop_intersect_active_and_rich",
+    "setop_intersect_active_and_rich",]
+
+# Next tranche (round 10): any round-9 additions are registered at the
+# head of this list as they land, then the round-8 tranche leftover,
+# then the remaining round-3 keys, then the oldest round-4
+# single-check keys, in staleness order. Keeping them HERE (not just
+# in a comment) makes the plan part of the ordered registry.
+NEXT_TRANCHE: list[str] = [
+    # round-8 tranche leftover (window overflow)
     "setop_except_rich_without_open_orders",
     "setop_union_all_order_events",
     "explode_top_words",
     "scalar_string_functions",
-    "scalar_date_math",]
+    "scalar_date_math",
+    # remaining round-3 keys (last driver row round 3)
+    "json_extract_props",
+    "pivot_event_type_counts",
+    "sliding_window_event_counts",
+    "session_window_user_sessions",
+    "grouped_map_price_trend",
+    "approx_distinct_parts",
+    "approx_quantiles_prices",
+    "asof_join_prev_signup",
+    "stats_by_returnflag",
+    "grouping_sets_status_priority",
+    "array_agg_order_keys",
+    "in_subquery_suppliers",
+    "scalar_subquery_price_ratio",
+    # oldest round-4 single-check keys, in round-4 window order
+    "text_contamination_bloom",
+    "text_bm25_topk",
+    "embedding_pca_project",
+    "quality_logistic_fit",
+    "text_ngram_novelty",
+    "text_prefix_boilerplate_groups",
+    "dedup_graph_triangle_count",
+    "text_temperature_mixture",
+    "text_zscore_by_source",
+    "histogram_equidepth_prices",
+    "dedup_graph_pagerank",
+    "timeseries_ewma_kernel",
+    "timeseries_ohlc_hourly",
+    "timeseries_rolling_zscore",
+    "text_weighted_sample_topk",
+    "dq_column_profile",
+    "dq_key_skew_profile",
+    "pipeline_near_dedup_keep_central",
+    "text_bpe_pair_counts",
+    "attribution_last_touch",
+    "text_pmi_pairs",
+    "dq_gini_doclen_by_source",
+    "dq_duplicate_rate_by_source",
+    "similarity_hard_negatives",
+    "embedding_outlier_flags",
+    "similarity_mmr_diversified",
+    "timeseries_seasonal_residuals",
+    "graph_label_propagation",
+    "dq_ks_drift_by_source",
+    "basket_pair_lift",
+    "er_golden_records",
+    "dedup_semantic_prune",]
 
 PRIORITY: list[str] = ROTATION_WINDOW + NEXT_TRANCHE
 

@@ -755,7 +755,17 @@ def make_session_fn(gap_seconds: int = 1800):
     (last event + gap) timeout — so state for idle keys is evicted by
     the engine instead of growing forever (the property that makes
     per-key sessionization safe on an unbounded key space). State per
-    key is four scalars, O(1) forever."""
+    key is four scalars, O(1) forever.
+
+    Late events: a within-watermark event from a later micro-batch may
+    carry an event time INSIDE the stored session interval (or before
+    its start); it merges via min/max so session bounds never regress.
+    Equivalence with ``session_window`` requires ``gap_seconds`` >=
+    the watermark delay — then an admitted event can never be more
+    than one gap earlier than the stored session start (an event that
+    early would sit below the watermark), so the single-session O(1)
+    state is sufficient. All callers here use gap 1800s vs watermark
+    5s."""
     from datetime import datetime, timezone
 
     us_gap = gap_seconds * 1_000_000
@@ -787,7 +797,20 @@ def make_session_fn(gap_seconds: int = 1800):
                     if cur is None:
                         cur = (t_us, t_us, 1, v)
                     elif t_us - cur[1] < us_gap:
-                        cur = (cur[0], t_us, cur[2] + 1, cur[3] + v)
+                        # Merge with min/max, not overwrite: a late
+                        # (within-watermark) event from a LATER
+                        # micro-batch can arrive with t_us < stored
+                        # end — _fold_ordered only sorts within one
+                        # batch. Overwriting would regress
+                        # session_end and set the event-time timeout
+                        # earlier than last+gap, diverging from the
+                        # declarative session_window (round-8 advice).
+                        cur = (
+                            min(cur[0], t_us),
+                            max(cur[1], t_us),
+                            cur[2] + 1,
+                            cur[3] + v,
+                        )
                     else:
                         closed.append(cur)
                         cur = (t_us, t_us, 1, v)

@@ -1240,3 +1240,70 @@ def test_session_timeout_matches_batch_sessionize(spark, tmp_path):
         ).collect()
     )
     assert twin == [(g[0], g[1], g[2]) for g in got]
+
+
+def test_session_cross_batch_late_event_merges_min_max(spark, tmp_path):
+    # Round-8 advice: a late-but-within-watermark event from a LATER
+    # micro-batch arrives with t inside the stored session interval
+    # (_fold_ordered only sorts within one batch). The sessionizer
+    # must merge with min/max — overwriting would REGRESS session_end
+    # to t=10, set the event-time timeout to 10+gap=40, and emit
+    # session_end 40 instead of 50, diverging from the declarative
+    # session_window twin.
+    from msk_flink_streaming_cdk_spark.operators.relational import (
+        sessionize,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.stateful import (
+        session_summary_by_key,
+    )
+
+    batches = [
+        [("1", 30, 0), ("1", 31, 20)],  # session [0,20], wm -> 0
+        [("1", 32, 10)],  # LATE: inside [0,20], above watermark
+        [("9", 20, 100)],  # wm -> 70 > 20+30 → timeout fires for "1"
+        [("9", 21, 200)],  # next trigger delivers the timeout emit
+    ]
+    src = _write_batches(spark, tmp_path, batches, subdir="sess_xlate")
+    readings = stream_parquet_dir(
+        spark, src, SENSOR_READING, max_files_per_trigger=1
+    )
+    q = (
+        session_summary_by_key(
+            readings, gap_seconds=30, watermark="30 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName("sess_xlate_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.session_start, r.session_end, r.n_events, r.sum_temp)
+        for r in spark.sql(
+            "SELECT * FROM sess_xlate_test WHERE sensor_id = '1'"
+        ).collect()
+    )
+    # ONE session [0, 20+gap=50) with all 3 events — end did not
+    # regress to the late event's time.
+    assert got == [(T0, T0 + timedelta(seconds=50), 3, 93)]
+
+    # Batch twin: declarative session_window over the same rows
+    # (order-insensitive in batch) agrees.
+    rows = [
+        (s, t, T0 + timedelta(seconds=off))
+        for b in batches
+        for (s, t, off) in b
+    ]
+    batch_df = spark.createDataFrame(rows, SENSOR_READING)
+    twin = sorted(
+        (r.session_start, r.session_end, r.n_events)
+        for r in sessionize(
+            batch_df.filter("sensor_id = '1'"),
+            "event_time",
+            ["sensor_id"],
+            "30 seconds",
+            [F.count("*").alias("n_events")],
+        ).collect()
+    )
+    assert twin == [(g[0], g[1], g[2]) for g in got]
