@@ -5986,7 +5986,14 @@ def basket_pair_lift(spark, sf_dir):
     items-per-order squared ~ C(4,2) here), never a part-by-part
     product; item counts broadcast back onto the surviving pairs."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # items feeds FOUR consumers (n, pc, both self-join sides); left
+    # unmaterialized, exchange reuse is planner's-choice and the
+    # distinct scan can run up to 4x (the round-8 bench regression,
+    # 2.13s -> 2.99s). Persist once so every consumer reads the
+    # deduped frame.
+    items = materialize_once(
+        li.select("l_orderkey", "l_partkey").distinct()
+    )
     n = items.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
