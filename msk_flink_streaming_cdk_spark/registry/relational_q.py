@@ -5022,10 +5022,13 @@ def sql_recursive_assembly_rollup(spark, sf_dir):
     per iteration is ONE equi-join of the surviving frontier against
     part (broadcast/shuffle-hash by key); total intermediate volume is
     N*log4(N) rows, spread evenly across executors. The 1M-row default
-    recursion safety valve is raised in-function since N*log4(N)
-    exceeds it past ~sf0.3 by design, not runaway."""
+    recursion row valve is too small for that volume past ~sf0.3 by
+    design, not runaway — the engine default (session._RUNTIME_CONF,
+    1e9 with the level limit left at 100 as the true runaway stop)
+    covers it; this function mutates NO session conf (the conf is
+    read at execution time, so a set/restore scope here could not
+    work anyway — tests/test_plans.py pins both facts)."""
     register_views(spark, sf_dir)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
     return spark.sql(_SQL_RECURSIVE_ASSEMBLY)
 
 

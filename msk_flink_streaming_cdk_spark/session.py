@@ -58,6 +58,15 @@ _RUNTIME_CONF = {
     # The driver's events fixture stores TIMESTAMP(NANOS) parquet, which
     # Spark rejects by default; read as long and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Recursive CTE row valve: the 1M default trips on legitimate
+    # bounded recursions (sql_recursive_assembly_rollup accumulates
+    # N*log4(N) rows — ~2.8e8 at sf100) while the REAL runaway stop is
+    # cteRecursionLevelLimit (left at its 100 default; our deepest
+    # recursion is ~13 levels at sf100). 1e9 keeps a genuine volume
+    # valve (~3.5x sf100 headroom, far under INT_MAX) and, living
+    # HERE, is a uniform engine default instead of a per-query
+    # session mutation that silently persists (round-8 verdict #3).
+    "spark.sql.cteRecursionRowLimit": str(1_000_000_000),
 }
 
 

@@ -498,3 +498,48 @@ def test_edit_distance_blocking_is_equi_join(spark, sf_small):
     plan = formatted_plan(df)
     key_lines = [ln for ln in plan.splitlines() if "variant" in ln]
     assert key_lines, plan
+
+
+def test_registry_never_mutates_session_conf(spark, sf_small):
+    # Round-8 verdict #3: sql_recursive_assembly_rollup raised
+    # spark.sql.cteRecursionRowLimit to INT_MAX on the shared session
+    # and never restored it. The raise now lives in
+    # session._RUNTIME_CONF as a bounded engine default (1e9; the
+    # level limit stays at 100 as the true runaway stop), applied
+    # uniformly by tune() — so conf state after building any
+    # registered query equals the tuned-session state. Two guards:
+    # a source lint (no conf mutation anywhere in registry code) and
+    # a behavioral parity check over the sensitive confs.
+    import pathlib
+    import re
+
+    import msk_flink_streaming_cdk_spark.registry as reg
+
+    pkg = pathlib.Path(reg.__file__).parent
+    offenders = []
+    for path in sorted(pkg.glob("*.py")):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if re.search(r"\bconf\.set\s*\(|\bsetConf\s*\(", line):
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "registry code must not mutate session conf (move engine "
+        f"defaults to session._RUNTIME_CONF): {offenders}"
+    )
+
+    # Behavioral parity: building the recursive query (the one that
+    # used to mutate) leaves the tuned conf untouched, and the tuned
+    # default is what execution sees (the conf is read at EXECUTION
+    # time — a set/restore scope around spark.sql() could not work).
+    keys = [
+        "spark.sql.cteRecursionRowLimit",
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    ]
+    before = {k: spark.conf.get(k) for k in keys}
+    df = QUERIES["sql_recursive_assembly_rollup"](spark, sf_small)
+    df.collect()
+    after = {k: spark.conf.get(k) for k in keys}
+    assert before == after
+    assert after["spark.sql.cteRecursionRowLimit"] == "1000000000"
