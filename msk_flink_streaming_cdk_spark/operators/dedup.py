@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from .text import fingerprint_md5
-from .util import materialize_once
+from .util import cut_lineage, materialize_once
 from .util import parallelize_narrow as _parallelize
 
 DEFAULT_SHINGLE = 5
@@ -522,8 +522,11 @@ def connected_components(
     Scale shape: each iteration is one equi-join + one min-agg (both
     key-partitioned shuffles), converging in graph-diameter rounds —
     near-dup graphs are overwhelmingly tiny cliques, so diameter is
-    small. ``localCheckpoint`` truncates lineage so plan size stays
-    O(1) across iterations instead of doubling. (The allocation-free
+    small. ``cut_lineage`` truncates lineage per round so plan size
+    stays O(1) across iterations instead of doubling — reliable
+    ``checkpoint()`` when a checkpoint dir is set (survives executor
+    loss on a preemptible cluster), ``localCheckpoint`` fallback
+    otherwise (one lost executor fails the job; fine in local mode). (The allocation-free
     large-star/small-star variant [Kiveris et al., 2014] drops in here
     if a corpus ever produces deep chain components.)
 
@@ -540,7 +543,7 @@ def connected_components(
         # Lazy checkpoint: the first consumer (round-1 join) runs the
         # materialization inside its own job instead of paying a
         # separate eager job; later rounds read the checkpointed RDD.
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     labels = edges.select(
         F.col("src").alias("node"), F.col("src").alias("label")
@@ -570,7 +573,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             # Lazy: the convergence probe below materializes this
             # round's checkpoint in the same job.
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         if numeric_labels:
             s = new_labels.agg(
@@ -681,9 +684,10 @@ def connected_components_star(
       every smaller-or-equal neighbor (and u itself) points to m.
 
     At fixpoint edges form stars (node -> component minimum), which IS
-    the label assignment. Edges are localCheckpoint'ed per round —
-    lineage truncation is the point here (the iterative-plan case
-    ``materialize_once`` documents); a driver-side fixpoint probe ends
+    the label assignment. Edges pass through ``cut_lineage`` per round
+    — lineage truncation is the point here (the iterative-plan case
+    ``materialize_once`` documents), fault-tolerant when a checkpoint
+    dir is configured; a driver-side fixpoint probe ends
     the loop, same as ``connected_components``.
 
     Returns (node, label); with ``return_rounds`` also the number of
@@ -695,14 +699,14 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .distinct()
         # Lazy: the count below materializes the checkpoint in-job.
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     n_prev = e.count()
     if n_prev <= 2_000:
         # Tiny graph: single-partition layout so every contraction
         # round runs narrow one-task stages instead of paying
         # full-width scheduling (same policy as narrow_when_tiny).
-        e = e.repartition(1).localCheckpoint(eager=True)
+        e = cut_lineage(e.repartition(1), eager=True)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -737,7 +741,7 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
             # Lazy: the cardinality probe materializes it in-job.
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         # Both sides are distinct sets, so equal cardinality plus
         # one-way containment is full equality — one exceptAll probe

