@@ -133,7 +133,9 @@ def partitioned_running_sum(
     Output is identical to ``sum(value) OVER (ORDER BY order_cols
     ROWS UNBOUNDED PRECEDING)`` when ``order_cols`` is a total order
     whose FIRST component is ``bucket_col`` (asc/desc per
-    ``descending``) and ``bucket_col`` is non-null.
+    ``descending``) and ``bucket_col`` is non-null. ``value_col``
+    MAY contain NULLs — skipped exactly as the window's ``sum()``
+    skips them (rows before the first non-null value get NULL).
 
     Two-pass partition-offset scheme, ALL inside one lazy plan (the
     only driver action is the boundary sample, and callers running
@@ -180,7 +182,17 @@ def partitioned_running_sum(
         local.join(F.broadcast(offsets), "_bucket", "left")
         .withColumn(
             out_col,
-            F.col("_local_cum") + F.coalesce(F.col("_offset"), F.lit(0)),
+            # NULL values: the window's sum() skips NULLs, so a row
+            # whose in-bucket prefix is all-NULL has _local_cum NULL
+            # but the global running sum is the earlier buckets'
+            # total (_offset) — and NULL only when there is no
+            # earlier non-null value either. coalesce mirrors that
+            # (same NULL handling as partitioned_running_min).
+            F.coalesce(
+                F.col("_local_cum")
+                + F.coalesce(F.col("_offset"), F.lit(0)),
+                F.col("_offset"),
+            ),
         )
         .drop("_bucket", "_local_cum", "_offset")
     )

@@ -460,3 +460,52 @@ def test_partitioned_running_min_matches_global_window(spark):
         want = {r.k: r.m for r in df.select(
             "k", F.min("v").over(w).alias("m")).collect()}
         assert got == want, f"inclusive={inclusive}"
+
+
+def test_partitioned_running_sum_null_values_match_global_window(spark):
+    # ADVICE r8: when every value in a bucket's prefix is NULL the
+    # local cumsum is NULL, and the old `NULL + offset` propagated
+    # NULL where the global window returns the earlier buckets'
+    # running sum. Pin bit-identity with NULL-dense data, including
+    # an ALL-NULL leading bucket (global prefix NULL until the first
+    # non-null value) and whole all-NULL buckets mid-stream.
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from msk_flink_streaming_cdk_spark.operators.relational import (
+        partitioned_running_sum,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(3000):
+        b = rng.choice([0, 0, 1, 2, 2, 3, 9])
+        # bucket 0 entirely NULL (leading), bucket 2 entirely NULL
+        # (mid-stream), others ~40% NULL
+        v = (
+            None
+            if b in (0, 2) or rng.random() < 0.4
+            else rng.randint(-5, 100)
+        )
+        rows.append((i, b, v))
+    df = spark.createDataFrame(rows, "k long, b long, v long").repartition(8)
+
+    got = {
+        r.k: r.cum
+        for r in partitioned_running_sum(
+            df, "b", False, [F.col("b"), F.col("k")], F.col("v"), "cum",
+            buckets=8,
+        ).collect()
+    }
+    w = Window.orderBy("b", "k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {r.k: r.cum for r in df.select(
+        "k", F.sum("v").over(w).alias("cum")).collect()}
+    assert got == want
+    # sanity on the scenario itself: at least one NULL output (the
+    # leading all-NULL bucket) and at least one non-null row whose
+    # own bucket-local prefix was all-NULL
+    assert any(v is None for v in got.values())
