@@ -448,6 +448,24 @@ def main() -> None:
         rates_all=rates,
         cold_rate_eps=stream_runs[0]["rate_eps"],
     )
+    # Throughput floor (round-8 verdict #7): now that the protocol is
+    # median-of-N with the cold run split out, a regression in the
+    # stateful-operator path should be caught by NUMBER. Floor 75k
+    # warm eps: the r8 median was 136.9k (~1.8x margin) and the
+    # historical judge-measured single-shot low was 50k on identical
+    # code — median-of-3 filters that scatter, so 75k only trips on a
+    # real slowdown. Violation is flagged in the JSON (the driver
+    # records it) rather than a nonzero exit, so the bench record
+    # itself is never lost.
+    floor = float(os.environ.get("SPARK_GRAFT_STREAM_FLOOR_EPS", "75000"))
+    streaming["floor_eps"] = floor
+    streaming["floor_violated"] = bool(median_rate < floor)
+    if streaming["floor_violated"]:
+        print(
+            f"WARNING: warm streaming median {median_rate} eps below "
+            f"floor {floor}",
+            file=sys.stderr,
+        )
     out["streaming"] = streaming
     if prev_n is not None:
         out["vs_prev"] = vs_prev
@@ -501,6 +519,8 @@ def main() -> None:
         "streaming_eps_median_of": out["streaming"][
             "streaming_eps_median_of"
         ],
+        "streaming_floor_eps": out["streaming"]["floor_eps"],
+        "streaming_floor_violated": out["streaming"]["floor_violated"],
         "full": "BENCH_FULL.json",
     }
     for k in ("prev_round", "prev_total_common", "total_common"):

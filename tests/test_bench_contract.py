@@ -1,0 +1,64 @@
+"""Bench harness contract (round-8 verdict #6/#7).
+
+The bench's regression signal (`vs_prev`) only covers queries that
+stay in HEADLINE — so a heavy query silently dropped from the list
+would vanish from the round-over-round comparison exactly when it
+matters. These tests pin the selection rule to the committed record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import bench  # noqa: E402
+
+from msk_flink_streaming_cdk_spark.registry import QUERIES  # noqa: E402
+
+
+def _last_full_record():
+    with open(os.path.join(HERE, "BENCH_FULL.json")) as f:
+        return json.load(f)
+
+
+def test_headline_names_are_registered():
+    unknown = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not unknown, f"HEADLINE entries not in registry: {unknown}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicates"
+
+
+def test_heavy_queries_stay_in_headline():
+    # Selection rule: any query measured >= 1s in the last committed
+    # full-suite record stays benched, so a future regression in a
+    # heavy query is caught by vs_prev, not lost to list churn.
+    rec = _last_full_record()
+    heavy = {
+        n
+        for n, sec in rec.get("queries", {}).items()
+        if isinstance(sec, (int, float)) and sec >= 1.0 and n in QUERIES
+    }
+    dropped = sorted(heavy - set(bench.HEADLINE))
+    assert not dropped, (
+        "queries >=1s in BENCH_FULL.json dropped from HEADLINE "
+        f"(re-add or justify): {dropped}"
+    )
+
+
+def test_streaming_floor_encoded():
+    # The warm-throughput floor must stay a real number in the bench
+    # source (not only an env var), with headroom below the last
+    # committed warm median so host noise alone can't trip it.
+    src = open(os.path.join(HERE, "bench.py")).read()
+    assert "SPARK_GRAFT_STREAM_FLOOR_EPS" in src
+    assert '"75000"' in src
+    rec = _last_full_record()
+    streaming = rec.get("streaming", {})
+    if "rate_eps" in streaming:
+        assert streaming["rate_eps"] >= 75000 * 0.9, (
+            "committed warm median is within 10% of the floor — "
+            "either throughput regressed or the floor needs lowering"
+        )
