@@ -893,3 +893,96 @@ def containment_pairs(
     return paired.select(
         "doc_a", "doc_b", containment.alias("containment")
     ).filter(F.col("containment") >= threshold)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct winnowing fingerprint hashes per document — the MOSS
+    selection (Schleimer/Wilkerson/Aiken, SIGMOD 2003) shared by the
+    registered ``dedup_winnowing_pairs`` query and the streaming
+    admission gate: hash every 4-word gram, slide a 4-gram window
+    over the hash sequence, keep each window's minimum (rightmost on
+    ties via the md5hex || lpad(99999-pos) string-key trick).
+    Guarantee: any shared run of >= 7 words leaves at least one
+    identical fingerprint in both documents.
+
+    Scale shape: one narrow per-row HOF pass (transform -> array_min
+    over slices -> array_distinct), no aggregation shuffle;
+    parallelize_narrow fans a single-split input across cores (no-op
+    on real multi-file inputs). Returns distinct (id_col, h) rows.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = _parallelize(
+        docs.select(id_col, text_col).filter(F.size(toks) >= 7)
+    ).select(id_col, toks.alias("w"))
+    return (
+        d.select(
+            id_col,
+            F.expr(
+                "transform(sequence(1, size(w)-3),"
+                " i -> concat(md5(concat_ws(' ', slice(w, i, 4))),"
+                "  lpad(cast(99999 - i as string), 5, '0')))"
+            ).alias("keys"),
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(keys)-3),"
+                    " s -> substring(array_min(slice(keys, s, 4)),"
+                    " 1, 32)))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chunk: int = 64,
+) -> DataFrame:
+    """Content-defined chunks per document — the rsync/LBFS anchoring
+    shared by ``text_cdc_duplicate_chunks`` and the streaming chunk
+    dedup gate: cut at positions whose 8-char window's md5 starts
+    with hex '0' (expected gap 16, chunk capped at ``max_chunk``).
+    Content-defined boundaries make a shared passage produce
+    byte-identical chunks wherever it sits.
+
+    One narrow per-row HOF pass (filter over a sequence + zip_with),
+    per-position md5 as the linear CDC cost. Returns one row per
+    chunk occurrence: (id_col, chunk_md5, clen).
+    """
+    d = _parallelize(
+        docs.filter(F.length(text_col) >= 8).select(id_col, text_col)
+    ).select(
+        id_col,
+        F.col(text_col).alias("text"),
+        F.length(text_col).alias("n"),
+    )
+    chunks = F.expr(
+        "zip_with(bd, concat(slice(bd, 2, size(bd)-1), array(n + 1)),"
+        f" (b, e) -> substring(text, b, least(e - b, {max_chunk})))"
+    )
+    return (
+        d.withColumn(
+            "bd",
+            F.expr(
+                "concat(array(1),"
+                " filter(sequence(2, greatest(n-7, 2)),"
+                "  i -> i <= n-7 AND"
+                "   substring(md5(substring(text, i, 8)), 1, 1) = '0'))"
+            ),
+        )
+        .select(id_col, F.explode(chunks).alias("chunk"))
+        .select(
+            id_col,
+            F.md5("chunk").alias("chunk_md5"),
+            F.length("chunk").alias("clen"),
+        )
+    )

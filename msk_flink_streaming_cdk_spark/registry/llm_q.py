@@ -6287,36 +6287,12 @@ def text_cdc_duplicate_chunks(spark, sf_dir):
     embarrassingly parallel — parallelize_narrow fans the fixture's
     single parquet split across all cores (no-op on real multi-file
     inputs). The oracle reaches the same chunks via
-    lead() OVER (PARTITION BY doc_id) — partitioned, never global."""
-    d = (
-        parallelize_narrow(
-            _docs(spark, sf_dir)
-            .filter(F.length("text") >= 8)
-            .select("doc_id", "text")
-        )
-        .select("doc_id", "text", F.length("text").alias("n"))
-    )
-    chunks = F.expr(
-        "zip_with(bd, concat(slice(bd, 2, size(bd)-1), array(n + 1)),"
-        " (b, e) -> substring(text, b, least(e - b, 64)))"
-    )
-    ch = (
-        d.withColumn(
-            "bd",
-            F.expr(
-                "concat(array(1),"
-                " filter(sequence(2, greatest(n-7, 2)),"
-                "  i -> i <= n-7 AND"
-                "   substring(md5(substring(text, i, 8)), 1, 1) = '0'))"
-            ),
-        )
-        .select("doc_id", F.explode(chunks).alias("chunk"))
-        .select(
-            "doc_id",
-            F.md5("chunk").alias("chunk_md5"),
-            F.length("chunk").alias("clen"),
-        )
-    )
+    lead() OVER (PARTITION BY doc_id) — partitioned, never global.
+    Chunk extraction is the shared ``operators.dedup.cdc_chunks``
+    (also the probe of the streaming chunk-dedup gate)."""
+    from ..operators.dedup import cdc_chunks
+
+    ch = cdc_chunks(_docs(spark, sf_dir))
     return (
         ch.groupBy("chunk_md5")
         .agg(
@@ -6596,34 +6572,12 @@ def dedup_winnowing_pairs(spark, sf_dir):
     bounds every fingerprint bucket at 20 docs, so the self-join is a
     skew-proof equi-join on fingerprint hash emitting <= 190 pairs per
     bucket — never a corpus self-join. The fingerprint frame is
-    persisted once and read by both join sides."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    d = parallelize_narrow(
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
-        .filter(F.size(toks) >= 7)
-    ).select("doc_id", toks.alias("w"))
-    f = (
-        d.select(
-            "doc_id",
-            F.expr(
-                "transform(sequence(1, size(w)-3),"
-                " i -> concat(md5(concat_ws(' ', slice(w, i, 4))),"
-                "  lpad(cast(99999 - i as string), 5, '0')))"
-            ).alias("keys"),
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(1, size(keys)-3),"
-                    " s -> substring(array_min(slice(keys, s, 4)),"
-                    " 1, 32)))"
-                )
-            ).alias("h"),
-        )
-        .distinct()
-    )
+    persisted once and read by both join sides. Fingerprint
+    extraction is the shared ``operators.dedup.winnow_fingerprints``
+    (also the probe of the streaming admission gate)."""
+    from ..operators.dedup import winnow_fingerprints
+
+    f = winnow_fingerprints(_docs(spark, sf_dir))
     keep = f.groupBy("h").agg(F.count("*").alias("df")).filter(
         F.col("df") <= 20
     )

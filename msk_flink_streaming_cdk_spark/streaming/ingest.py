@@ -27,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     connected_components,
@@ -112,6 +113,210 @@ def component_maintenance_stream(
 
     query = (
         edge_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )
+    return query, state
+
+
+def winnowing_admission_stream(
+    incoming: DataFrame,
+    checkpoint: str,
+    on_batch: Callable[[DataFrame, int], None],
+    initial_fps: DataFrame | None = None,
+    min_shared: int = 3,
+    max_df: int = 20,
+    trigger: dict | None = None,
+):
+    """Streaming winnowing-fingerprint admission gate — the streaming
+    twin of ``dedup_winnowing_pairs``: each micro-batch of documents
+    is fingerprinted (``operators.dedup.winnow_fingerprints``, the
+    SAME selection the batch query runs) and probed against the
+    maintained corpus fingerprint index; a doc matching any corpus
+    doc on >= ``min_shared`` fingerprints is rejected, the rest are
+    admitted and their fingerprints fold into the index.
+
+    Emits per incoming doc via ``on_batch``: (doc_id, matched_doc,
+    shared_fps, admitted) with the best match (max shared, min
+    matched_doc id — deterministic) or NULLs when admitted.
+
+    Scale shape: the probe is an equi-join on fingerprint hash with
+    the corpus-side document-frequency gate (fingerprints in >
+    ``max_df`` corpus docs are stopword grams, dropped before the
+    join) — so every bucket is bounded and the join is skew-proof,
+    identical to the batch query's candidate generation. The index is
+    the pipeline's maintained TABLE: here an eagerly
+    lineage-truncated frame swapped per batch (batch N's plan never
+    contains batches 1..N-1); production writes it to a real
+    table/Delta target in ``on_batch`` and passes it back as
+    ``initial_fps`` on restart — the checkpoint dir carries only
+    source offsets. Admission is sequential by construction (a doc's
+    decision depends on what was admitted before it), matching the
+    batch-fold replay the test pins.
+    """
+    from ..operators.dedup import winnow_fingerprints
+
+    trigger = trigger or {"availableNow": True}
+    state: dict = {"fps": initial_fps}
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        ids = batch_df.select("doc_id").distinct()
+        bfps = winnow_fingerprints(batch_df).localCheckpoint(eager=True)
+        corpus = state["fps"]
+        if corpus is None:
+            matches = None
+        else:
+            keep = (
+                corpus.groupBy("h")
+                .agg(F.countDistinct("doc_id").alias("df"))
+                .filter(F.col("df") <= max_df)
+                .select("h")
+            )
+            gated = corpus.join(keep, "h")
+            matches = (
+                bfps.alias("b")
+                .join(gated.alias("c"), "h")
+                .groupBy(
+                    F.col("b.doc_id").alias("doc_id"),
+                    F.col("c.doc_id").alias("matched_doc"),
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+                .filter(F.col("shared_fps") >= min_shared)
+            )
+        if matches is None:
+            decisions = ids.select(
+                "doc_id",
+                F.lit(None).cast("long").alias("matched_doc"),
+                F.lit(None).cast("long").alias("shared_fps"),
+                F.lit(True).alias("admitted"),
+            )
+        else:
+            best = matches.groupBy("doc_id").agg(
+                F.max_by(
+                    F.struct("matched_doc", "shared_fps"),
+                    F.struct(
+                        F.col("shared_fps"),
+                        (-F.col("matched_doc")).alias("neg"),
+                    ),
+                ).alias("m")
+            )
+            decisions = ids.join(best, "doc_id", "left").select(
+                "doc_id",
+                F.col("m.matched_doc").alias("matched_doc"),
+                F.col("m.shared_fps").alias("shared_fps"),
+                F.col("m").isNull().alias("admitted"),
+            )
+        decisions = decisions.localCheckpoint(eager=True)
+        on_batch(decisions, batch_id)
+        admitted_fps = bfps.join(
+            decisions.filter("admitted").select("doc_id"), "doc_id"
+        )
+        new_index = (
+            admitted_fps
+            if state["fps"] is None
+            else state["fps"].unionByName(admitted_fps)
+        )
+        state["fps"] = new_index.localCheckpoint(eager=True)
+
+    query = (
+        incoming.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )
+    return query, state
+
+
+def cdc_chunk_dedup_stream(
+    incoming: DataFrame,
+    checkpoint: str,
+    on_batch: Callable[[DataFrame, int], None],
+    initial_chunks: DataFrame | None = None,
+    max_dup_ratio: float = 0.5,
+    min_chunk_len: int = 16,
+    trigger: dict | None = None,
+):
+    """Streaming content-defined-chunk dedup gate — the streaming
+    twin of ``text_cdc_duplicate_chunks``: each micro-batch is CDC-
+    chunked (``operators.dedup.cdc_chunks``, the same anchoring), a
+    doc's qualifying chunks (len >= ``min_chunk_len``) are probed
+    against the maintained chunk-hash index, and the doc is admitted
+    iff its duplicated-chunk ratio is <= ``max_dup_ratio`` (docs with
+    no qualifying chunks admit at ratio 0.0 — nothing to dedup on).
+    Admitted docs' qualifying chunk hashes fold into the index.
+
+    Emits per incoming doc: (doc_id, n_chunks, n_dup, dup_ratio,
+    admitted). Probe is an equi-join on chunk_md5 against the
+    distinct index; the index is the maintained-table posture of
+    ``winnowing_admission_stream`` (lineage-truncated swap locally,
+    real table in production via ``initial_chunks``).
+    """
+    from ..operators.dedup import cdc_chunks
+
+    trigger = trigger or {"availableNow": True}
+    state: dict = {"chunks": initial_chunks}
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        ids = batch_df.select("doc_id").distinct()
+        ch = (
+            cdc_chunks(batch_df)
+            .filter(F.col("clen") >= min_chunk_len)
+            .select("doc_id", "chunk_md5")
+            .localCheckpoint(eager=True)
+        )
+        index = state["chunks"]
+        if index is None:
+            per_doc = ch.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                F.lit(0).cast("long").alias("n_dup"),
+            )
+        else:
+            hit = ch.join(
+                index.select("chunk_md5").distinct(),
+                "chunk_md5",
+                "left_semi",
+            ).groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_dup")
+            )
+            per_doc = (
+                ch.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+                .join(hit, "doc_id", "left")
+                .withColumn("n_dup", F.coalesce("n_dup", F.lit(0)))
+            )
+        decisions = (
+            ids.join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+                F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+                F.round(
+                    F.when(
+                        F.coalesce("n_chunks", F.lit(0)) == 0, F.lit(0.0)
+                    ).otherwise(
+                        F.coalesce("n_dup", F.lit(0)).cast("double")
+                        / F.col("n_chunks")
+                    ),
+                    6,
+                ).alias("dup_ratio"),
+            )
+            .withColumn(
+                "admitted", F.col("dup_ratio") <= F.lit(max_dup_ratio)
+            )
+            .localCheckpoint(eager=True)
+        )
+        on_batch(decisions, batch_id)
+        adm = ch.join(
+            decisions.filter("admitted").select("doc_id"), "doc_id"
+        )
+        new_index = (
+            adm if state["chunks"] is None else state["chunks"].unionByName(adm)
+        )
+        state["chunks"] = new_index.localCheckpoint(eager=True)
+
+    query = (
+        incoming.writeStream.foreachBatch(gate)
         .option("checkpointLocation", checkpoint)
         .trigger(**trigger)
         .start()

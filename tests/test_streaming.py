@@ -514,3 +514,219 @@ def test_component_maintenance_restart_from_initial_labels(
     assert got == want
     labels = dict(got)
     assert len({labels[n] for n in (1, 2, 3, 4, 5, 6)}) == 1
+
+
+def _py_winnow_fps(text):
+    # Independent pure-Python winnowing reference (MOSS selection):
+    # md5 of each 4-word gram, keyed md5hex || zfill(99999-pos);
+    # min over each 4-key window = (hash asc, pos desc); distinct.
+    import hashlib
+
+    w = text.strip().split()
+    if len(w) < 7:
+        return set()
+    keys = [
+        hashlib.md5(" ".join(w[i : i + 4]).encode()).hexdigest()
+        + str(99999 - (i + 1)).zfill(5)
+        for i in range(len(w) - 3)
+    ]
+    return {
+        min(keys[s : s + 4])[:32] for s in range(len(keys) - 3)
+    }
+
+
+def test_streaming_winnowing_admission_matches_sequential_fold(
+    spark, tmp_path, sf_small
+):
+    # The winnowing gate replayed over single-file micro-batches must
+    # equal a pure-Python sequential fold: per batch, probe each doc
+    # against the df-gated maintained index (>=3 shared fps on any
+    # corpus doc -> rejected, best match = max shared then min id),
+    # then fold the ADMITTED docs' fingerprints in. The reference
+    # shares no Spark code with the implementation.
+    import glob
+    import os
+    import time as _t
+
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        winnowing_admission_stream,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_small, "documents.parquet")
+    ).select("doc_id", "text")
+    src = str(tmp_path / "win_in")
+    os.makedirs(src)
+    bands = ("doc_id < 150", "doc_id >= 150 and doc_id < 300", "doc_id >= 300")
+    for i, pred in enumerate(bands):
+        part = str(tmp_path / f"wpart{i}")
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(part)
+        (f,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(f, dst)
+        mtime = _t.time() - 1000 + i * 10
+        os.utime(dst, (mtime, mtime))
+
+    stream = stream_parquet_dir(
+        spark, src, docs.schema, max_files_per_trigger=1
+    )
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.matched_doc, r.shared_fps, r.admitted)
+
+    q, state = winnowing_admission_stream(
+        stream, str(tmp_path / "win_ckpt"), sink
+    )
+    q.awaitTermination()
+
+    # Pure-Python sequential fold over the same 3 bands in order.
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs.collect()), key=lambda t: t[0]
+    )
+    batches = [
+        [t for t in rows if t[0] < 150],
+        [t for t in rows if 150 <= t[0] < 300],
+        [t for t in rows if t[0] >= 300],
+    ]
+    corpus = {}  # doc_id -> fps set
+    want = {}
+    for batch in batches:
+        decided = []
+        for doc_id, text in batch:
+            fps = _py_winnow_fps(text)
+            df_count = {}
+            for d, s in corpus.items():
+                for h in s:
+                    df_count[h] = df_count.get(h, 0) + 1
+            gated = {h for h, c in df_count.items() if c <= 20}
+            shared = {
+                d: len(fps & s & gated)
+                for d, s in corpus.items()
+                if len(fps & s & gated) >= 3
+            }
+            if shared:
+                best = max(shared.items(), key=lambda kv: (kv[1], -kv[0]))
+                want[doc_id] = (best[0], best[1], False)
+                decided.append((doc_id, fps, False))
+            else:
+                want[doc_id] = (None, None, True)
+                decided.append((doc_id, fps, True))
+        for doc_id, fps, admitted in decided:
+            if admitted and fps:
+                corpus[doc_id] = fps
+    assert got == want
+    n_rej = sum(1 for v in want.values() if not v[2])
+    assert n_rej >= 3, f"fixture must produce rejections, got {n_rej}"
+    # the maintained index holds exactly the admitted docs' fps rows
+    idx = {
+        (r.doc_id, r.h) for r in state["fps"].collect()
+    }
+    want_idx = {
+        (d, h) for d, s in corpus.items() for h in s
+    }
+    assert idx == want_idx
+
+
+def test_streaming_cdc_chunk_dedup_matches_sequential_fold(
+    spark, tmp_path, sf_small
+):
+    # Same replay contract for the CDC chunk gate: per batch, a doc's
+    # qualifying (len>=16) content-defined chunks are probed against
+    # the maintained chunk-hash set; dup_ratio > 0.5 rejects; admitted
+    # docs' chunk hashes fold in. Pure-Python CDC reference.
+    import glob
+    import hashlib
+    import os
+    import time as _t
+
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        cdc_chunk_dedup_stream,
+    )
+
+    def py_chunks(text):
+        n = len(text)
+        if n < 8:
+            return []
+        bd = [1] + [
+            i
+            for i in range(2, n - 6)
+            if hashlib.md5(text[i - 1 : i + 7].encode()).hexdigest()[0]
+            == "0"
+        ]
+        out = []
+        for j, b in enumerate(bd):
+            e = bd[j + 1] if j + 1 < len(bd) else n + 1
+            chunk = text[b - 1 : b - 1 + min(e - b, 64)]
+            if len(chunk) >= 16:
+                out.append(hashlib.md5(chunk.encode()).hexdigest())
+        return out
+
+    docs = spark.read.parquet(
+        os.path.join(sf_small, "documents.parquet")
+    ).select("doc_id", "text")
+    src = str(tmp_path / "cdc_in")
+    os.makedirs(src)
+    for i, pred in enumerate(
+        ("doc_id < 150", "doc_id >= 150 and doc_id < 300", "doc_id >= 300")
+    ):
+        part = str(tmp_path / f"cpart{i}")
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(part)
+        (f,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(f, dst)
+        mtime = _t.time() - 1000 + i * 10
+        os.utime(dst, (mtime, mtime))
+
+    stream = stream_parquet_dir(
+        spark, src, docs.schema, max_files_per_trigger=1
+    )
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (
+                r.n_chunks,
+                r.n_dup,
+                round(r.dup_ratio, 6),
+                r.admitted,
+            )
+
+    q, state = cdc_chunk_dedup_stream(
+        stream, str(tmp_path / "cdc_ckpt"), sink
+    )
+    q.awaitTermination()
+
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs.collect()), key=lambda t: t[0]
+    )
+    batches = [
+        [t for t in rows if t[0] < 150],
+        [t for t in rows if 150 <= t[0] < 300],
+        [t for t in rows if t[0] >= 300],
+    ]
+    index = set()
+    want = {}
+    for batch in batches:
+        decided = []
+        for doc_id, text in batch:
+            ch = py_chunks(text)
+            n_chunks = len(ch)
+            n_dup = sum(1 for h in ch if h in index)
+            ratio = round(n_dup / n_chunks, 6) if n_chunks else 0.0
+            admitted = ratio <= 0.5
+            want[doc_id] = (n_chunks, n_dup, ratio, admitted)
+            decided.append((doc_id, ch, admitted))
+        for doc_id, ch, admitted in decided:
+            if admitted:
+                index.update(ch)
+    assert got == want
+    n_rej = sum(1 for v in want.values() if not v[3])
+    assert n_rej >= 1, f"fixture must produce rejections, got {n_rej}"
