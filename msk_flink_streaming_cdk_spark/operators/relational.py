@@ -51,9 +51,19 @@ def boundaries_from_sample(
     sort, take every ``sample_per_bucket``-th value, deduplicate.
     Exposed so a caller running SEVERAL running sums over one frame
     (e.g. the three RFM quintiles) can pay for ONE sample job and
-    derive each metric's boundaries from the same collected rows."""
+    derive each metric's boundaries from the same collected rows.
+
+    A sample of <= ``sample_per_bucket`` rows means the WHOLE frame
+    is that small (the sampler collects limit(buckets * spb) rows, so
+    a short sample is exhaustive); stride 1 then still yields
+    boundaries, keeping the downstream window PARTITIONED — without
+    it the single literal bucket constant-folds out of the window
+    spec and the tiny-fixture plan shape stops matching the at-scale
+    shape (caught by the global-window plan lint on a 31-term
+    vocabulary frame)."""
     sample = sorted(values, reverse=descending)
-    bounds = sample[sample_per_bucket::sample_per_bucket]
+    stride = sample_per_bucket if len(sample) > sample_per_bucket else 1
+    bounds = sample[stride::stride]
     out: list = []
     for b in bounds:
         if not out or b != out[-1]:

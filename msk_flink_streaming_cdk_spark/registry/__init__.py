@@ -95,6 +95,10 @@ ROTATION_WINDOW: list[str] = [
 # single-check keys, in staleness order. Keeping them HERE (not just
 # in a comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    # round-9 additions (never driver-checked)
+    "text_repeated_ngram_loops",
+    "text_zipf_rank_slope",
+    "dq_mad_outlier_docs",
     # round-8 tranche leftover (window overflow)
     "setop_except_rich_without_open_orders",
     "setop_union_all_order_events",

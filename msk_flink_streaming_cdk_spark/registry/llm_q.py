@@ -7108,3 +7108,254 @@ def text_naive_bayes_lang(spark, sf_dir):
     return pred.groupBy(
         "true_lang", F.col("cand_lang").alias("pred_lang")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+@register(
+    "text_repeated_ngram_loops",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([array_to_string(w[i:i+2], ' ')
+                         for i in generate_series(1, len(w)-2)]) AS gram
+          FROM d WHERE len(w) >= 3),
+    c AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+          FROM g GROUP BY doc_id, gram),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams
+            FROM c GROUP BY doc_id),
+    top AS (SELECT doc_id, gram AS top_gram, c AS top_count FROM (
+        SELECT doc_id, gram, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, gram) AS rn
+        FROM c) WHERE rn = 1)
+    SELECT t.doc_id, t.top_gram, t.top_count, tot.n_grams,
+           round(CAST(t.top_count AS DOUBLE) / tot.n_grams, 6)
+             AS rep_ratio,
+           t.top_count >= 2 AS has_loop
+    FROM top t JOIN tot USING (doc_id)
+    """,
+)
+def text_repeated_ngram_loops(spark, sf_dir):
+    """Degenerate-repetition detector: the most-repeated word trigram
+    per document (deterministic argmax: max count, then
+    lexicographically smallest gram) with its share of the doc's
+    trigram mass — the standard filter for model-generated loop text
+    ("the the the", copy-paste stutters) that length/stopword gates
+    miss. Complements ``text_repetition_ratio`` (distinct-share) by
+    naming the WORST offender, the observable a pipeline logs for
+    audit.
+
+    Scale shape: one narrow HOF pass explodes trigrams, ONE map-side-
+    combined groupBy(doc, gram), then a doc-partitioned top-1 window
+    and a doc-grain rollup — no global window, no self-join; doc
+    count only widens the hash aggregate."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = parallelize_narrow(
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.size(toks) >= 3)
+    ).select("doc_id", toks.alias("w"))
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w)-2),"
+                " i -> concat_ws(' ', slice(w, i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    c = g.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c = materialize_once(c)
+    tot = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("gram")
+    )
+    top = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_gram"),
+            F.col("c").alias("top_count"),
+        )
+    )
+    return top.join(tot, "doc_id").select(
+        "doc_id",
+        "top_gram",
+        "top_count",
+        "n_grams",
+        F.round(
+            F.col("top_count").cast("double") / F.col("n_grams"), 6
+        ).alias("rep_ratio"),
+        (F.col("top_count") >= 2).alias("has_loop"),
+    )
+
+
+@register(
+    "text_zipf_rank_slope",
+    oracle=r"""
+    WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+               FROM documents),
+    tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+           FROM t WHERE term <> '' GROUP BY term),
+    r AS (SELECT term, c,
+                 row_number() OVER (ORDER BY c DESC, term) AS rank
+          FROM tf),
+    top AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+            FROM r WHERE rank <= 10000),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+          FROM top)
+    SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def text_zipf_rank_slope(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus vocabulary: natural-log
+    regression of term frequency on frequency rank (top 10k terms),
+    reporting slope (Zipf exponent, ~-1 for natural language),
+    intercept, and r² — the corpus-level sanity check a training
+    pipeline runs to spot synthetic/degenerate vocabularies (word-
+    salad fixtures like this one fit badly, which is the point of
+    logging r²).
+
+    Scale shape: term frequencies are one map-side-combined groupBy;
+    the global frequency rank uses the two-pass partition-offset
+    row number (``partitioned_row_number`` — sampled range buckets +
+    broadcast prefix offsets, NO single-reducer sort), capped at the
+    top 10k terms before the ln/regression rollup, which is a single
+    scalar aggregate. Vocabulary (not corpus) cardinality drives
+    every post-scan stage."""
+    t = parallelize_narrow(
+        _docs(spark, sf_dir).select("text")
+    ).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = (
+        t.filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = partitioned_row_number(
+        tf, "c", True, [F.col("c").desc(), F.col("term")], "rank"
+    ).filter(F.col("rank") <= 10000)
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "dq_mad_outlier_docs",
+    oracle="""
+    WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS x
+               FROM documents),
+    med AS (SELECT source, quantile_cont(x, 0.5) AS med,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY source),
+    mad AS (SELECT d.source, quantile_cont(abs(d.x - med.med), 0.5) AS mad
+            FROM d JOIN med USING (source) GROUP BY d.source),
+    z AS (SELECT d.source, med.med, mad.mad, med.n_docs,
+                 CASE WHEN mad.mad > 0
+                      THEN abs(round(0.6745 * (d.x - med.med) / mad.mad,
+                                     6)) > 3.5
+                      ELSE FALSE END AS is_outlier
+          FROM d JOIN med USING (source) JOIN mad USING (source))
+    SELECT source, round(med, 6) AS med_chars, round(mad, 6) AS mad_chars,
+           n_docs,
+           CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM z GROUP BY source, med, mad, n_docs
+    """,
+)
+def dq_mad_outlier_docs(spark, sf_dir):
+    """Robust per-source length-outlier audit: exact median and MAD of
+    document length, plus the count of modified-z-score outliers
+    (|0.6745*(x-med)/MAD| > 3.5, Iglewicz-Hoaglin) — the
+    mean/stddev-free complement to ``text_zscore_by_source`` (a
+    single pathological doc can't drag the gate the way it drags a
+    mean/sigma filter).
+
+    Scale shape: two exact per-source percentiles (shuffle keyed on
+    the bounded source dimension, never global), the 2-column stats
+    frame broadcast back onto the doc scan, one conditional-count
+    rollup. The doc frame is persisted once and feeds all three
+    passes. The z comparison rounds to 6dp first so the outlier
+    COUNT is bit-identical cross-engine."""
+    d = materialize_once(
+        _docs(spark, sf_dir).select(
+            "source", F.col("n_chars").cast("double").alias("x")
+        )
+    )
+    med = d.groupBy("source").agg(
+        F.expr("percentile(x, 0.5D)").alias("med"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    mad = (
+        d.join(F.broadcast(med), "source")
+        .select("source", F.abs(F.col("x") - F.col("med")).alias("dev"))
+        .groupBy("source")
+        .agg(F.expr("percentile(dev, 0.5D)").alias("mad"))
+    )
+    stats = med.join(mad, "source")
+    z = d.join(F.broadcast(stats), "source").select(
+        "source",
+        "med",
+        "mad",
+        "n_docs",
+        F.when(
+            F.col("mad") > 0,
+            F.abs(
+                F.round(
+                    F.lit(0.6745)
+                    * (F.col("x") - F.col("med"))
+                    / F.col("mad"),
+                    6,
+                )
+            )
+            > 3.5,
+        )
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )
+    return z.groupBy("source", "med", "mad", "n_docs").agg(
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers")
+    ).select(
+        "source",
+        F.round("med", 6).alias("med_chars"),
+        F.round("mad", 6).alias("mad_chars"),
+        "n_docs",
+        "n_outliers",
+    )
