@@ -156,6 +156,9 @@ HEADLINE = [
     "sql_recursive_assembly_rollup",
     "lateral_top2_suppliers_per_nation",
     "text_naive_bayes_lang",
+    "text_repeated_ngram_loops",
+    "text_zipf_rank_slope",
+    "dq_mad_outlier_docs",
 ]
 
 
