@@ -543,3 +543,41 @@ def test_registry_never_mutates_session_conf(spark, sf_small):
     after = {k: spark.conf.get(k) for k in keys}
     assert before == after
     assert after["spark.sql.cteRecursionRowLimit"] == "1000000000"
+
+
+def test_mad_outlier_broadcasts_stats_and_no_nlj(spark, sf_small):
+    # The per-source median/MAD stats frames are dimension-sized and
+    # must broadcast back onto the doc scan; no nested loop anywhere.
+    df = QUERIES["dq_mad_outlier_docs"](spark, sf_small)
+    assert_broadcast_hash_join(df)
+    assert_no_nested_loop_join(df)
+
+
+def test_repeat_loops_single_gram_aggregate(spark, sf_small):
+    # One groupBy(doc, gram) hash aggregate feeds both the top-1
+    # window and the doc-grain total; window must stay partitioned
+    # (re-asserted locally; covered globally by the lint) and the
+    # plan must read the persisted gram counts, not recompute them.
+    from msk_flink_streaming_cdk_spark.plans import (
+        unpartitioned_window_nodes,
+    )
+
+    df = QUERIES["text_repeated_ngram_loops"](spark, sf_small)
+    assert_no_nested_loop_join(df)
+    assert unpartitioned_window_nodes(df) == []
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_zipf_rank_avoids_global_sort(spark, sf_small):
+    # The vocabulary rank must come from the two-pass partition-offset
+    # row number: no unpartitioned window, no global Sort feeding an
+    # Exchange SinglePartition (the scalar rollup's single partition
+    # is the 1-row aggregate, which is fine).
+    from msk_flink_streaming_cdk_spark.plans import (
+        unpartitioned_window_nodes,
+    )
+
+    df = QUERIES["text_zipf_rank_slope"](spark, sf_small)
+    assert unpartitioned_window_nodes(df) == []
+    assert_no_nested_loop_join(df)
