@@ -157,6 +157,7 @@ HEADLINE = [
     "lateral_top2_suppliers_per_nation",
     "text_naive_bayes_lang",
     "text_repeated_ngram_loops",
+    "text_bpe_encode_tokens",
     "text_zipf_rank_slope",
     "dq_mad_outlier_docs",
 ]

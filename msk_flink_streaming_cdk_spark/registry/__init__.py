@@ -97,6 +97,7 @@ ROTATION_WINDOW: list[str] = [
 NEXT_TRANCHE: list[str] = [
     # round-9 additions (never driver-checked)
     "text_repeated_ngram_loops",
+    "text_bpe_encode_tokens",
     "text_zipf_rank_slope",
     "dq_mad_outlier_docs",
     # round-8 tranche leftover (window overflow)

@@ -7359,3 +7359,112 @@ def dq_mad_outlier_docs(spark, sf_dir):
         "n_docs",
         "n_outliers",
     )
+
+
+def _bpe_encode_oracle(iters: int) -> str:
+    """Encode oracle: reuse the merge-learning CTE chain verbatim
+    (b1..bN hold the learned pairs), then apply the merges in rank
+    order to every distinct corpus word and roll token counts up to
+    the document grain."""
+    # _bpe_oracle ends with the UNION ALL merge-table select; keep
+    # only the WITH-chain prefix (everything before the final SELECT).
+    base = _bpe_oracle(iters)
+    head = base[: base.index(" UNION ALL ")]
+    head = head[: head.rindex("SELECT CAST(")].rstrip()
+    if not head.endswith(","):
+        head += ","
+    enc_stage = """
+    e{r} AS (SELECT word, replace(replace(replace(e{p}.s, ' ', '  '),
+                         ' ' || replace(b{r}.pair, ' ', '  ') || ' ',
+                         ' ' || replace(b{r}.pair, ' ', '') || ' '),
+                 '  ', ' ') AS s
+             FROM e{p}, b{r})"""
+    stages = ",".join(
+        enc_stage.format(r=r, p=r - 1) for r in range(1, iters + 1)
+    )
+    return (
+        head
+        + rf"""
+    aw AS (SELECT doc_id, w AS word
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(trim(text), '\s+')) AS w
+                 FROM documents) q
+           WHERE regexp_matches(w, '^[a-z]+$')),
+    dw AS (SELECT DISTINCT word FROM aw),
+    e0 AS (SELECT word,
+                  ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g'))
+                  || ' _ ' AS s
+           FROM dw),"""
+        + stages
+        + f"""
+    ,tok AS (SELECT word,
+                   CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+                     AS n_tok
+            FROM e{iters})
+    SELECT aw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(tok.n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(sum(tok.n_tok) AS DOUBLE) / count(*), 6)
+             AS tokens_per_word
+    FROM aw JOIN tok USING (word)
+    GROUP BY aw.doc_id
+    """
+    )
+
+
+@register("text_bpe_encode_tokens", oracle=_bpe_encode_oracle(_BPE_ITERS))
+def text_bpe_encode_tokens(spark, sf_dir):
+    """BPE ENCODING with the learned merge table — the second half of
+    the tokenizer loop ``text_bpe_learn_merges`` trains: apply the 6
+    learned merges in rank order to every corpus word and report
+    per-document token counts and fertility (tokens per word), the
+    number a data pipeline actually bills by. Training and encoding
+    share the exact greedy left-to-right merge application (the
+    doubled-space replace trick), so a word in the training vocab
+    encodes to the same symbols the trainer left it with.
+
+    Scale shape: the merge table is 6 rows collected once (the same
+    bounded driver state the learn loop already uses); encoding runs
+    on DISTINCT words only (vocabulary-sized, not corpus-sized) as a
+    single narrow chain of built-in string expressions — no UDF, no
+    shuffle until the word->doc join (hash join on word) and the
+    map-side-combined doc rollup."""
+    merges = sorted(
+        (
+            (r["merge_rank"], r["pair"], r["merged"])
+            for r in text_bpe_learn_merges(spark, sf_dir).collect()
+        ),
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    aw = parallelize_narrow(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).select(
+        "doc_id", F.explode(toks).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    dw = aw.select("word").distinct()
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+        F.lit(" _ "),
+    )
+    for _, pair, merged in merges:
+        s = F.replace(
+            F.replace(
+                F.replace(s, F.lit(" "), F.lit("  ")),
+                F.lit(" " + pair.replace(" ", "  ") + " "),
+                F.lit(" " + merged + " "),
+            ),
+            F.lit("  "),
+            F.lit(" "),
+        )
+    tok = dw.select(
+        "word",
+        F.size(F.split(F.trim(s), " ")).cast("long").alias("n_tok"),
+    )
+    return aw.join(tok, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.count(F.lit(1)), 6
+        ).alias("tokens_per_word"),
+    )
