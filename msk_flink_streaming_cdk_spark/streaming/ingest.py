@@ -154,6 +154,13 @@ def winnowing_admission_stream(
     source offsets. Admission is sequential by construction (a doc's
     decision depends on what was admitted before it), matching the
     batch-fold replay the test pins.
+
+    Per-batch cost note: the df-gate re-aggregates the index here
+    (O(index) per batch — fine for the frame-swap posture, whose
+    index rewrite is already O(index)); a table-backed deployment
+    instead maintains an (h, df) aggregate incrementally (MERGE INTO
+    keyed on h, +1 per admitted fingerprint) so each batch touches
+    only its own keys.
     """
     from ..operators.dedup import winnow_fingerprints
 
