@@ -891,3 +891,84 @@ def test_cut_lineage_reliable_checkpoint_path(tmp_path):
         [20, 20], [21, 20], [22, 20], [23, 20],
     ]
     assert res["n_ckpt_rdds"] > 0, "reliable checkpoint() not used"
+
+
+def test_winnow_and_cdc_helpers_match_python_on_edge_cases(spark):
+    # The shared batch/stream helpers against independent pure-Python
+    # references on adversarial inputs: empty text, below the length
+    # gates, exact gate boundaries, unicode, repeated words, and
+    # whitespace runs (\\s+ tokenization must agree with Python
+    # split()).
+    import hashlib
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        cdc_chunks,
+        winnow_fingerprints,
+    )
+
+    def py_winnow(text):
+        w = text.strip().split()
+        if len(w) < 7:
+            return set()
+        keys = [
+            hashlib.md5(" ".join(w[i : i + 4]).encode()).hexdigest()
+            + str(99999 - (i + 1)).zfill(5)
+            for i in range(len(w) - 3)
+        ]
+        return {min(keys[s : s + 4])[:32] for s in range(len(keys) - 3)}
+
+    def py_cdc(text):
+        n = len(text)
+        if n < 8:
+            return []
+        bd = [1] + [
+            i
+            for i in range(2, n - 6)
+            if hashlib.md5(text[i - 1 : i + 7].encode()).hexdigest()[0]
+            == "0"
+        ]
+        out = []
+        for j, b in enumerate(bd):
+            e = bd[j + 1] if j + 1 < len(bd) else n + 1
+            out.append(text[b - 1 : b - 1 + min(e - b, 64)])
+        return out
+
+    texts = [
+        "",
+        "   ",
+        "one two three four five six",          # 6 words: below gate
+        "one two three four five six seven",    # exactly 7: at gate
+        "a a a a a a a a a a a a",               # heavy repeats
+        "tab\tand  double  spaces   mixed words here now ok",
+        "zeta été café naïve words again seven eight",
+        "x" * 7,                                 # 7 chars: below CDC gate
+        "x" * 8,                                 # exactly 8: at CDC gate
+        ("word salad " * 40).strip(),            # long, repetitive
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    got_fps = {}
+    for r in winnow_fingerprints(df).collect():
+        got_fps.setdefault(r.doc_id, set()).add(r.h)
+    want_fps = {
+        i: py_winnow(t) for i, t in enumerate(texts) if py_winnow(t)
+    }
+    assert got_fps == want_fps
+
+    got_ch = {}
+    for r in cdc_chunks(df).collect():
+        got_ch.setdefault(r.doc_id, []).append((r.chunk_md5, r.clen))
+    want_ch = {}
+    for i, t in enumerate(texts):
+        ch = py_cdc(t)
+        if ch:
+            want_ch[i] = [
+                (hashlib.md5(c.encode()).hexdigest(), len(c)) for c in ch
+            ]
+    # chunk order within a doc is not part of the contract; compare as
+    # multisets per doc
+    assert {k: sorted(v) for k, v in got_ch.items()} == {
+        k: sorted(v) for k, v in want_ch.items()
+    }
