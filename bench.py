@@ -160,6 +160,7 @@ HEADLINE = [
     "text_bpe_encode_tokens",
     "text_zipf_rank_slope",
     "dq_mad_outlier_docs",
+    "dq_psi_doclen_by_source",
 ]
 
 

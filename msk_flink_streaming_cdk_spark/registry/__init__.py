@@ -100,6 +100,7 @@ NEXT_TRANCHE: list[str] = [
     "text_bpe_encode_tokens",
     "text_zipf_rank_slope",
     "dq_mad_outlier_docs",
+    "dq_psi_doclen_by_source",
     # round-8 tranche leftover (window overflow)
     "setop_except_rich_without_open_orders",
     "setop_union_all_order_events",

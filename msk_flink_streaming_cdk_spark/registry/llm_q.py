@@ -7468,3 +7468,99 @@ def text_bpe_encode_tokens(spark, sf_dir):
             F.sum("n_tok").cast("double") / F.count(F.lit(1)), 6
         ).alias("tokens_per_word"),
     )
+
+
+@register(
+    "dq_psi_doclen_by_source",
+    oracle="""
+    WITH d AS (SELECT source,
+                      least(9, CAST(floor(n_chars / 60) AS BIGINT)) AS bin
+               FROM documents),
+    ref AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY bin),
+    nref AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    sc AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+           FROM d GROUP BY source, bin),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM d GROUP BY source),
+    grid AS (SELECT ns.source, g.bin, ns.n
+             FROM ns, (SELECT unnest(generate_series(0, 9)) AS bin) g),
+    terms AS (
+      SELECT grid.source,
+             grid.bin,
+             grid.n,
+             (CAST(coalesce(sc.c, 0) + 1 AS DOUBLE) / (grid.n + 10)) AS ps,
+             (CAST(ref.c + 1 AS DOUBLE) / (nref.n + 10)) AS pr
+      FROM grid
+      LEFT JOIN sc ON sc.source = grid.source AND sc.bin = grid.bin
+      JOIN ref ON ref.bin = grid.bin
+      CROSS JOIN nref)
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           round(sum((ps - pr) * ln(ps / pr)), 6) AS psi
+    FROM terms GROUP BY source
+    """,
+)
+def dq_psi_doclen_by_source(spark, sf_dir):
+    """Population Stability Index of the document-length distribution,
+    per source vs the whole-corpus reference — THE industry drift
+    gate (PSI < 0.1 stable, > 0.25 shifted), complementing
+    ``dq_ks_drift_by_source`` (sup-distance) with the
+    direction-weighted divergence auditors actually threshold.
+    Fixed-width integer bins (60-char, capped at bin 9) and Laplace
+    +1 smoothing keep every proportion an exact rational, so the
+    6dp-rounded PSI is bit-identical cross-engine; missing
+    (source, bin) cells are materialized from a sources x 10-bin
+    grid so empty bins contribute their smoothed mass.
+
+    Scale shape: ONE doc scan feeds both the reference and per-source
+    bin counts (map-side-combined groupBys on bounded keys); the
+    10-row reference and the sources x 10 grid are broadcast; the PSI
+    rollup is a 10-term sum per source. Corpus size only widens the
+    scan."""
+    d = materialize_once(
+        _docs(spark, sf_dir).select(
+            "source",
+            F.least(
+                F.lit(9), F.floor(F.col("n_chars") / 60).cast("long")
+            ).alias("bin"),
+        )
+    )
+    ref = d.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nref = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sc = d.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ns = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grid = ns.crossJoin(
+        F.broadcast(
+            d.sparkSession.range(10).select(F.col("id").alias("bin"))
+        )
+    )
+    terms = (
+        grid.join(sc, ["source", "bin"], "left")
+        .join(F.broadcast(ref.withColumnRenamed("c", "cr")), "bin")
+        .crossJoin(F.broadcast(nref.withColumnRenamed("n", "nr")))
+        .select(
+            "source",
+            "n",
+            (
+                (F.coalesce("c", F.lit(0)) + 1).cast("double")
+                / (F.col("n") + 10)
+            ).alias("ps"),
+            (
+                (F.col("cr") + 1).cast("double") / (F.col("nr") + 10)
+            ).alias("pr"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.round(
+            F.sum(
+                (F.col("ps") - F.col("pr"))
+                * F.log(F.col("ps") / F.col("pr"))
+            ),
+            6,
+        ).alias("psi"),
+    )
