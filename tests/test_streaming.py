@@ -730,3 +730,120 @@ def test_streaming_cdc_chunk_dedup_matches_sequential_fold(
     assert got == want
     n_rej = sum(1 for v in want.values() if not v[3])
     assert n_rej >= 1, f"fixture must produce rejections, got {n_rej}"
+
+
+def test_winnowing_admission_restart_from_initial_fps(
+    spark, tmp_path, sf_small
+):
+    # Restart contract for the winnowing gate: the fingerprint index
+    # is the pipeline's maintained table — a restarted run passes it
+    # back as initial_fps and the two runs' decisions together must
+    # equal the single-run sequential fold over all batches.
+    import glob
+    import os
+    import time as _t
+
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        winnowing_admission_stream,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_small, "documents.parquet")
+    ).select("doc_id", "text")
+    bands = [
+        ("doc_id < 150", "wr1", 0),
+        ("doc_id >= 150 and doc_id < 300", "wr2", 0),
+        ("doc_id >= 300", "wr2", 1),
+    ]
+
+    def stage(subdir, parts):
+        src = str(tmp_path / subdir)
+        os.makedirs(src, exist_ok=True)
+        for pred, _, i in parts:
+            part = str(tmp_path / f"{subdir}_p{i}")
+            docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+                part
+            )
+            (f,) = glob.glob(os.path.join(part, "*.parquet"))
+            dst = os.path.join(src, f"b{i}.parquet")
+            os.rename(f, dst)
+            mt = _t.time() - 1000 + i * 10
+            os.utime(dst, (mt, mt))
+        return src
+
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.matched_doc, r.shared_fps, r.admitted)
+
+    # Run 1: first band only.
+    q1, s1 = winnowing_admission_stream(
+        stream_parquet_dir(
+            spark,
+            stage("wr1", [b for b in bands if b[1] == "wr1"]),
+            docs.schema,
+            max_files_per_trigger=1,
+        ),
+        str(tmp_path / "wck1"),
+        sink,
+    )
+    q1.awaitTermination()
+    # "Persist" the maintained index between runs, then restart with
+    # the remaining two bands.
+    saved = [(r.doc_id, r.h) for r in s1["fps"].collect()]
+    restored = spark.createDataFrame(saved, "doc_id long, h string")
+    q2, s2 = winnowing_admission_stream(
+        stream_parquet_dir(
+            spark,
+            stage("wr2", [b for b in bands if b[1] == "wr2"]),
+            docs.schema,
+            max_files_per_trigger=1,
+        ),
+        str(tmp_path / "wck2"),
+        sink,
+        initial_fps=restored,
+    )
+    q2.awaitTermination()
+
+    # Single-run reference: pure-Python sequential fold over the same
+    # three bands in order (same reference as the non-restart test).
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs.collect()), key=lambda t: t[0]
+    )
+    batches = [
+        [t for t in rows if t[0] < 150],
+        [t for t in rows if 150 <= t[0] < 300],
+        [t for t in rows if t[0] >= 300],
+    ]
+    corpus = {}
+    want = {}
+    for batch in batches:
+        decided = []
+        for doc_id, text in batch:
+            fps = _py_winnow_fps(text)
+            df_count = {}
+            for d, s in corpus.items():
+                for h in s:
+                    df_count[h] = df_count.get(h, 0) + 1
+            gated = {h for h, c in df_count.items() if c <= 20}
+            shared = {
+                d: len(fps & s & gated)
+                for d, s in corpus.items()
+                if len(fps & s & gated) >= 3
+            }
+            if shared:
+                best = max(shared.items(), key=lambda kv: (kv[1], -kv[0]))
+                want[doc_id] = (best[0], best[1], False)
+                decided.append((doc_id, fps, False))
+            else:
+                want[doc_id] = (None, None, True)
+                decided.append((doc_id, fps, True))
+        for doc_id, fps, admitted in decided:
+            if admitted and fps:
+                corpus[doc_id] = fps
+    assert got == want
+    assert any(not v[2] for v in want.values())
