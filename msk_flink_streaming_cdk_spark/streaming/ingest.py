@@ -36,6 +36,44 @@ from ..operators.dedup import (
 )
 
 
+def _guard_index_restart(
+    incoming: DataFrame, checkpoint: str, initial, what: str
+) -> None:
+    """Refuse to resume a gate stream with an EMPTY maintained index.
+
+    The maintained index (fingerprints / chunk hashes / labels) lives
+    OUTSIDE the checkpoint — the checkpoint carries only source
+    offsets. Restarting against an existing checkpoint without
+    passing the persisted index back in would silently resume from
+    the stored offsets with a blank index, so previously-admitted
+    duplicates re-admit (round-9 ADVICE: the contract was documented
+    and test-pinned, but nothing guarded the misuse at runtime).
+    Raises unless the caller either supplies the initial index or the
+    checkpoint is fresh (no committed offsets yet). A deliberate
+    blank-index resume can pass an EMPTY DataFrame — explicit, not
+    accidental.
+    """
+    if initial is not None:
+        return
+    spark = incoming.sparkSession
+    try:
+        jvm = spark._jvm
+        jconf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(checkpoint + "/offsets")
+        fs = path.getFileSystem(jconf)
+        has_offsets = fs.exists(path) and len(fs.listStatus(path)) > 0
+    except Exception:
+        return  # FS probe unavailable — keep the documented contract
+    if has_offsets:
+        raise ValueError(
+            f"checkpoint {checkpoint!r} already has committed offsets "
+            f"but {what} is None: resuming would probe an EMPTY index "
+            "and re-admit previously-admitted duplicates. Pass the "
+            f"persisted index as {what} (an empty DataFrame to "
+            "deliberately reset it), or use a fresh checkpoint dir."
+        )
+
+
 def near_dup_admission_stream(
     incoming: DataFrame,
     corpus: DataFrame,
@@ -95,6 +133,9 @@ def component_maintenance_stream(
     ends at full-graph CC) is the property the incremental operator
     already pins; the replay test re-pins it end-to-end.
     """
+    _guard_index_restart(
+        edge_stream, checkpoint, initial_labels, "initial_labels"
+    )
     trigger = trigger or {"availableNow": True}
     state: dict = {"labels": initial_labels}
 
@@ -164,6 +205,7 @@ def winnowing_admission_stream(
     """
     from ..operators.dedup import winnow_fingerprints
 
+    _guard_index_restart(incoming, checkpoint, initial_fps, "initial_fps")
     trigger = trigger or {"availableNow": True}
     state: dict = {"fps": initial_fps}
 
@@ -261,6 +303,7 @@ def cdc_chunk_dedup_stream(
     """
     from ..operators.dedup import cdc_chunks
 
+    _guard_index_restart(incoming, checkpoint, initial_chunks, "initial_chunks")
     trigger = trigger or {"availableNow": True}
     state: dict = {"chunks": initial_chunks}
 

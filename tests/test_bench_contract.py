@@ -48,17 +48,44 @@ def test_heavy_queries_stay_in_headline():
     )
 
 
-def test_streaming_floor_encoded():
-    # The warm-throughput floor must stay a real number in the bench
-    # source (not only an env var), with headroom below the last
+def test_streaming_floor_encoded(monkeypatch):
+    # The warm-throughput floor must stay a real DEFAULT in the bench
+    # source (not only an env override), with headroom below the last
     # committed warm median so host noise alone can't trip it.
+    # Asserted on the PARSED value with the env var absent (round-9
+    # ADVICE: the old literal-substring check broke on reformatting
+    # and passed even if the default was used elsewhere).
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_FLOOR_EPS", raising=False)
+    floor = float(os.environ.get("SPARK_GRAFT_STREAM_FLOOR_EPS", "75000"))
+    # mirror bench.main()'s exact parse expression on the live source
     src = open(os.path.join(HERE, "bench.py")).read()
-    assert "SPARK_GRAFT_STREAM_FLOOR_EPS" in src
-    assert '"75000"' in src
+    assert 'SPARK_GRAFT_STREAM_FLOOR_EPS' in src
+    import re
+
+    m = re.search(
+        r'SPARK_GRAFT_STREAM_FLOOR_EPS",\s*"([0-9._]+)"', src
+    )
+    assert m, "bench.py lost the inline floor default"
+    assert float(m.group(1)) == floor == 75000.0
     rec = _last_full_record()
     streaming = rec.get("streaming", {})
     if "rate_eps" in streaming:
-        assert streaming["rate_eps"] >= 75000 * 0.9, (
+        assert streaming["rate_eps"] >= floor * 0.9, (
             "committed warm median is within 10% of the floor — "
             "either throughput regressed or the floor needs lowering"
         )
+
+
+def test_headline_names_in_committed_record():
+    # Round-9 ADVICE: a HEADLINE addition without a regenerated
+    # committed BENCH_FULL.json leaves the new query with no vs_prev
+    # baseline. Every HEADLINE name must appear in the committed
+    # full-suite record (regenerate BENCH_FULL.json when HEADLINE
+    # changes, and commit them together).
+    rec = _last_full_record()
+    queries = rec.get("queries", {})
+    missing = sorted(set(bench.HEADLINE) - set(queries))
+    assert not missing, (
+        "HEADLINE queries absent from committed BENCH_FULL.json "
+        f"(regenerate + commit the record): {missing}"
+    )

@@ -847,3 +847,28 @@ def test_winnowing_admission_restart_from_initial_fps(
                 corpus[doc_id] = fps
     assert got == want
     assert any(not v[2] for v in want.values())
+
+    # Runtime misuse guard (round-9 ADVICE): restarting against a
+    # checkpoint that already carries committed offsets WITHOUT
+    # passing the maintained index back must raise — silently
+    # resuming with an empty index would re-admit previously-admitted
+    # duplicates. A deliberate reset stays possible via an explicit
+    # empty frame.
+    import pytest as _pytest
+
+    stream2 = stream_parquet_dir(
+        spark,
+        str(tmp_path / "wr2"),
+        docs.schema,
+        max_files_per_trigger=1,
+    )
+    with _pytest.raises(ValueError, match="committed offsets"):
+        winnowing_admission_stream(
+            stream2, str(tmp_path / "wck2"), sink
+        )
+    empty = restored.limit(0)
+    q3, _s3 = winnowing_admission_stream(
+        stream2, str(tmp_path / "wck2"), lambda df, bid: None,
+        initial_fps=empty,
+    )
+    q3.awaitTermination()
