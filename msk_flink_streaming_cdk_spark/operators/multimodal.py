@@ -6,21 +6,64 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages so each
 executor processes whole record batches without JVM round-trips.
 
 The actual codecs (PIL/ffmpeg/etc.) are NOT in this container, so the
-decode step is STUBBED: ``decode_stub=True`` produces deterministic
-fake features (documented below); ``decode_stub=False`` raises
-NotImplementedError where the real library call belongs. Everything
-around the stub — schema, batching, partitioning, UDF signature — is
-real and tested.
+decode step defaults to a STUB: ``decode_stub=True`` produces
+deterministic fake features (documented below). ``decode_stub=False``
+is the CLUSTER path: each stage takes an injectable ``decoder`` /
+``prober`` callable (pickled into the UDF closure, so it reaches the
+Python workers like any other closure) defaulting to a Pillow-backed
+image decoder / PyAV-backed duration probe that raises a clear
+NotImplementedError only when the library is genuinely absent. The
+Spark-side plumbing — schema, batching, partitioning, UDF signature,
+closure shipping — is identical either way and tested in-sandbox by
+injecting deterministic fake decoders (a ``sys.modules`` monkeypatch
+would NOT reach the worker processes; a pickled callable does).
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def pil_image_decoder(data: bytes) -> tuple[int, int]:
+    """Default real decoder: (width, height) via Pillow. Raises
+    NotImplementedError when Pillow is missing (this sandbox) — a
+    cluster deployment installs Pillow on executors and this just
+    works; any other callable ``bytes -> (w, h)`` can be injected
+    instead (e.g. a turbojpeg header parse)."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - PIL absent here
+        raise NotImplementedError(
+            "real image decode requires Pillow on the executors "
+            "(pip install Pillow) — or inject decoder=..., or use "
+            "decode_stub=True"
+        ) from exc
+    with Image.open(io.BytesIO(data)) as im:
+        return int(im.width), int(im.height)
+
+
+def av_duration_prober(data: bytes) -> int:
+    """Default real media-duration probe (ms) via PyAV. Same
+    optional-import contract as ``pil_image_decoder``."""
+    import io
+
+    try:
+        import av
+    except ImportError as exc:  # pragma: no cover - av absent here
+        raise NotImplementedError(
+            "real duration probe requires PyAV on the executors "
+            "(pip install av) — or inject prober=..., or use "
+            "decode_stub=True"
+        ) from exc
+    with av.open(io.BytesIO(data)) as container:
+        return int(container.duration // 1000)
 
 FEATURE_SCHEMA = (
     "asset_id long, modality string, n_bytes long, payload_md5 string, "
@@ -47,14 +90,22 @@ def synth_assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
+def extract_features(
+    assets: DataFrame,
+    decode_stub: bool = True,
+    decoder: Callable[[bytes], tuple[int, int]] | None = None,
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Real pipeline shape: repartition so batches are balanced, then one
     Arrow pass computing per-asset features. The md5/n_bytes columns
-    are real computations on the payload bytes (oracle-checkable); the
-    width/height are the stubbed decode outputs (deterministic fake
-    derived from the digest)."""
+    are real computations on the payload bytes (oracle-checkable).
+    With ``decode_stub=True`` the width/height are a deterministic
+    fake derived from the byte length; with ``decode_stub=False`` the
+    per-IMAGE dims come from ``decoder`` (default
+    ``pil_image_decoder``), and non-image rows get NULL dims (their
+    decode belongs to the audio/video stages)."""
+    decoder = decoder or pil_image_decoder
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -66,20 +117,24 @@ def extract_features(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
             if decode_stub:
                 # Deterministic fake decode (oracle-reproducible):
                 # dims derived from the byte length.
-                fake_w = 64 + (n_bytes * 2654435761) % 1024
-                fake_h = 64 + (n_bytes * 40503) % 1024
+                w = (64 + (n_bytes * 2654435761) % 1024).astype("Int32")
+                h = (64 + (n_bytes * 40503) % 1024).astype("Int32")
             else:
-                raise NotImplementedError(
-                    "real decode requires PIL/ffmpeg — not in container"
-                )
+                is_img = pdf["modality"] == "image"
+                dims = [
+                    decoder(bytes(b)) if img else (None, None)
+                    for b, img in zip(payloads, is_img)
+                ]
+                w = pd.array([d[0] for d in dims], dtype="Int32")
+                h = pd.array([d[1] for d in dims], dtype="Int32")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "n_bytes": n_bytes,
                     "payload_md5": digests,
-                    "fake_width": fake_w.astype("int32"),
-                    "fake_height": fake_h.astype("int32"),
+                    "fake_width": w,
+                    "fake_height": h,
                 }
             )
 
@@ -93,24 +148,34 @@ RESIZE_SCHEMA = (
 
 
 def resize_assets(
-    assets: DataFrame, max_dim: int = 256, decode_stub: bool = True
+    assets: DataFrame,
+    max_dim: int = 256,
+    decode_stub: bool = True,
+    decoder: Callable[[bytes], tuple[int, int]] | None = None,
 ) -> DataFrame:
     """mapInPandas resize stage: decode → scale longest side to
-    ``max_dim`` (never upscale) → re-encode. Aspect-preserving integer
-    math (``w * max_dim // max(w, h)``) so the stubbed output is
-    engine-reproducible; the real PIL resize belongs where the
-    NotImplementedError is raised."""
+    ``max_dim`` (never upscale). Aspect-preserving integer math
+    (``w * max_dim // max(w, h)``) so the output is
+    engine-reproducible for ANY decoder; source dims come from the
+    deterministic stub (``decode_stub=True``) or from ``decoder``
+    (default ``pil_image_decoder``) on the cluster path."""
+    decoder = decoder or pil_image_decoder
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             n_bytes = pdf["payload"].map(len).astype("int64")
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real decode/resize requires PIL — not in container"
+            if decode_stub:
+                # same deterministic fake-decode dims as extract_features
+                w = (64 + (n_bytes * 2654435761) % 1024).astype("int64")
+                h = (64 + (n_bytes * 40503) % 1024).astype("int64")
+            else:
+                dims = [decoder(bytes(b)) for b in pdf["payload"]]
+                w = pd.Series(
+                    [d[0] for d in dims], index=pdf.index, dtype="int64"
                 )
-            # same deterministic fake-decode dims as extract_features
-            w = (64 + (n_bytes * 2654435761) % 1024).astype("int64")
-            h = (64 + (n_bytes * 40503) % 1024).astype("int64")
+                h = pd.Series(
+                    [d[1] for d in dims], index=pdf.index, dtype="int64"
+                )
             longest = w.combine(h, max)
             scale_needed = longest > max_dim
             out_w = w.where(~scale_needed, w * max_dim // longest)
@@ -133,25 +198,32 @@ FRAME_SCHEMA = "asset_id long, frame_idx long, frame_ts_ms long"
 
 
 def sample_frames(
-    assets: DataFrame, every_ms: int = 1000, decode_stub: bool = True
+    assets: DataFrame,
+    every_ms: int = 1000,
+    decode_stub: bool = True,
+    prober: Callable[[bytes], int] | None = None,
 ) -> DataFrame:
     """mapInPandas frame sampling for video assets: one output row per
     sampled frame — the 1→N fan-out batch shape (unlike the 1→1
-    feature/resize stages). Stubbed duration is a deterministic
-    function of the byte length; the real ffmpeg probe/extract belongs
-    at the NotImplementedError."""
+    feature/resize stages). Duration comes from the deterministic
+    byte-length stub (``decode_stub=True``) or from ``prober``
+    (default ``av_duration_prober``, ms) on the cluster path."""
+    prober = prober or av_duration_prober
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             vids = pdf[pdf["modality"] == "video"]
             if len(vids) == 0:
                 continue
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg — not in container"
-                )
             n_bytes = vids["payload"].map(len).astype("int64")
-            duration_ms = 1000 + (n_bytes * 7919) % 30000
+            if decode_stub:
+                duration_ms = 1000 + (n_bytes * 7919) % 30000
+            else:
+                duration_ms = pd.Series(
+                    [int(prober(bytes(b))) for b in vids["payload"]],
+                    index=vids.index,
+                    dtype="int64",
+                )
             n_frames = (duration_ms + every_ms - 1) // every_ms
             out = pd.DataFrame(
                 {

@@ -4583,28 +4583,48 @@ def _pagerank_ranks(pairs):
     )
     deg = materialize_once(und.groupBy("u").agg(F.count("*").alias("deg")))
     nn = deg.agg(F.count("*").alias("n"))
-    r = deg.crossJoin(F.broadcast(nn)).select(
-        F.col("u").alias("id"),
-        F.expr(f"{_PR_SCALE} div n").alias("r"),
-        "n",
+    # Degree and n are loop-INVARIANT: carry them inside the rank
+    # frame so each round is ONE join (und x ranks) + the rollup +
+    # the left-join carry-through, instead of re-joining deg every
+    # round. Round-10 A/B at sf0.1 (same host, same session
+    # protocol): parity within noise — old 1.99s / new 1.94-2.09s
+    # for the pagerank leg; keep_central 2.69s / 2.71-2.90s — the
+    # fixture graph is tiny enough that deg was a broadcast join, so
+    # the win is the 100 TB shape (deg is corpus-sized there: one
+    # fewer shuffle join per round), not local seconds. The same A/B
+    # showed the round-9 keep_central "+17%" was HOST noise: the
+    # unchanged round-8 code measures 2.69s on today's host vs its
+    # committed 2.46s.
+    base = materialize_once(
+        deg.crossJoin(F.broadcast(nn)).select(
+            F.col("u").alias("id"), "deg", "n"
+        )
+    )
+    r = base.select(
+        "id", "deg", "n", F.expr(f"{_PR_SCALE} div n").alias("r")
     )
     for _ in range(_PR_ITERS):
         contrib = (
-            und.join(r.select(F.col("id").alias("u"), "r"), "u")
-            .join(deg, "u")
+            und.join(
+                r.select(
+                    F.col("id").alias("u"),
+                    F.expr("r div deg").alias("c"),
+                ),
+                "u",
+            )
             .groupBy("v")
-            .agg(F.sum(F.expr("r div deg")).alias("s"))
+            .agg(F.sum("c").alias("s"))
         )
         r = (
-            r.select("id", "n")
-            .join(contrib.withColumnRenamed("v", "id"), "id", "left")
+            base.join(contrib.withColumnRenamed("v", "id"), "id", "left")
             .select(
                 "id",
+                "deg",
+                "n",
                 F.expr(
                     f"({_PR_SCALE * 3 // 20} div n)"
                     " + (17 * coalesce(s, 0L)) div 20"
                 ).alias("r"),
-                "n",
             )
             # Each round consumes r TWICE (contrib + carry-through);
             # without truncation the lazy plan re-evaluates the whole
