@@ -22,7 +22,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -984,5 +984,184 @@ def cdc_chunks(
             id_col,
             F.md5("chunk").alias("chunk_md5"),
             F.length("chunk").alias("clen"),
+        )
+    )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "gram",
+    seed_len: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring spans — the suffix-array dedup tier
+    of Lee et al. (ACL 2022, "Deduplicating Training Data Makes
+    Language Models Better"): find every maximal character span whose
+    length->=``min_len`` substrings each occur in >= ``min_docs``
+    distinct documents, so callers can strip verbatim cross-document
+    passages instead of whole near-duplicate documents. Complements
+    ``pipeline_strip_duplicate_passages`` (word-16-gram granularity)
+    with exact character-level spans at a configurable floor.
+
+    Semantics: a start position ``p`` in document ``d`` is
+    *duplicated* when the ``min_len``-char substring at ``p`` occurs
+    at >= ``min_docs`` distinct documents corpus-wide; consecutive
+    duplicated starts within a document merge into one maximal span
+    ``[span_start, span_end]`` (char-inclusive, 1-based),
+    ``span_len = span_end - span_start + 1``. Documents shorter than
+    ``min_len`` cannot participate.
+
+    Two physical strategies, identical output (pinned by test):
+
+    - ``"gram"``: explode start positions, hash the full
+      ``min_len``-char gram to a 128-bit class id at the scan
+      (2x xxhash64 — 16 shuffle bytes per position instead of
+      ``min_len``), one map-side-combined groupBy for the
+      >= ``min_docs`` classes, one shuffle join back. Shuffle volume
+      O(n_chars * 16B); substring extraction cost O(n_chars * T).
+      Right default for a fixed small threshold.
+    - ``"doubling"``: seeded prefix-doubling — the suffix-array
+      construction trick (Manber-Myers), re-expressed as DataFrame
+      self-joins. Seed every position with the hash of its
+      ``seed_len``-char block (no join), then double
+      seed -> 2*seed -> ... by equi-joining each position's class
+      with the class at ``p + k`` (``class_2k(p) = H(class_k(p),
+      class_k(p+k))``), and compose ``min_len`` from its binary
+      decomposition MSB-first. log2(min_len/seed_len)+popcount-1
+      joins, each shuffling 16-byte class ids — O(n log T) total
+      bytes vs the gram path's O(n*T) extraction, so this is the
+      path that wins when the duplication floor is hundreds of
+      characters (Lee et al. use 50 BPE tokens ~ 200+ chars) or when
+      several thresholds share the doubled prefix classes. Each round
+      is persisted so the self-join reads the cache instead of
+      doubling the lineage.
+
+    Class ids are 128-bit (two independent xxhash64 lanes mixed with
+    distinct round constants): collision probability over n positions
+    is ~n^2/2^129 — negligible at any corpus size. No driver-side
+    data path; the only windows are partitioned by document.
+
+    Scale shape at 100 TB: position explosion is the dominant cost
+    (one row per character); both strategies keep the shuffle payload
+    at 16 bytes/position, the duplicated-class set is a tiny fraction
+    of the corpus, and the island merge runs per-document. A
+    boilerplate gram repeated billions of times skews the class-id
+    groupBy key — AQE skew handling applies; the join-back is
+    class-id-keyed with the same mitigation.
+    """
+    if strategy not in ("gram", "doubling"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    T = int(min_len)
+    d = _parallelize(
+        docs.filter(F.length(text_col) >= T).select(
+            F.col(id_col).alias("d"), F.col(text_col).alias("text")
+        )
+    )
+    if strategy == "gram":
+        pos = d.select(
+            "d",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - T + 1)
+            ).alias("p"),
+            "text",
+        ).select(
+            "d",
+            "p",
+            F.xxhash64(F.expr(f"substring(text, p, {T})")).alias("h1"),
+            F.xxhash64(
+                F.expr(f"substring(text, p, {T})"), F.lit(-7)
+            ).alias("h2"),
+        )
+        classed = materialize_once(pos)
+    else:
+        bits = [1 << b for b in range(T.bit_length()) if T >> b & 1]
+        if T % seed_len or min(bits) < seed_len or seed_len & (seed_len - 1):
+            raise ValueError(
+                f"seed_len={seed_len} must be a power of 2 dividing every "
+                f"binary component of min_len={T}"
+            )
+        cur = materialize_once(
+            d.select(
+                "d",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("text") - seed_len + 1)
+                ).alias("p"),
+                "text",
+            ).select(
+                "d",
+                "p",
+                F.xxhash64(
+                    F.expr(f"substring(text, p, {seed_len})")
+                ).alias("h1"),
+                F.xxhash64(
+                    F.expr(f"substring(text, p, {seed_len})"), F.lit(-7)
+                ).alias("h2"),
+            )
+        )
+        powers, k = {}, seed_len
+        while True:
+            if k in bits:
+                powers[k] = cur
+            if k >= max(bits):
+                break
+            shifted = cur.select(
+                "d",
+                (F.col("p") - k).alias("p"),
+                F.col("h1").alias("g1"),
+                F.col("h2").alias("g2"),
+            )
+            cur = materialize_once(
+                cur.join(shifted, ["d", "p"]).select(
+                    "d",
+                    "p",
+                    F.xxhash64("h1", "g1", F.lit(2 * k)).alias("h1"),
+                    F.xxhash64("h2", "g2", F.lit(-2 * k)).alias("h2"),
+                )
+            )
+            k *= 2
+        ordered = sorted(bits, reverse=True)
+        classed, off = powers[ordered[0]], ordered[0]
+        for b in ordered[1:]:
+            nxt = powers[b].select(
+                "d",
+                (F.col("p") - off).alias("p"),
+                F.col("h1").alias("g1"),
+                F.col("h2").alias("g2"),
+            )
+            classed = classed.join(nxt, ["d", "p"]).select(
+                "d",
+                "p",
+                F.xxhash64("h1", "g1", F.lit(off)).alias("h1"),
+                F.xxhash64("h2", "g2", F.lit(-off)).alias("h2"),
+            )
+            off += b
+        classed = materialize_once(classed)
+    dup = (
+        classed.groupBy("h1", "h2")
+        .agg(F.countDistinct("d").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h1", "h2")
+    )
+    dpos = classed.join(dup, ["h1", "h2"]).select(
+        F.col("d").alias(id_col), "p"
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    isl = dpos.withColumn("grp", F.col("p") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + T - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_len"
+            ),
         )
     )

@@ -98,6 +98,9 @@ ROTATION_WINDOW: list[str] = [
 # the committed CORRECTNESS_r0*.json history. Keeping them HERE (not
 # just in a comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    # round-10 additions (never driver-checked) — head of the
+    # round-11 window per the rotation policy.
+    "dedup_suffix_duplicate_spans",
     # round-9 tranche leftover (window overflow; last driver row r4)
     "similarity_hard_negatives",
     "embedding_outlier_flags",

@@ -972,3 +972,109 @@ def test_winnow_and_cdc_helpers_match_python_on_edge_cases(spark):
     assert {k: sorted(v) for k, v in got_ch.items()} == {
         k: sorted(v) for k, v in want_ch.items()
     }
+
+
+def _brute_spans(docs, T=40, min_docs=2):
+    """Pure-Python reference for duplicate_substring_spans."""
+    pos = []
+    for did, text in docs:
+        for p in range(1, len(text) - T + 2):
+            pos.append((did, p, text[p - 1 : p - 1 + T]))
+    by_gram = {}
+    for did, p, g in pos:
+        by_gram.setdefault(g, set()).add(did)
+    dup = {g for g, ds in by_gram.items() if len(ds) >= min_docs}
+    starts = {}
+    for did, p, g in pos:
+        if g in dup:
+            starts.setdefault(did, []).append(p)
+    out = []
+    for did, ps in starts.items():
+        ps.sort()
+        lo = prev = ps[0]
+        for p in ps[1:]:
+            if p == prev + 1:
+                prev = p
+                continue
+            out.append((did, lo, prev + T - 1, prev + T - lo))
+            lo = prev = p
+        out.append((did, lo, prev + T - 1, prev + T - lo))
+    return sorted(out)
+
+
+_SPAN_EDGE_DOCS = [
+    # shared 60-char passage in the middle of two docs (one maximal span)
+    (1, "A" * 10 + "the quick brown fox jumps over the lazy dog again and ok!!" + "B" * 10),
+    (2, "C" * 25 + "the quick brown fox jumps over the lazy dog again and ok!!" + "D" * 3),
+    # exact duplicate pair: whole doc is one span
+    (3, "x y z " * 12),
+    (4, "x y z " * 12),
+    # repeat WITHIN one doc only -> not duplicated (min_docs=2 distinct)
+    (5, ("q" * 45) + "SEP" + ("q" * 45)),
+    # shorter than the 40-char floor -> cannot participate
+    (6, "tiny document under the floor"),
+    # two disjoint shared passages with doc 8 -> two spans
+    (7, "E" * 5 + "0123456789abcdefghijklmnopqrstuvwxyzABCD" + "F" * 9 + "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543210zyxw" + "G" * 5),
+    (8, "H" * 11 + "0123456789abcdefghijklmnopqrstuvwxyzABCD" + "I" * 17 + "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543210zyxw" + "J" * 2),
+]
+
+
+def test_duplicate_substring_spans_vs_python_reference(spark):
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    df = spark.createDataFrame(_SPAN_EDGE_DOCS, "doc_id long, text string")
+    want = _brute_spans(_SPAN_EDGE_DOCS)
+    assert want, "edge fixture must produce spans"
+    # doc 5's within-doc repeat must NOT appear; doc 6 is under floor
+    assert all(d not in (5, 6) for d, *_ in want)
+    # docs 7/8 carry two disjoint spans each
+    assert sum(1 for d, *_ in want if d == 7) == 2
+    for strategy in ("gram", "doubling"):
+        got = sorted(
+            tuple(r)
+            for r in duplicate_substring_spans(
+                df, min_len=40, strategy=strategy
+            ).collect()
+        )
+        assert got == want, f"strategy={strategy}"
+
+
+def test_duplicate_substring_spans_strategies_agree_on_fixture(
+    spark, sf_small
+):
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    gram = sorted(
+        tuple(r)
+        for r in duplicate_substring_spans(
+            docs, min_len=40, strategy="gram"
+        ).collect()
+    )
+    dbl = sorted(
+        tuple(r)
+        for r in duplicate_substring_spans(
+            docs, min_len=40, strategy="doubling"
+        ).collect()
+    )
+    assert gram and gram == dbl
+
+
+def test_duplicate_substring_spans_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    df = spark.createDataFrame([(1, "a" * 50)], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        duplicate_substring_spans(df, strategy="suffix")
+    with _pytest.raises(ValueError):
+        # 40's binary components are {32, 8}; seed 16 does not divide 8
+        duplicate_substring_spans(df, min_len=40, strategy="doubling", seed_len=16)
