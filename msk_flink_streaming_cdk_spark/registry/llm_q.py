@@ -7660,3 +7660,117 @@ def dedup_suffix_duplicate_spans(spark, sf_dir):
     return duplicate_substring_spans(
         _docs(spark, sf_dir), min_len=40, min_docs=2, strategy="doubling"
     )
+
+
+@register(
+    "pipeline_strip_suffix_spans",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, gs.g AS p, substr(text, gs.g, 40) AS gram
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+             1, greatest(length(text) - 39, 0))) AS g) gs(g)
+    ),
+    dup AS (SELECT gram FROM pos
+            GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    d AS (SELECT doc_id, p FROM pos
+          WHERE gram IN (SELECT gram FROM dup)),
+    isl AS (SELECT doc_id, p,
+                   p - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY p) AS grp
+            FROM d),
+    spans AS (SELECT doc_id, min(p) AS s, max(p) + 39 AS e
+              FROM isl GROUP BY doc_id, grp),
+    segs AS (SELECT doc_id, s, e,
+                    coalesce(lag(e) OVER (PARTITION BY doc_id
+                                          ORDER BY s), 0) + 1
+                      AS seg_start
+             FROM spans),
+    cleaned AS (
+      SELECT segs.doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS chars_removed,
+             string_agg(substr(text, seg_start, s - seg_start),
+                        '' ORDER BY s)
+               || substr(documents.text, max(e) + 1) AS clean_text
+      FROM segs JOIN documents USING (doc_id)
+      GROUP BY segs.doc_id, documents.text)
+    SELECT doc_id,
+           n_spans,
+           chars_removed,
+           CAST(length(clean_text) AS BIGINT) AS clean_len,
+           clean_text
+    FROM cleaned
+    UNION ALL
+    SELECT doc_id,
+           CAST(0 AS BIGINT) AS n_spans,
+           CAST(0 AS BIGINT) AS chars_removed,
+           CAST(length(text) AS BIGINT) AS clean_len,
+           text AS clean_text
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM spans)
+    """,
+)
+def pipeline_strip_suffix_spans(spark, sf_dir):
+    """The REMOVAL step over ``dedup_suffix_duplicate_spans`` — Lee
+    et al.'s exact-substring dedup applied as curation: cut every
+    maximal cross-document duplicated span (40-char floor) out of
+    every document and emit the cleaned corpus with per-doc strip
+    stats. Conservative policy: a span duplicated across documents is
+    removed from ALL of them (verbatim boilerplate — license headers,
+    templated passages — should survive in no training document);
+    pipelines wanting keep-one semantics re-admit one owner from the
+    spans frame downstream.
+
+    Spark shape: spans (gram strategy — single class-id shuffle;
+    pinned row-identical to the doubling path) -> per-doc sorted span
+    array (collect_list bounded by spans-per-doc, never corpus-wide)
+    -> ONE narrow higher-order ``aggregate`` walks the segments and
+    splices the kept text per row — no Python UDF, no per-span join
+    back to the text. Docs with no spans pass through on the left
+    join. 100 TB: cost is the span detection; the splice is a narrow
+    map over documents.
+    """
+    docs = _docs(spark, sf_dir)
+    spans = duplicate_substring_spans(
+        docs, min_len=40, min_docs=2, strategy="gram"
+    )
+    arr = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("chars_removed"),
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("spans"),
+    )
+    clean = F.expr(
+        "aggregate(spans,"
+        " named_struct('pos', cast(1 as bigint), 'acc', ''),"
+        " (a, s) -> named_struct("
+        "   'pos', cast(s.span_end + 1 as bigint),"
+        "   'acc', concat(a.acc,"
+        "     substring(text, a.pos, s.span_start - a.pos))),"
+        " a -> concat(a.acc,"
+        "   substring(text, a.pos,"
+        "     greatest(length(text) - a.pos + 1, 0L))))"
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(arr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("chars_removed", F.lit(0))
+            .cast("long")
+            .alias("chars_removed"),
+            F.when(F.col("spans").isNull(), F.col("text"))
+            .otherwise(clean)
+            .alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "chars_removed",
+            F.length("clean_text").cast("long").alias("clean_len"),
+            "clean_text",
+        )
+    )

@@ -1078,3 +1078,36 @@ def test_duplicate_substring_spans_rejects_bad_args(spark):
     with _pytest.raises(ValueError):
         # 40's binary components are {32, 8}; seed 16 does not divide 8
         duplicate_substring_spans(df, min_len=40, strategy="doubling", seed_len=16)
+
+
+def test_strip_suffix_spans_invariants(spark, sf_small):
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    text_by_id = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    spans_per_doc = {}
+    for r in QUERIES["dedup_suffix_duplicate_spans"](
+        spark, sf_small
+    ).collect():
+        spans_per_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end)
+        )
+    out = QUERIES["pipeline_strip_suffix_spans"](spark, sf_small).collect()
+    assert len(out) == len(text_by_id)
+    assert any(r.n_spans > 0 for r in out)
+    for r in out:
+        text = text_by_id[r.doc_id]
+        spans = sorted(spans_per_doc.get(r.doc_id, []))
+        assert r.n_spans == len(spans)
+        assert r.chars_removed == sum(e - s + 1 for s, e in spans)
+        assert r.clean_len == len(text) - r.chars_removed
+        # independent splice: drop exactly the span chars, keep order
+        keep = []
+        pos = 1
+        for s, e in spans:
+            keep.append(text[pos - 1 : s - 1])
+            pos = e + 1
+        keep.append(text[pos - 1 :])
+        assert r.clean_text == "".join(keep)
