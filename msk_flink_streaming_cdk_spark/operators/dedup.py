@@ -1139,12 +1139,23 @@ def duplicate_substring_spans(
             )
             off += b
         classed = materialize_once(classed)
-    dup = (
-        classed.groupBy("h1", "h2")
-        .agg(F.countDistinct("d").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("h1", "h2")
-    )
+    if min_docs == 2:
+        # min(d) != max(d) <=> >= 2 distinct docs: a single-phase agg
+        # (countDistinct plans a two-shuffle expand — measured 3.45s
+        # vs 1.28s at sf0.1 for this stage).
+        dup = (
+            classed.groupBy("h1", "h2")
+            .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+            .filter(F.col("mn") != F.col("mx"))
+            .select("h1", "h2")
+        )
+    else:
+        dup = (
+            classed.groupBy("h1", "h2")
+            .agg(F.countDistinct("d").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("h1", "h2")
+        )
     dpos = classed.join(dup, ["h1", "h2"]).select(
         F.col("d").alias(id_col), "p"
     )
