@@ -161,6 +161,9 @@ HEADLINE = [
     "text_zipf_rank_slope",
     "dq_mad_outlier_docs",
     "dq_psi_doclen_by_source",
+    # round 10 additions
+    "dedup_suffix_duplicate_spans",
+    "pipeline_strip_suffix_spans",
 ]
 
 

@@ -988,6 +988,43 @@ def cdc_chunks(
     )
 
 
+def gram_position_classes(
+    docs: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """128-bit class id of the ``min_len``-char gram at every 1-based
+    start position: (``id_col``, p, h1, h2), one row per position of
+    every document long enough to hold a gram. Two independent
+    xxhash64 lanes stand in for the gram itself (16 shuffle bytes per
+    position instead of ``min_len``; collision ~n^2/2^129). Shared by
+    ``duplicate_substring_spans`` (gram strategy) and the streaming
+    substring-contamination gate, so batch detection and streaming
+    admission agree by construction.
+    """
+    T = int(min_len)
+    d = _parallelize(
+        docs.filter(F.length(text_col) >= T).select(
+            id_col, F.col(text_col).alias("__text")
+        )
+    )
+    return d.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.length("__text") - T + 1)
+        ).alias("p"),
+        "__text",
+    ).select(
+        id_col,
+        "p",
+        F.xxhash64(F.expr(f"substring(__text, p, {T})")).alias("h1"),
+        F.xxhash64(
+            F.expr(f"substring(__text, p, {T})"), F.lit(-7)
+        ).alias("h2"),
+    )
+
+
 def duplicate_substring_spans(
     docs: DataFrame,
     min_len: int = 40,
@@ -1055,28 +1092,18 @@ def duplicate_substring_spans(
     if strategy not in ("gram", "doubling"):
         raise ValueError(f"unknown strategy: {strategy!r}")
     T = int(min_len)
-    d = _parallelize(
-        docs.filter(F.length(text_col) >= T).select(
-            F.col(id_col).alias("d"), F.col(text_col).alias("text")
-        )
-    )
     if strategy == "gram":
-        pos = d.select(
-            "d",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - T + 1)
-            ).alias("p"),
-            "text",
-        ).select(
-            "d",
-            "p",
-            F.xxhash64(F.expr(f"substring(text, p, {T})")).alias("h1"),
-            F.xxhash64(
-                F.expr(f"substring(text, p, {T})"), F.lit(-7)
-            ).alias("h2"),
+        classed = materialize_once(
+            gram_position_classes(
+                docs, min_len=T, id_col=id_col, text_col=text_col
+            ).withColumnRenamed(id_col, "d")
         )
-        classed = materialize_once(pos)
     else:
+        d = _parallelize(
+            docs.filter(F.length(text_col) >= T).select(
+                F.col(id_col).alias("d"), F.col(text_col).alias("text")
+            )
+        )
         bits = [1 << b for b in range(T.bit_length()) if T >> b & 1]
         if T % seed_len or min(bits) < seed_len or seed_len & (seed_len - 1):
             raise ValueError(

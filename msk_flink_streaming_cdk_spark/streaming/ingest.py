@@ -372,3 +372,113 @@ def cdc_chunk_dedup_stream(
         .start()
     )
     return query, state
+
+
+def substring_contamination_stream(
+    incoming: DataFrame,
+    checkpoint: str,
+    on_batch: Callable[[DataFrame, int], None],
+    initial_index: DataFrame | None = None,
+    min_len: int = 40,
+    trigger: dict | None = None,
+):
+    """Streaming exact-substring contamination gate — the admission
+    twin of ``dedup_suffix_duplicate_spans`` at the same character
+    grain: a document is REJECTED iff it shares any ``min_len``-char
+    verbatim substring with the maintained index; admitted documents'
+    gram classes fold in. Seed ``initial_index`` with a PROTECTED
+    corpus's gram classes (``operators.dedup.gram_position_classes``
+    over the eval benchmarks, ``select h1, h2``) and this is streaming
+    benchmark decontamination: training ingest never admits a verbatim
+    leak — the exact tier next to the fuzzy winnowing gate and the
+    chunk-ratio CDC gate.
+
+    Emits per incoming doc via ``on_batch``: (doc_id, n_spans,
+    max_span_len, admitted) — hit positions merged to maximal runs
+    (``n_spans`` islands; ``max_span_len`` chars, >= ``min_len`` when
+    any hit), zeros when clean. Decisions depend only on (doc, index
+    at batch start), never on batch siblings — any micro-batch split
+    replays identically (pinned vs a pure-Python sequential fold).
+
+    Scale shape: the probe is a left-semi equi-join on the 16-byte
+    class id (batch positions x index — skew-proof, never a cartesian);
+    the per-doc island merge windows only over HIT positions. The
+    index is the maintained-TABLE posture of the sibling gates
+    (lineage-truncated swap locally; production MERGEs the distinct
+    (h1, h2) keys into a real table and passes it back on restart —
+    the checkpoint dir carries only source offsets, enforced by the
+    same restart guard).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import gram_position_classes
+
+    _guard_index_restart(
+        incoming, checkpoint, initial_index, "initial_index"
+    )
+    trigger = trigger or {"availableNow": True}
+    state: dict = {"index": initial_index}
+    T = int(min_len)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        ids = batch_df.select("doc_id").distinct()
+        g = gram_position_classes(
+            batch_df, min_len=T
+        ).localCheckpoint(eager=True)
+        index = state["index"]
+        if index is None:
+            per_doc = None
+        else:
+            hits = g.join(index, ["h1", "h2"], "left_semi")
+            w = Window.partitionBy("doc_id").orderBy("p")
+            isl = hits.withColumn(
+                "grp", F.col("p") - F.row_number().over(w)
+            )
+            runs = isl.groupBy("doc_id", "grp").agg(
+                (F.max("p") - F.min("p") + T).alias("span_len")
+            )
+            per_doc = runs.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_spans"),
+                F.max("span_len").cast("long").alias("max_span_len"),
+            )
+        if per_doc is None:
+            decisions = ids.select(
+                "doc_id",
+                F.lit(0).cast("long").alias("n_spans"),
+                F.lit(0).cast("long").alias("max_span_len"),
+                F.lit(True).alias("admitted"),
+            )
+        else:
+            decisions = ids.join(per_doc, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("n_spans", F.lit(0))
+                .cast("long")
+                .alias("n_spans"),
+                F.coalesce("max_span_len", F.lit(0))
+                .cast("long")
+                .alias("max_span_len"),
+                F.col("n_spans").isNull().alias("admitted"),
+            )
+        decisions = decisions.localCheckpoint(eager=True)
+        on_batch(decisions, batch_id)
+        adm = (
+            g.join(
+                decisions.filter("admitted").select("doc_id"), "doc_id"
+            )
+            .select("h1", "h2")
+            .distinct()
+        )
+        new_index = (
+            adm
+            if state["index"] is None
+            else state["index"].unionByName(adm).distinct()
+        )
+        state["index"] = new_index.localCheckpoint(eager=True)
+
+    query = (
+        incoming.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )
+    return query, state

@@ -34,6 +34,18 @@ def write_partitioned_files(
     reference's partition-commit policy (main.py:74-75). The partition
     list per batch is tiny (distinct partition tuples, not rows), so
     the driver-side marker loop is O(#partitions), not O(rows).
+
+    Delay semantics difference (deliberate): the reference configures
+    ``sink.partition-commit.delay = 1 min`` (main.py:74) — Flink holds
+    the marker until the partition's watermark passes partition-time +
+    1 min. Structured Streaming has no per-partition commit delay;
+    here every TOUCHED partition is re-marked at each micro-batch, so
+    a marker means "data through this batch is visible", not "this
+    hour is closed". Downstream jobs that need closed-hour semantics
+    should trigger off the NEXT hour's first marker (or filter on
+    partition < current hour); with the default availableNow/minutes-
+    level triggers the practical effect matches the reference's 1-min
+    lag.
     """
     trigger = trigger or {"availableNow": True}
 

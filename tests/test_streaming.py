@@ -872,3 +872,109 @@ def test_winnowing_admission_restart_from_initial_fps(
         initial_fps=empty,
     )
     q3.awaitTermination()
+
+
+def _py_substring_decision(text, index, T=40):
+    # Hit positions vs a set of admitted gram strings; islands merged.
+    hits = [
+        p
+        for p in range(1, len(text) - T + 2)
+        if text[p - 1 : p - 1 + T] in index
+    ]
+    if not hits:
+        return (0, 0, True)
+    spans = []
+    lo = prev = hits[0]
+    for p in hits[1:]:
+        if p == prev + 1:
+            prev = p
+            continue
+        spans.append(prev + T - lo)
+        lo = prev = p
+    spans.append(prev + T - lo)
+    return (len(spans), max(spans), False)
+
+
+def _py_grams(text, T=40):
+    return {
+        text[i : i + T] for i in range(len(text) - T + 1)
+    } if len(text) >= T else set()
+
+
+def test_streaming_substring_contamination_matches_sequential_fold(
+    spark, tmp_path, sf_small
+):
+    # The exact-substring gate replayed over single-file micro-batches
+    # must equal a pure-Python sequential fold: per batch, each doc's
+    # 40-gram hit positions vs the maintained index decide
+    # (n_spans, max_span_len, admitted); admitted docs' grams fold in
+    # AFTER the whole batch (decisions never depend on batch siblings).
+    import glob
+    import os
+    import time as _t
+
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        substring_contamination_stream,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_small, "documents.parquet")
+    ).select("doc_id", "text")
+    src = str(tmp_path / "sub_in")
+    os.makedirs(src)
+    bands = (
+        "doc_id < 150",
+        "doc_id >= 150 and doc_id < 300",
+        "doc_id >= 300",
+    )
+    for i, pred in enumerate(bands):
+        part = str(tmp_path / f"spart{i}")
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(part)
+        (f,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(f, dst)
+        mtime = _t.time() - 1000 + i * 10
+        os.utime(dst, (mtime, mtime))
+
+    stream = stream_parquet_dir(
+        spark, src, docs.schema, max_files_per_trigger=1
+    )
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.n_spans, r.max_span_len, r.admitted)
+
+    q, state = substring_contamination_stream(
+        stream, str(tmp_path / "sub_ckpt"), sink
+    )
+    q.awaitTermination()
+
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs.collect()), key=lambda t: t[0]
+    )
+    batches = [
+        [t for t in rows if t[0] < 150],
+        [t for t in rows if 150 <= t[0] < 300],
+        [t for t in rows if t[0] >= 300],
+    ]
+    index: set = set()
+    want = {}
+    for batch in batches:
+        admitted_grams = set()
+        for doc_id, text in batch:
+            decision = _py_substring_decision(text, index)
+            want[doc_id] = decision
+            if decision[2]:
+                admitted_grams |= _py_grams(text)
+        index |= admitted_grams
+    assert got == want
+    n_rej = sum(1 for v in want.values() if not v[2])
+    assert n_rej >= 1, "fixture must produce verbatim-overlap rejections"
+    # maintained index = exactly the admitted docs' distinct classes:
+    # compare cardinality against the string-gram reference (classes
+    # are 128-bit hashes of the same gram set).
+    assert state["index"].count() == len(index)
