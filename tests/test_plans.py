@@ -581,3 +581,24 @@ def test_zipf_rank_avoids_global_sort(spark, sf_small):
     df = QUERIES["text_zipf_rank_slope"](spark, sf_small)
     assert unpartitioned_window_nodes(df) == []
     assert_no_nested_loop_join(df)
+
+
+def test_suffix_span_plans_are_blocked_and_pruned(spark, sf_small):
+    # Both span strategies: every join is class-id- or (doc,pos)-keyed
+    # hash equi (no nested loop anywhere in the log-round doubling
+    # chain), the islands window stays partitioned by document, and
+    # the documents scan prunes to (doc_id, text).
+    from msk_flink_streaming_cdk_spark.plans import (
+        unpartitioned_window_nodes,
+    )
+
+    for name in (
+        "dedup_suffix_duplicate_spans",
+        "pipeline_strip_suffix_spans",
+    ):
+        df = QUERIES[name](spark, sf_small)
+        assert_no_nested_loop_join(df)
+        assert unpartitioned_window_nodes(df) == []
+        assert_read_schema_pruned(
+            df, must_read=["doc_id", "text"], must_not_read=["lang"]
+        )

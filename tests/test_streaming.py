@@ -978,3 +978,106 @@ def test_streaming_substring_contamination_matches_sequential_fold(
     # compare cardinality against the string-gram reference (classes
     # are 128-bit hashes of the same gram set).
     assert state["index"].count() == len(index)
+
+
+def test_substring_contamination_restart_from_initial_index(
+    spark, tmp_path, sf_small
+):
+    # Restart contract for the substring gate: the class index is the
+    # maintained table — run 1 (band 0), persist state["index"], run 2
+    # (bands 1-2) with initial_index; the combined decisions must
+    # equal the single-run sequential fold. The shared runtime guard
+    # must also refuse an offsets-bearing checkpoint without an index.
+    import glob
+    import os
+    import time as _t
+
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        substring_contamination_stream,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_small, "documents.parquet")
+    ).select("doc_id", "text")
+
+    def stage(subdir, parts):
+        src = str(tmp_path / subdir)
+        os.makedirs(src, exist_ok=True)
+        for pred, i in parts:
+            part = str(tmp_path / f"{subdir}_p{i}")
+            docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+                part
+            )
+            (f,) = glob.glob(os.path.join(part, "*.parquet"))
+            dst = os.path.join(src, f"b{i}.parquet")
+            os.rename(f, dst)
+            mt = _t.time() - 1000 + i * 10
+            os.utime(dst, (mt, mt))
+        return src
+
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.n_spans, r.max_span_len, r.admitted)
+
+    q1, s1 = substring_contamination_stream(
+        stream_parquet_dir(
+            spark,
+            stage("sr1", [("doc_id < 150", 0)]),
+            docs.schema,
+            max_files_per_trigger=1,
+        ),
+        str(tmp_path / "sck1"),
+        sink,
+    )
+    q1.awaitTermination()
+    saved = [(r.h1, r.h2) for r in s1["index"].collect()]
+    restored = spark.createDataFrame(saved, "h1 long, h2 long")
+    src2 = stage(
+        "sr2",
+        [("doc_id >= 150 and doc_id < 300", 0), ("doc_id >= 300", 1)],
+    )
+    q2, _s2 = substring_contamination_stream(
+        stream_parquet_dir(
+            spark, src2, docs.schema, max_files_per_trigger=1
+        ),
+        str(tmp_path / "sck2"),
+        sink,
+        initial_index=restored,
+    )
+    q2.awaitTermination()
+
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs.collect()), key=lambda t: t[0]
+    )
+    batches = [
+        [t for t in rows if t[0] < 150],
+        [t for t in rows if 150 <= t[0] < 300],
+        [t for t in rows if t[0] >= 300],
+    ]
+    index: set = set()
+    want = {}
+    for batch in batches:
+        admitted_grams = set()
+        for doc_id, text in batch:
+            decision = _py_substring_decision(text, index)
+            want[doc_id] = decision
+            if decision[2]:
+                admitted_grams |= _py_grams(text)
+        index |= admitted_grams
+    assert got == want
+    assert any(not v[2] for v in want.values())
+
+    import pytest as _pytest
+
+    stream2 = stream_parquet_dir(
+        spark, src2, docs.schema, max_files_per_trigger=1
+    )
+    with _pytest.raises(ValueError, match="committed offsets"):
+        substring_contamination_stream(
+            stream2, str(tmp_path / "sck2"), sink
+        )
