@@ -509,3 +509,66 @@ def test_partitioned_running_sum_null_values_match_global_window(spark):
     # leading all-NULL bucket) and at least one non-null row whose
     # own bucket-local prefix was all-NULL
     assert any(v is None for v in got.values())
+
+
+# --- exact duplicated-substring spans ---------------------------------
+
+_doc = st.text(alphabet="ab", min_size=0, max_size=30)
+_docs_list = st.lists(_doc, min_size=0, max_size=8)
+
+
+def _brute_span_rows(docs, T, min_docs=2):
+    pos = [
+        (i, p, t[p - 1 : p - 1 + T])
+        for i, t in docs
+        for p in range(1, len(t) - T + 2)
+    ]
+    by_gram: dict = {}
+    for i, p, g in pos:
+        by_gram.setdefault(g, set()).add(i)
+    dup = {g for g, ds in by_gram.items() if len(ds) >= min_docs}
+    starts: dict = {}
+    for i, p, g in pos:
+        if g in dup:
+            starts.setdefault(i, []).append(p)
+    out = []
+    for i, ps in sorted(starts.items()):
+        ps.sort()
+        lo = prev = ps[0]
+        for p in ps[1:]:
+            if p == prev + 1:
+                prev = p
+                continue
+            out.append((i, lo, prev + T - 1, prev + T - lo))
+            lo = prev = p
+        out.append((i, lo, prev + T - 1, prev + T - lo))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=_SLOW)
+@given(texts=_docs_list)
+def test_duplicate_substring_spans_matches_bruteforce(spark, texts):
+    # 2-letter alphabet makes shared 6-grams the COMMON case; both
+    # physical strategies must equal the brute-force reference
+    # (doubling at T=6 exercises seed 2 -> 4 plus the 4+2 compose).
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    docs = list(enumerate(texts))
+    want = _brute_span_rows(docs, T=6)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs] or [(0, "")],
+        "doc_id long, text string",
+    )
+    if not docs:
+        df = df.limit(0)
+    for strategy, seed in (("gram", 8), ("doubling", 2)):
+        got = sorted(
+            tuple(r)
+            for r in duplicate_substring_spans(
+                df, min_len=6, strategy=strategy, seed_len=seed
+            ).collect()
+        )
+        assert got == want, f"strategy={strategy}"
