@@ -7774,3 +7774,61 @@ def pipeline_strip_suffix_spans(spark, sf_dir):
             "clean_text",
         )
     )
+
+
+@register(
+    "dq_k_anonymity_customers",
+    oracle="""
+    WITH g AS (SELECT c_nationkey, c_mktsegment,
+                      CAST(floor(c_acctbal / 500) AS BIGINT) AS bal_bucket,
+                      CAST(count(*) AS BIGINT) AS gsize
+               FROM customer GROUP BY 1, 2, 3),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) FILTER (WHERE gsize < k) AS BIGINT)
+             AS groups_below,
+           CAST(coalesce(sum(gsize) FILTER (WHERE gsize < k), 0)
+                AS BIGINT) AS rows_at_risk,
+           round(CAST(coalesce(sum(gsize) FILTER (WHERE gsize < k), 0)
+                      AS DOUBLE) / sum(gsize), 6) AS risk_frac
+    FROM g, ks GROUP BY k
+    """,
+)
+def dq_k_anonymity_customers(spark, sf_dir):
+    """k-anonymity audit over the customer quasi-identifiers — the
+    privacy gate a training-data pipeline runs before releasing or
+    joining user-adjacent tables: with QI = (nation, market segment,
+    500-unit balance bucket), a row is re-identifiable at level k when
+    its QI group holds fewer than k rows. Reports, for the standard
+    k in {2, 5, 10}: how many QI groups fall below k, how many rows
+    sit in them, and the at-risk fraction — the numbers that decide
+    whether the QI columns must be generalized (coarser buckets) or
+    suppressed before export.
+
+    Scale shape: ONE groupBy on the bounded QI domain (|nations| x
+    |segments| x balance buckets), then a 3-row k-threshold frame
+    broadcast-crossed into a conditional rollup. Corpus size only
+    widens the first scan; integer bucket edges (2dp balances / 500)
+    make the grouping bit-identical cross-engine.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500).cast("long").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("gsize"))
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k long")
+    risk = F.sum(F.when(F.col("gsize") < F.col("k"), F.col("gsize")).otherwise(F.lit(0)))
+    return (
+        g.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("gsize") < F.col("k"), 1))
+            .cast("long")
+            .alias("groups_below"),
+            risk.cast("long").alias("rows_at_risk"),
+            F.round(
+                risk.cast("double") / F.sum("gsize"), 6
+            ).alias("risk_frac"),
+        )
+    )
