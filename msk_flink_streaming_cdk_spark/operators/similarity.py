@@ -677,3 +677,63 @@ def pq_ann_topk(
         ),
     )
     return _topk_per_query(scored, k)
+
+
+def cosine_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k via blocked BLAS matmul — the dense scale
+    path for the brute-force baseline: one Arrow-batched matmul scores
+    a whole corpus block against every query at once, and each block
+    emits only its LOCAL top-k per query (same (9dp-cosine DESC,
+    vec_id ASC) total order as ``_topk_per_query``), so the shuffle
+    carries k rows per query per block instead of |corpus| x |queries|
+    scored rows. The global re-rank over block winners returns exactly
+    the brute-force result (local top-k under a total order is a
+    superset of the global top-k's block members; pinned row-identical
+    to ``cosine_topk_bruteforce`` in pytest and to the same DuckDB
+    oracle).
+
+    The query batch is collected into the UDF closure — top-k search
+    serves a BOUNDED query batch per job (the ``hyperplanes``/PQ
+    codebook posture); chunk larger query sets across jobs. 100 TB:
+    cost is one corpus scan per query batch with O(blocks * k * |Q|)
+    shuffle rows; the matmul runs at BLAS speed instead of one
+    Catalyst HOF fold per (row, query) pair.
+    """
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score_blocks(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = np.round(Xn @ Qn.T, 9)
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(qids)):
+                col = S[:, j]
+                idx = np.nonzero(ids != qids[j])[0]
+                take = np.lexsort((ids[idx], -col[idx]))[:k]
+                sel = idx[take]
+                out_q.extend([int(qids[j])] * len(sel))
+                out_v.extend(ids[sel].tolist())
+                out_c.extend(col[sel].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(score_blocks, "query_id long, vec_id long, cosine double")
+    return _topk_per_query(cand, k)

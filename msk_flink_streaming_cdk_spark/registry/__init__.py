@@ -103,6 +103,7 @@ NEXT_TRANCHE: list[str] = [
     "dedup_suffix_duplicate_spans",
     "pipeline_strip_suffix_spans",
     "dq_k_anonymity_customers",
+    "similarity_blas_topk",
     # round-9 tranche leftover (window overflow; last driver row r4)
     "similarity_hard_negatives",
     "embedding_outlier_flags",

@@ -27,6 +27,7 @@ from ..operators.multimodal import (
     synth_assets_from_documents,
 )
 from ..operators.similarity import (
+    cosine_topk_blas,
     cosine_topk_bruteforce,
     embedding_cosine_pairs,
     ivf_ann_topk,
@@ -7831,4 +7832,26 @@ def dq_k_anonymity_customers(spark, sf_dir):
                 risk.cast("double") / F.sum("gsize"), 6
             ).alias("risk_frac"),
         )
+    )
+
+
+@register("similarity_blas_topk", oracle=_COSINE_SQL)
+def similarity_blas_topk(spark, sf_dir):
+    """The SAME exact top-5 as ``similarity_cosine_topk`` computed the
+    way a dense 100 TB scan actually runs: one Arrow-batched BLAS
+    matmul per corpus block scoring all 10 queries at once, local
+    top-k per block under the shared (9dp cosine DESC, vec_id ASC)
+    order, global re-rank over block winners — shuffle carries
+    O(blocks x k x |Q|) rows instead of |corpus| x |Q| scored rows.
+    Shares the brute-force oracle verbatim (result equality IS the
+    check); pinned row-identical to the Catalyst HOF baseline in
+    pytest. See ``operators.similarity.cosine_topk_blas``.
+    """
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return cosine_topk_blas(emb, queries, k=5).select(
+        "query_id", "vec_id", "cosine", F.col("rank")
     )

@@ -1111,3 +1111,17 @@ def test_strip_suffix_spans_invariants(spark, sf_small):
             pos = e + 1
         keep.append(text[pos - 1 :])
         assert r.clean_text == "".join(keep)
+
+
+def test_blas_topk_identical_to_bruteforce(spark, sf_small):
+    brute = sorted(
+        tuple(r)
+        for r in QUERIES["similarity_cosine_topk"](
+            spark, sf_small
+        ).collect()
+    )
+    blas = sorted(
+        tuple(r)
+        for r in QUERIES["similarity_blas_topk"](spark, sf_small).collect()
+    )
+    assert brute == blas and len(blas) == 50
