@@ -164,6 +164,7 @@ HEADLINE = [
     # round 10 additions
     "dedup_suffix_duplicate_spans",
     "pipeline_strip_suffix_spans",
+    "similarity_blas_topk",
 ]
 
 
