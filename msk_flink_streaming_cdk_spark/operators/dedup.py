@@ -1203,3 +1203,92 @@ def duplicate_substring_spans(
             ),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = DEFAULT_SHINGLE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING — the
+    AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al.): every
+    pair with shingle-Jaccard >= ``threshold``, with NO length-band
+    assumption. Complements ``ngram_jaccard_pairs`` (length-banded
+    blocking, right when near-dups imply near-equal lengths) with the
+    lossless classic: under any global token order, two sets with
+    J >= t must share a token within each one's first
+    ``|x| - ceil(t*|x|) + 1`` tokens, so candidates are an equi-join
+    on prefix tokens only.
+
+    Tokens are ordered rarest-first by global document frequency
+    (ties by hash) — the canonical order that keeps every prefix-token
+    bucket small: the hottest tokens never appear in prefixes, making
+    the candidate join skew-resistant without salting. Candidate
+    verification is the same exact ``jaccard_col`` on the full hashed
+    shingle sets.
+
+    Scale shape: one shingle pass + one token-frequency aggregate
+    (vocabulary-sized), a per-doc array_sort (O(s log s) in shingle
+    count), an equi-join on prefix tokens, and one verify join per
+    distinct candidate pair. No cartesian at any size; the length
+    filter ``t*|a| <= |b|`` is implied by J >= t, so correctness needs
+    no extra predicate.
+    """
+    t = float(threshold)
+    sh = (
+        _parallelize(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(
+                shingle_col(F.col(text_col), k), lambda s: F.xxhash64(s)
+            ).alias("shingles"),
+        )
+        .select("doc_id", "shingles", F.size("shingles").alias("sz"))
+        .transform(materialize_once)
+    )
+    tok = sh.select("doc_id", "sz", F.explode("shingles").alias("h"))
+    freq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    plen = (
+        F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).cast("int")
+    ptok = (
+        tok.join(freq, "h")
+        .groupBy("doc_id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ts"))
+        .select(
+            "doc_id",
+            F.explode(F.slice("ts", 1, plen)).alias("t"),
+        )
+        .select("doc_id", F.col("t.h").alias("h"))
+    )
+    cand = (
+        ptok.alias("a")
+        .join(
+            ptok.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    paired = cand.join(
+        sh.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        ),
+        "doc_b",
+    )
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= t)

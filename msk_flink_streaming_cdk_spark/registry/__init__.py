@@ -104,6 +104,7 @@ NEXT_TRANCHE: list[str] = [
     "pipeline_strip_suffix_spans",
     "dq_k_anonymity_customers",
     "similarity_blas_topk",
+    "dedup_prefix_filter_pairs",
     # round-9 tranche leftover (window overflow; last driver row r4)
     "similarity_hard_negatives",
     "embedding_outlier_flags",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     dedup_exact,
     duplicate_substring_spans,
+    prefix_filter_jaccard_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
@@ -7854,4 +7855,47 @@ def similarity_blas_topk(spark, sf_dir):
     )
     return cosine_topk_blas(emb, queries, k=5).select(
         "query_id", "vec_id", "cosine", F.col("rank")
+    )
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), psh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5
+                  THEN list_distinct([array_to_string(w[i:i+4], ' ')
+                                      for i in range(1, len(w)-4+1)])
+                  ELSE [array_to_string(w, ' ')] END AS shingles
+      FROM words
+    ), tok AS (
+      SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM psh
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sz AS sa, b.sz AS sb,
+             CAST(count(*) AS BIGINT) AS c
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, c::DOUBLE / (sa + sb - c) AS jaccard
+    FROM shared WHERE c::DOUBLE / (sa + sb - c) >= 0.5
+    """,
+)
+def dedup_prefix_filter_pairs(spark, sf_dir):
+    """EVERY pair with 5-shingle Jaccard >= 0.5 — no length-band
+    assumption — via prefix filtering (AllPairs/PPJoin, Bayardo et
+    al. WWW'07): tokens globally ordered rarest-first, candidates
+    equi-joined on each doc's first |x| - ceil(0.5|x|) + 1 tokens
+    (lossless for J >= t), exact-Jaccard verified. The unbanded exact
+    tier next to the banded ``dedup_ngram_jaccard_pairs`` and the
+    probabilistic MinHash path; the oracle recomputes the full answer
+    independently via an inverted-index token join
+    (|A-and-B| per pair sharing any shingle, J = c/(sa+sb-c)), so the
+    prefix filter's completeness is itself oracle-checked.
+    """
+    return prefix_filter_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5
     )

@@ -1125,3 +1125,62 @@ def test_blas_topk_identical_to_bruteforce(spark, sf_small):
         for r in QUERIES["similarity_blas_topk"](spark, sf_small).collect()
     )
     assert brute == blas and len(blas) == 50
+
+
+def test_prefix_filter_finds_cross_band_pairs(spark):
+    # A doc and its 2x-length superset sit outside the +/-16-char
+    # band but at J = 0.5 exactly; the prefix filter must find it,
+    # and a disjoint doc must not pair.
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    double = base + " " + " ".join(f"x{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, double), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    # shingle counts: base 36, double 76 (includes the 4 bridge
+    # shingles), intersection 36 -> J = 36/76 < 0.5; use threshold on
+    # the actual value instead: recompute expected exactly.
+    b = set()
+    w = base.split()
+    for i in range(len(w) - 4):
+        b.add(" ".join(w[i : i + 5]))
+    d = set()
+    w2 = double.split()
+    for i in range(len(w2) - 4):
+        d.add(" ".join(w2[i : i + 5]))
+    expect_j = len(b & d) / len(b | d)
+    if expect_j >= 0.5:
+        assert (1, 2) in got and abs(got[(1, 2)] - expect_j) < 1e-12
+    else:
+        got2 = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_filter_jaccard_pairs(
+                df, threshold=0.4
+            ).collect()
+        }
+        assert (1, 2) in got2 and abs(got2[(1, 2)] - expect_j) < 1e-12
+    assert not any(3 in p for p in got)
+
+
+def test_prefix_filter_superset_of_banded(spark, sf_small):
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard_pairs"](
+            spark, sf_small
+        ).collect()
+    }
+    unbanded = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_prefix_filter_pairs"](
+            spark, sf_small
+        ).collect()
+    }
+    assert banded and banded <= unbanded
