@@ -1068,13 +1068,21 @@ def duplicate_substring_spans(
       with the class at ``p + k`` (``class_2k(p) = H(class_k(p),
       class_k(p+k))``), and compose ``min_len`` from its binary
       decomposition MSB-first. log2(min_len/seed_len)+popcount-1
-      joins, each shuffling 16-byte class ids — O(n log T) total
-      bytes vs the gram path's O(n*T) extraction, so this is the
-      path that wins when the duplication floor is hundreds of
-      characters (Lee et al. use 50 BPE tokens ~ 200+ chars) or when
-      several thresholds share the doubled prefix classes. Each round
-      is persisted so the self-join reads the cache instead of
-      doubling the lineage.
+      joins, each shuffling 16-byte class ids. Each round is
+      persisted so the self-join reads the cache instead of doubling
+      the lineage.
+
+    Measured trade-off (local[32]): the gram path wins at every
+    PRACTICAL detection floor — sf0.1 fixture T=40: 6.0s vs 7.3s;
+    synthetic 2000 x 1900-char corpus at T=256: 2.3s vs 3.5s — the
+    O(n*T) hash extraction is embarrassingly parallel scan CPU while
+    each doubling round is a full shuffle, and both paths shuffle the
+    same 16B/position classes afterwards. Prefer ``"gram"`` (the
+    default) for single-threshold detection; ``"doubling"`` earns its
+    rounds when MANY thresholds share the power tables (its
+    ``powers[k]`` frames answer any floor that decomposes over the
+    computed k) or when the floor is so large that hashing T bytes
+    per position dominates a shuffle round (T in the thousands).
 
     Class ids are 128-bit (two independent xxhash64 lanes mixed with
     distinct round constants): collision probability over n positions

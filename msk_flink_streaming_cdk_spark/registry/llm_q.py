@@ -7654,10 +7654,12 @@ def dedup_suffix_duplicate_spans(spark, sf_dir):
     islands per document. Runs the seeded prefix-doubling strategy
     (suffix-array construction as log-round DataFrame self-joins:
     8-char seed hashes -> 16 -> 32, composed 40 = 32 + 8) so the
-    driver-checked path IS the O(n log T)-shuffle scale path; pytest
-    pins it row-identical to the single-shuffle "gram" strategy and
-    to this oracle. See ``duplicate_substring_spans`` for the
-    strategy trade-off and the 128-bit class-id collision analysis.
+    NONTRIVIAL path gets the hard cross-engine check; pytest pins it
+    row-identical to the single-shuffle "gram" strategy (the measured
+    default — see the operator docstring's A/B) and to this oracle;
+    ``pipeline_strip_suffix_spans`` consumes the gram path. See
+    ``duplicate_substring_spans`` for the strategy trade-off and the
+    128-bit class-id collision analysis.
     """
     return duplicate_substring_spans(
         _docs(spark, sf_dir), min_len=40, min_docs=2, strategy="doubling"
