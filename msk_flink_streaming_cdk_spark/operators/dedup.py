@@ -1095,7 +1095,13 @@ def duplicate_substring_spans(
     of the corpus, and the island merge runs per-document. A
     boilerplate gram repeated billions of times skews the class-id
     groupBy key — AQE skew handling applies; the join-back is
-    class-id-keyed with the same mitigation.
+    class-id-keyed with the same mitigation. When per-character rows
+    are too many outright, the production dial is a position STRIDE:
+    hashing T-grams every s positions still detects every duplicated
+    span of length >= T + s - 1 (any such window contains a
+    stride-aligned gram), trading span-boundary precision for an s-x
+    row reduction — this operator keeps stride 1 because its contract
+    (and the oracle) is exact maximal spans at the floor itself.
     """
     if strategy not in ("gram", "doubling"):
         raise ValueError(f"unknown strategy: {strategy!r}")
