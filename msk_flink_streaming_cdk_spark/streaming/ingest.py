@@ -5,10 +5,14 @@ The reference's streaming surface is fixed-window aggregation
 (``/root/reference/PythonKafkaSink/main.py:79-96``); these extend the
 same micro-batch machinery to the LLM-pipeline admission shape: each
 arriving batch of documents is scored against the accumulated corpus
-(near-dup probe) and its component labeling is folded into the
-maintained labels table — the streaming twins of
-``operators/dedup.py::incremental_near_dup`` and
-``incremental_connected_components``.
+index and admitted/rejected, with admitted documents folding into the
+maintained index. Five gates, each the streaming twin of an
+oracle-checked batch operator: Jaccard near-dup
+(``incremental_near_dup``), component maintenance
+(``incremental_connected_components``), winnowing fingerprints
+(``winnow_fingerprints`` — fuzzy MOSS overlap), CDC chunk ratio
+(``cdc_chunks``), and exact-substring contamination
+(``gram_position_classes`` — any verbatim min_len-char overlap).
 
 Design: ``foreachBatch`` per-batch composition, NOT a stateful
 streaming operator. The corpus/labels are maintained TABLES (persisted
