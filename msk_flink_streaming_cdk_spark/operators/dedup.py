@@ -1025,6 +1025,107 @@ def gram_position_classes(
     )
 
 
+def _span_bits(T: int, seed_len: int) -> list[int]:
+    bits = [1 << b for b in range(T.bit_length()) if T >> b & 1]
+    if T % seed_len or min(bits) < seed_len or seed_len & (seed_len - 1):
+        raise ValueError(
+            f"seed_len={seed_len} must be a power of 2 dividing every "
+            f"binary component of min_len={T}"
+        )
+    return bits
+
+
+def _doubling_powers(
+    docs: DataFrame,
+    floors: set,
+    seed_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Prefix-doubled class tables: ``{k: (d, p, h1, h2)}`` for every
+    power-of-2 block length any floor in ``floors`` decomposes into.
+    Seeded from ``seed_len``-char gram hashes (no join), each doubling
+    round persisted; positions are exploded once over docs long enough
+    for the SMALLEST floor, and inner joins drop positions/documents
+    as windows outgrow them — so several floors share one explode and
+    one power chain (the multi-threshold case where doubling beats
+    per-floor gram extraction)."""
+    need: set = set()
+    for T in floors:
+        need.update(_span_bits(int(T), seed_len))
+    min_floor = min(int(T) for T in floors)
+    d = _parallelize(
+        docs.filter(F.length(text_col) >= min_floor).select(
+            F.col(id_col).alias("d"), F.col(text_col).alias("text")
+        )
+    )
+    cur = materialize_once(
+        d.select(
+            "d",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - seed_len + 1)
+            ).alias("p"),
+            "text",
+        ).select(
+            "d",
+            "p",
+            F.xxhash64(
+                F.expr(f"substring(text, p, {seed_len})")
+            ).alias("h1"),
+            F.xxhash64(
+                F.expr(f"substring(text, p, {seed_len})"), F.lit(-7)
+            ).alias("h2"),
+        )
+    )
+    powers, k = {}, seed_len
+    while True:
+        if k in need:
+            powers[k] = cur
+        if k >= max(need):
+            break
+        shifted = cur.select(
+            "d",
+            (F.col("p") - k).alias("p"),
+            F.col("h1").alias("g1"),
+            F.col("h2").alias("g2"),
+        )
+        cur = materialize_once(
+            cur.join(shifted, ["d", "p"]).select(
+                "d",
+                "p",
+                F.xxhash64("h1", "g1", F.lit(2 * k)).alias("h1"),
+                F.xxhash64("h2", "g2", F.lit(-2 * k)).alias("h2"),
+            )
+        )
+        k *= 2
+    return powers
+
+
+def _compose_classes(powers: dict, T: int) -> DataFrame:
+    """Length-``T`` class ids from the power tables: MSB-first chain
+    of offset equi-joins over T's binary decomposition."""
+    bits = sorted(
+        (1 << b for b in range(int(T).bit_length()) if T >> b & 1),
+        reverse=True,
+    )
+    classed, off = powers[bits[0]], bits[0]
+    for b in bits[1:]:
+        nxt = powers[b].select(
+            "d",
+            (F.col("p") - off).alias("p"),
+            F.col("h1").alias("g1"),
+            F.col("h2").alias("g2"),
+        )
+        classed = classed.join(nxt, ["d", "p"]).select(
+            "d",
+            "p",
+            F.xxhash64("h1", "g1", F.lit(off)).alias("h1"),
+            F.xxhash64("h2", "g2", F.lit(-off)).alias("h2"),
+        )
+        off += b
+    return classed
+
+
 def duplicate_substring_spans(
     docs: DataFrame,
     min_len: int = 40,
@@ -1113,73 +1214,19 @@ def duplicate_substring_spans(
             ).withColumnRenamed(id_col, "d")
         )
     else:
-        d = _parallelize(
-            docs.filter(F.length(text_col) >= T).select(
-                F.col(id_col).alias("d"), F.col(text_col).alias("text")
-            )
+        powers = _doubling_powers(
+            docs, {T}, seed_len, id_col=id_col, text_col=text_col
         )
-        bits = [1 << b for b in range(T.bit_length()) if T >> b & 1]
-        if T % seed_len or min(bits) < seed_len or seed_len & (seed_len - 1):
-            raise ValueError(
-                f"seed_len={seed_len} must be a power of 2 dividing every "
-                f"binary component of min_len={T}"
-            )
-        cur = materialize_once(
-            d.select(
-                "d",
-                F.explode(
-                    F.sequence(F.lit(1), F.length("text") - seed_len + 1)
-                ).alias("p"),
-                "text",
-            ).select(
-                "d",
-                "p",
-                F.xxhash64(
-                    F.expr(f"substring(text, p, {seed_len})")
-                ).alias("h1"),
-                F.xxhash64(
-                    F.expr(f"substring(text, p, {seed_len})"), F.lit(-7)
-                ).alias("h2"),
-            )
-        )
-        powers, k = {}, seed_len
-        while True:
-            if k in bits:
-                powers[k] = cur
-            if k >= max(bits):
-                break
-            shifted = cur.select(
-                "d",
-                (F.col("p") - k).alias("p"),
-                F.col("h1").alias("g1"),
-                F.col("h2").alias("g2"),
-            )
-            cur = materialize_once(
-                cur.join(shifted, ["d", "p"]).select(
-                    "d",
-                    "p",
-                    F.xxhash64("h1", "g1", F.lit(2 * k)).alias("h1"),
-                    F.xxhash64("h2", "g2", F.lit(-2 * k)).alias("h2"),
-                )
-            )
-            k *= 2
-        ordered = sorted(bits, reverse=True)
-        classed, off = powers[ordered[0]], ordered[0]
-        for b in ordered[1:]:
-            nxt = powers[b].select(
-                "d",
-                (F.col("p") - off).alias("p"),
-                F.col("h1").alias("g1"),
-                F.col("h2").alias("g2"),
-            )
-            classed = classed.join(nxt, ["d", "p"]).select(
-                "d",
-                "p",
-                F.xxhash64("h1", "g1", F.lit(off)).alias("h1"),
-                F.xxhash64("h2", "g2", F.lit(-off)).alias("h2"),
-            )
-            off += b
-        classed = materialize_once(classed)
+        classed = materialize_once(_compose_classes(powers, T))
+    return _spans_from_classes(classed, T, min_docs, id_col)
+
+
+def _spans_from_classes(
+    classed: DataFrame, T: int, min_docs: int, id_col: str
+) -> DataFrame:
+    """Duplicated-class filter + per-document island merge shared by
+    ``duplicate_substring_spans`` (both strategies) and
+    ``span_floor_profile``."""
     if min_docs == 2:
         # min(d) != max(d) <=> >= 2 distinct docs: a single-phase agg
         # (countDistinct plans a two-shuffle expand — measured 3.45s
@@ -1217,6 +1264,77 @@ def duplicate_substring_spans(
             ),
         )
     )
+
+
+def span_floor_profile(
+    docs: DataFrame,
+    floors: tuple = (16, 24, 40),
+    min_docs: int = 2,
+    seed_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "gram",
+) -> DataFrame:
+    """Verbatim-duplication profile at several span floors — the
+    threshold-tuning audit that decides where to set the strip floor:
+    per floor, how many documents carry cross-document duplicated
+    spans, how many maximal spans there are, how many duplicated
+    start positions they merge, and how many characters they cover.
+
+    Strategy A/B at sf0.1, floors (16, 24, 40), min-of-2 (the
+    multi-threshold case was the doubling strategy's hypothesized
+    home turf — measured, it still loses): per-floor gram classes
+    4.5s, one shared prefix-doubling power chain 9.0s, and a
+    single-explode all-floors-hashed-at-once variant landed between
+    them (4.9s) — re-hashing per floor is scan CPU, every doubling
+    round is a shuffle. ``strategy="gram"`` (default) extracts
+    per-floor gram classes; ``"doubling"`` composes every floor from
+    one power-table chain and remains available for floors in the
+    thousands of characters.
+
+    One row per floor: (floor, n_docs, n_spans, dup_positions,
+    chars_covered), dup_positions = sum over spans of
+    (span_len - floor + 1).
+    """
+    floors = sorted(int(T) for T in floors)
+    if strategy == "doubling":
+        powers = _doubling_powers(
+            docs, set(floors), seed_len, id_col=id_col, text_col=text_col
+        )
+        classed_for = {
+            T: materialize_once(_compose_classes(powers, T))
+            for T in floors
+        }
+    else:
+        classed_for = {
+            T: materialize_once(
+                gram_position_classes(
+                    docs, min_len=T, id_col=id_col, text_col=text_col
+                ).withColumnRenamed(id_col, "d")
+            )
+            for T in floors
+        }
+    out = None
+    for T in floors:
+        spans = _spans_from_classes(classed_for[T], T, min_docs, id_col)
+        row = spans.agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.coalesce(F.sum(F.col("span_len") - T + 1), F.lit(0))
+            .cast("long")
+            .alias("dup_positions"),
+            F.coalesce(F.sum("span_len"), F.lit(0))
+            .cast("long")
+            .alias("chars_covered"),
+        ).select(
+            F.lit(T).cast("long").alias("floor"),
+            "n_docs",
+            "n_spans",
+            "dup_positions",
+            "chars_covered",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def prefix_filter_jaccard_pairs(

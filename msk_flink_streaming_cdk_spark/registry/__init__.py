@@ -105,6 +105,7 @@ NEXT_TRANCHE: list[str] = [
     "dq_k_anonymity_customers",
     "similarity_blas_topk",
     "dedup_prefix_filter_pairs",
+    "dedup_span_floor_profile",
     # round-9 tranche leftover (window overflow; last driver row r4)
     "similarity_hard_negatives",
     "embedding_outlier_flags",

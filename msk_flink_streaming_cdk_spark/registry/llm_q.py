@@ -16,6 +16,7 @@ from ..operators.dedup import (
     dedup_exact,
     duplicate_substring_spans,
     prefix_filter_jaccard_pairs,
+    span_floor_profile,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
@@ -7901,3 +7902,53 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
     return prefix_filter_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.5
     )
+
+
+def _floor_profile_branch(T: int) -> str:
+    return f"""
+    SELECT * FROM (
+      WITH pos AS (
+        SELECT doc_id, gs.g AS p, substr(text, gs.g, {T}) AS gram
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(
+               1, greatest(length(text) - {T} + 1, 0))) AS g) gs(g)
+      ),
+      dup AS (SELECT gram FROM pos
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      d AS (SELECT doc_id, p FROM pos
+            WHERE gram IN (SELECT gram FROM dup)),
+      isl AS (SELECT doc_id, p,
+                     p - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY p) AS grp
+              FROM d),
+      sp AS (SELECT doc_id,
+                    max(p) + {T} - 1 - min(p) + 1 AS span_len,
+                    count(*) AS starts
+             FROM isl GROUP BY doc_id, grp)
+      SELECT CAST({T} AS BIGINT) AS floor,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(coalesce(sum(starts), 0) AS BIGINT) AS dup_positions,
+             CAST(coalesce(sum(span_len), 0) AS BIGINT) AS chars_covered
+      FROM sp
+    )"""
+
+
+@register(
+    "dedup_span_floor_profile",
+    oracle="\n    UNION ALL\n".join(
+        _floor_profile_branch(T) for T in (16, 24, 40)
+    ),
+)
+def dedup_span_floor_profile(spark, sf_dir):
+    """Verbatim-duplication profile at floors {16, 24, 40} — the
+    threshold-tuning audit behind ``pipeline_strip_suffix_spans``:
+    per floor, docs carrying cross-document duplicated spans, maximal
+    span count, duplicated start positions, and characters covered.
+    Runs the measured-fastest strategy (per-floor gram classes; the
+    shared prefix-doubling power chain and a single-explode variant
+    both measured slower — the A/B lives in
+    ``operators.dedup.span_floor_profile``'s docstring); pytest pins
+    the two strategies row-identical.
+    """
+    return span_floor_profile(_docs(spark, sf_dir), floors=(16, 24, 40))

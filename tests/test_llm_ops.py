@@ -1184,3 +1184,25 @@ def test_prefix_filter_superset_of_banded(spark, sf_small):
         ).collect()
     }
     assert banded and banded <= unbanded
+
+
+def test_span_floor_profile_strategies_agree(spark, sf_small):
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        span_floor_profile,
+    )
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    gram = sorted(
+        tuple(r)
+        for r in span_floor_profile(docs, strategy="gram").collect()
+    )
+    dbl = sorted(
+        tuple(r)
+        for r in span_floor_profile(docs, strategy="doubling").collect()
+    )
+    assert gram == dbl and len(gram) == 3
+    # floors are nested: every doc duplicated at 40 is duplicated at 16
+    by_floor = {r[0]: r for r in gram}
+    assert by_floor[16][1] >= by_floor[24][1] >= by_floor[40][1]
+    assert by_floor[40][1] > 0
