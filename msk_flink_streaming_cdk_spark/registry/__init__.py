@@ -10,20 +10,22 @@ each round, while long-proven shapes rotate to the tail (they remain
 fully covered by ``tests/test_reference_queries.py``, which checks ALL
 oracle-backed queries).
 
-Round-10 rotation (the round-9 verdict's #1 item): the window keeps
-the 4 reference queries, then takes the leading 46 keys of the round-9
-``NEXT_TRANCHE`` verbatim — FIRST-EVER driver rows for the 5 round-9
-additions (``text_repeated_ngram_loops``, ``text_bpe_encode_tokens``,
-``text_zipf_rank_slope``, ``dq_mad_outlier_docs``,
-``dq_psi_doclen_by_source``), then the round-8 tranche leftover, the
-remaining round-3 keys (last driver row in round 3), and the oldest
-round-4 single-check keys in staleness order (staleness computed from
+Round-11 rotation (the round-10 verdict's #1 item, prevalidated in
+``tools/driver_sim_r11_prevalidate.log``): the window keeps the 4
+reference queries, then takes the leading 46 keys of the round-10
+``NEXT_TRANCHE`` verbatim — FIRST-EVER driver rows for the 6 round-10
+additions (``dedup_suffix_duplicate_spans``,
+``pipeline_strip_suffix_spans``, ``dq_k_anonymity_customers``,
+``similarity_blas_topk``, ``dedup_prefix_filter_pairs``,
+``dedup_span_floor_profile``), then the round-9 tranche leftover, the
+remaining round-4-stale keys (single driver check, round 4), and the
+oldest round-5-stale keys in staleness order (staleness computed from
 the committed ``CORRECTNESS_r0*.json`` history).
 ``ROTATION_WINDOW`` pins the first ``ROTATION_WINDOW_SIZE`` keys
 explicitly and a test asserts the ordering, so the planned rotation is
-enforced by code, not a comment; the round-11 tranche (leftover
-round-4 keys + remaining round-4-stale keys + round-5-stale keys, in
-staleness order) is kept IN ORDER at the tail of ``PRIORITY``.
+enforced by code, not a comment; the round-12 tranche (round-11
+additions as they land, then the round-5 leftover, in staleness order)
+is kept IN ORDER at the tail of ``PRIORITY``.
 """
 
 from ._core import ORACLES, QUERIES, register
@@ -41,65 +43,10 @@ ROTATION_WINDOW: list[str] = [
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
-    # Round-9 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows for
-    # the 5 round-9 additions, then the round-8 leftover, the stale
-    # round-3 keys, and the oldest round-4 single-check keys.
-    "text_repeated_ngram_loops",
-    "text_bpe_encode_tokens",
-    "text_zipf_rank_slope",
-    "dq_mad_outlier_docs",
-    "dq_psi_doclen_by_source",
-    "setop_except_rich_without_open_orders",
-    "setop_union_all_order_events",
-    "explode_top_words",
-    "scalar_string_functions",
-    "scalar_date_math",
-    "json_extract_props",
-    "pivot_event_type_counts",
-    "sliding_window_event_counts",
-    "session_window_user_sessions",
-    "grouped_map_price_trend",
-    "approx_distinct_parts",
-    "approx_quantiles_prices",
-    "asof_join_prev_signup",
-    "stats_by_returnflag",
-    "grouping_sets_status_priority",
-    "array_agg_order_keys",
-    "in_subquery_suppliers",
-    "scalar_subquery_price_ratio",
-    "text_contamination_bloom",
-    "text_bm25_topk",
-    "embedding_pca_project",
-    "quality_logistic_fit",
-    "text_ngram_novelty",
-    "text_prefix_boilerplate_groups",
-    "dedup_graph_triangle_count",
-    "text_temperature_mixture",
-    "text_zscore_by_source",
-    "histogram_equidepth_prices",
-    "dedup_graph_pagerank",
-    "timeseries_ewma_kernel",
-    "timeseries_ohlc_hourly",
-    "timeseries_rolling_zscore",
-    "text_weighted_sample_topk",
-    "dq_column_profile",
-    "dq_key_skew_profile",
-    "pipeline_near_dedup_keep_central",
-    "text_bpe_pair_counts",
-    "attribution_last_touch",
-    "text_pmi_pairs",
-    "dq_gini_doclen_by_source",
-    "dq_duplicate_rate_by_source",]
-
-# Next tranche (round 11): any round-10 additions are registered at
-# the head of this list as they land, then the round-9 tranche
-# leftover (window overflow), then the remaining round-4-stale keys,
-# then the round-5-stale keys — all in staleness order derived from
-# the committed CORRECTNESS_r0*.json history. Keeping them HERE (not
-# just in a comment) makes the plan part of the ordered registry.
-NEXT_TRANCHE: list[str] = [
-    # round-10 additions (never driver-checked) — head of the
-    # round-11 window per the rotation policy.
+    # Round-10 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows
+    # for the 6 round-10 additions, then the round-9 tranche leftover,
+    # the remaining round-4-stale keys, and the oldest round-5-stale
+    # keys.
     "dedup_suffix_duplicate_spans",
     "pipeline_strip_suffix_spans",
     "dq_k_anonymity_customers",
@@ -148,7 +95,15 @@ NEXT_TRANCHE: list[str] = [
     "sketch_countmin_accuracy",
     "storage_zorder_events",
     "dedup_connected_components",
-    "dedup_connected_components_star",
+    "dedup_connected_components_star",]
+
+# Next tranche (round 12): any round-11 additions are registered at
+# the head of this list as they land, then the round-5-stale leftover
+# (window overflow) — in staleness order derived from the committed
+# CORRECTNESS_r0*.json history. Keeping them HERE (not just in a
+# comment) makes the plan part of the ordered registry.
+NEXT_TRANCHE: list[str] = [
+    # round-5-stale leftover (window overflow), registry order
     "similarity_cosine_topk",
     "similarity_ivf_ann_topk",
     "pipeline_clean_corpus",
