@@ -1150,7 +1150,12 @@ def duplicate_substring_spans(
     duplicated starts within a document merge into one maximal span
     ``[span_start, span_end]`` (char-inclusive, 1-based),
     ``span_len = span_end - span_start + 1``. Documents shorter than
-    ``min_len`` cannot participate.
+    ``min_len`` cannot participate. NOTE: two distinct islands whose
+    start positions are less than ``min_len`` apart overlap in
+    CHARACTER space (each span extends ``min_len - 1`` chars past its
+    last start) — consumers that count or splice characters must
+    interval-union the spans first (``strip_substring_spans`` and
+    ``span_floor_profile`` do; see ``_merge_intervals_expr``).
 
     Two physical strategies, identical output (pinned by test):
 
@@ -1266,6 +1271,120 @@ def _spans_from_classes(
     )
 
 
+def _merge_intervals_expr(col: str):
+    """Interval UNION over a sorted ``array<struct<span_start,
+    span_end>>`` column — one Catalyst ``aggregate`` fold, no Python.
+    Two maximal POSITION islands less than ``min_len`` apart overlap in
+    CHARACTER space (island A covers ``[min_p, max_p + T - 1]``; an
+    island starting within ``T - 1`` chars of ``max_p`` starts inside
+    that tail), so any consumer that counts or splices characters must
+    union the intervals first or it double-counts the overlap (the
+    round-10 ADVICE repro: two islands sharing 31 chars made
+    ``chars_removed`` exceed the document length). Overlapping OR
+    exactly-adjacent intervals merge, so each output interval is one
+    maximal contiguous duplicated character region.
+    """
+    return F.expr(
+        f"aggregate({col},"
+        " cast(array() as"
+        "   array<struct<span_start: bigint, span_end: bigint>>),"
+        " (acc, s) -> case"
+        "   when size(acc) = 0 then array(s)"
+        "   when s.span_start <= element_at(acc, -1).span_end + 1 then"
+        "     concat(slice(acc, 1, size(acc) - 1), array(named_struct("
+        "       'span_start', element_at(acc, -1).span_start,"
+        "       'span_end', greatest(element_at(acc, -1).span_end,"
+        "                            s.span_end))))"
+        "   else concat(acc, array(s)) end)"
+    )
+
+
+def strip_substring_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL step over ``duplicate_substring_spans`` — Lee et
+    al.'s exact-substring dedup applied as curation: union the maximal
+    duplicated islands into disjoint character intervals per document,
+    cut every interval out, and emit the cleaned corpus with per-doc
+    strip stats (``n_spans`` = maximal contiguous removed regions,
+    ``chars_removed`` = distinct characters removed, so
+    ``clean_len + chars_removed = length(text)`` ALWAYS — including
+    when islands overlap in character space, see
+    ``_merge_intervals_expr``).
+
+    Spark shape: spans (gram strategy — single class-id shuffle) ->
+    per-doc sorted span array (``collect_list`` bounded by
+    spans-per-doc, never corpus-wide) -> one ``aggregate`` fold unions
+    the intervals -> ONE narrow higher-order ``aggregate`` walks the
+    disjoint segments and splices the kept text per row — no Python
+    UDF, no per-span join back to the text. Docs with no spans pass
+    through on the left join. 100 TB: cost is the span detection; the
+    merge + splice are narrow maps over documents.
+    """
+    spans = duplicate_substring_spans(
+        docs,
+        min_len=min_len,
+        min_docs=min_docs,
+        id_col=id_col,
+        text_col=text_col,
+        strategy="gram",
+    )
+    arr = (
+        spans.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("isl")
+        )
+        .select(id_col, _merge_intervals_expr("isl").alias("spans"))
+    )
+    clean = F.expr(
+        f"aggregate(spans,"
+        f" named_struct('pos', cast(1 as bigint), 'acc', ''),"
+        f" (a, s) -> named_struct("
+        f"   'pos', cast(s.span_end + 1 as bigint),"
+        f"   'acc', concat(a.acc,"
+        f"     substring({text_col}, a.pos, s.span_start - a.pos))),"
+        f" a -> concat(a.acc,"
+        f"   substring({text_col}, a.pos,"
+        f"     greatest(length({text_col}) - a.pos + 1, 0L))))"
+    )
+    return (
+        docs.select(id_col, text_col)
+        .join(arr, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("spans").isNull(), F.lit(0))
+            .otherwise(F.size("spans"))
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce(
+                F.expr(
+                    "aggregate(spans, cast(0 as bigint),"
+                    " (a, s) -> a + s.span_end - s.span_start + 1)"
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("chars_removed"),
+            F.when(F.col("spans").isNull(), F.col(text_col))
+            .otherwise(clean)
+            .alias("clean_text"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "chars_removed",
+            F.length("clean_text").cast("long").alias("clean_len"),
+            "clean_text",
+        )
+    )
+
+
 def span_floor_profile(
     docs: DataFrame,
     floors: tuple = (16, 24, 40),
@@ -1294,7 +1413,12 @@ def span_floor_profile(
 
     One row per floor: (floor, n_docs, n_spans, dup_positions,
     chars_covered), dup_positions = sum over spans of
-    (span_len - floor + 1).
+    (span_len - floor + 1). ``n_spans`` counts maximal POSITION
+    islands; ``chars_covered`` is the size of the UNION of their
+    character intervals (islands closer than the floor overlap in
+    character space — summing raw span lengths double-counted the
+    overlap until round 11; the per-doc running-max window below
+    subtracts it exactly, mirroring the DuckDB oracle).
     """
     floors = sorted(int(T) for T in floors)
     if strategy == "doubling":
@@ -1317,13 +1441,31 @@ def span_floor_profile(
     out = None
     for T in floors:
         spans = _spans_from_classes(classed_for[T], T, min_docs, id_col)
-        row = spans.agg(
+        w = (
+            Window.partitionBy(id_col)
+            .orderBy("span_start")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        covered = spans.withColumn(
+            "covered",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("span_end")
+                - F.greatest(
+                    F.col("span_start") - 1,
+                    F.coalesce(
+                        F.max("span_end").over(w), F.lit(0).cast("long")
+                    ),
+                ),
+            ),
+        )
+        row = covered.agg(
             F.countDistinct(id_col).cast("long").alias("n_docs"),
             F.count(F.lit(1)).cast("long").alias("n_spans"),
             F.coalesce(F.sum(F.col("span_len") - T + 1), F.lit(0))
             .cast("long")
             .alias("dup_positions"),
-            F.coalesce(F.sum("span_len"), F.lit(0))
+            F.coalesce(F.sum("covered"), F.lit(0))
             .cast("long")
             .alias("chars_covered"),
         ).select(
@@ -1335,6 +1477,20 @@ def span_floor_profile(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _prefix_len_col(t: float):
+    """Lossless prefix length ``|x| - ceil(t*|x|) + 1`` over the
+    ``sz`` column, with the ceil biased DOWN by an epsilon: IEEE error
+    can land ``t*sz`` just above an exact integer (0.1 * 30 =
+    3.0000000000000004), and a naive ceil would then SHORTEN the
+    prefix below the lossless bound and silently drop true pairs
+    (round-10 ADVICE). A one-token-too-long prefix is only a perf
+    cost, never a correctness one; the property test pins the Spark
+    value to the exact-rational bound for every sz up to 512."""
+    return (
+        F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+    ).cast("int")
 
 
 def prefix_filter_jaccard_pairs(
@@ -1382,9 +1538,7 @@ def prefix_filter_jaccard_pairs(
     )
     tok = sh.select("doc_id", "sz", F.explode("shingles").alias("h"))
     freq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    plen = (
-        F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    ).cast("int")
+    plen = _prefix_len_col(t)
     ptok = (
         tok.join(freq, "h")
         .groupBy("doc_id", "sz")

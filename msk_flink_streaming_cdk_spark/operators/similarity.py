@@ -713,19 +713,45 @@ def cosine_topk_blas(
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
     def score_blocks(batches):
+        # The block emits a SUPERSET of the global top-k by RAW score
+        # threshold instead of a locally-ROUNDED top-k: numpy's
+        # np.round is half-even while the Spark path's F.round is
+        # HALF_UP, so rounding here could flip tie membership vs the
+        # bruteforce/oracle order. Rounding at 9dp moves a value by
+        # <= 5e-10, so rounded order can only disagree with raw order
+        # for scores within 1e-9 of each other — every global top-k
+        # member therefore has raw score >= (block's k-th best raw)
+        # - 1e-9; the 2e-9 margin also absorbs BLAS-vs-Catalyst
+        # last-ulp summation differences. _topk_per_query then applies
+        # the ONLY rounding (Spark-side HALF_UP), identical to the
+        # bruteforce path. Zero-norm vectors: numpy scores them NaN,
+        # which the pandas->Spark hop converts to Arrow NULL — the
+        # same NULL Catalyst's double Divide produces on a zero
+        # divisor (measured, pinned in
+        # test_blas_topk_zero_norm_and_tie_parity) — so both paths
+        # DESC-rank them last. NaN counts as +inf for the local
+        # threshold (conservative: emitting it costs a row, never
+        # correctness) and is emitted as-is.
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            S = np.round(Xn @ Qn.T, 9)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                S = Xn @ Qn.T
             out_q, out_v, out_c = [], [], []
             for j in range(len(qids)):
                 col = S[:, j]
                 idx = np.nonzero(ids != qids[j])[0]
-                take = np.lexsort((ids[idx], -col[idx]))[:k]
-                sel = idx[take]
+                ranked = np.where(np.isnan(col[idx]), np.inf, col[idx])
+                if len(idx) > k:
+                    kth = np.partition(ranked, len(ranked) - k)[
+                        len(ranked) - k
+                    ]
+                    sel = idx[ranked >= kth - 2e-9]
+                else:
+                    sel = idx
                 out_q.extend([int(qids[j])] * len(sel))
                 out_v.extend(ids[sel].tolist())
                 out_c.extend(col[sel].tolist())

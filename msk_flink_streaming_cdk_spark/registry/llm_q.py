@@ -17,6 +17,7 @@ from ..operators.dedup import (
     duplicate_substring_spans,
     prefix_filter_jaccard_pairs,
     span_floor_profile,
+    strip_substring_spans,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
@@ -7686,11 +7687,27 @@ def dedup_suffix_duplicate_spans(spark, sf_dir):
             FROM d),
     spans AS (SELECT doc_id, min(p) AS s, max(p) + 39 AS e
               FROM isl GROUP BY doc_id, grp),
+    -- islands < 40 apart OVERLAP in character space: interval-union
+    -- them (overlapping or adjacent) before counting and splicing, or
+    -- chars_removed double-counts and the splice walks backwards.
+    brk AS (SELECT doc_id, s, e,
+                   CASE WHEN s <= coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1) + 1
+                        THEN 0 ELSE 1 END AS new_grp
+            FROM spans),
+    mg AS (SELECT doc_id, s, e,
+                  sum(new_grp) OVER (PARTITION BY doc_id
+                                     ORDER BY s) AS mgrp
+           FROM brk),
+    merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+               FROM mg GROUP BY doc_id, mgrp),
     segs AS (SELECT doc_id, s, e,
                     coalesce(lag(e) OVER (PARTITION BY doc_id
                                           ORDER BY s), 0) + 1
                       AS seg_start
-             FROM spans),
+             FROM merged),
     cleaned AS (
       SELECT segs.doc_id,
              CAST(count(*) AS BIGINT) AS n_spans,
@@ -7727,57 +7744,19 @@ def pipeline_strip_suffix_spans(spark, sf_dir):
     pipelines wanting keep-one semantics re-admit one owner from the
     spans frame downstream.
 
-    Spark shape: spans (gram strategy — single class-id shuffle;
-    pinned row-identical to the doubling path) -> per-doc sorted span
-    array (collect_list bounded by spans-per-doc, never corpus-wide)
-    -> ONE narrow higher-order ``aggregate`` walks the segments and
-    splices the kept text per row — no Python UDF, no per-span join
-    back to the text. Docs with no spans pass through on the left
-    join. 100 TB: cost is the span detection; the splice is a narrow
-    map over documents.
+    Islands closer than the 40-char floor OVERLAP in character space
+    (round-11 fix, ADVICE r10): spans are interval-unioned per doc
+    before counting and splicing, so ``n_spans`` counts maximal
+    contiguous removed regions, ``chars_removed`` counts distinct
+    removed characters, and ``clean_len + chars_removed =
+    length(text)`` always holds. See
+    ``operators.dedup.strip_substring_spans`` for the Spark shape
+    (single class-id shuffle for detection, one Catalyst ``aggregate``
+    fold to union, one to splice — no Python UDF; 100 TB cost is the
+    span detection, the merge + splice are narrow maps).
     """
-    docs = _docs(spark, sf_dir)
-    spans = duplicate_substring_spans(
-        docs, min_len=40, min_docs=2, strategy="gram"
-    )
-    arr = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum("span_len").cast("long").alias("chars_removed"),
-        F.sort_array(
-            F.collect_list(F.struct("span_start", "span_end"))
-        ).alias("spans"),
-    )
-    clean = F.expr(
-        "aggregate(spans,"
-        " named_struct('pos', cast(1 as bigint), 'acc', ''),"
-        " (a, s) -> named_struct("
-        "   'pos', cast(s.span_end + 1 as bigint),"
-        "   'acc', concat(a.acc,"
-        "     substring(text, a.pos, s.span_start - a.pos))),"
-        " a -> concat(a.acc,"
-        "   substring(text, a.pos,"
-        "     greatest(length(text) - a.pos + 1, 0L))))"
-    )
-    return (
-        docs.select("doc_id", "text")
-        .join(arr, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("chars_removed", F.lit(0))
-            .cast("long")
-            .alias("chars_removed"),
-            F.when(F.col("spans").isNull(), F.col("text"))
-            .otherwise(clean)
-            .alias("clean_text"),
-        )
-        .select(
-            "doc_id",
-            "n_spans",
-            "chars_removed",
-            F.length("clean_text").cast("long").alias("clean_len"),
-            "clean_text",
-        )
+    return strip_substring_spans(
+        _docs(spark, sf_dir), min_len=40, min_docs=2
     )
 
 
@@ -7922,15 +7901,26 @@ def _floor_profile_branch(T: int) -> str:
                                             ORDER BY p) AS grp
               FROM d),
       sp AS (SELECT doc_id,
-                    max(p) + {T} - 1 - min(p) + 1 AS span_len,
+                    min(p) AS s,
+                    max(p) + {T} - 1 AS e,
                     count(*) AS starts
-             FROM isl GROUP BY doc_id, grp)
+             FROM isl GROUP BY doc_id, grp),
+      -- chars_covered = size of the UNION of the islands' character
+      -- intervals (islands < {T} apart overlap; raw span-length sums
+      -- double-count the overlap).
+      cov AS (SELECT doc_id, s, e, starts,
+                     greatest(0, e - greatest(s - 1,
+                       coalesce(max(e) OVER (
+                         PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0))) AS covered
+              FROM sp)
       SELECT CAST({T} AS BIGINT) AS floor,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              CAST(count(*) AS BIGINT) AS n_spans,
              CAST(coalesce(sum(starts), 0) AS BIGINT) AS dup_positions,
-             CAST(coalesce(sum(span_len), 0) AS BIGINT) AS chars_covered
-      FROM sp
+             CAST(coalesce(sum(covered), 0) AS BIGINT) AS chars_covered
+      FROM cov
     )"""
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from msk_flink_streaming_cdk_spark.registry import QUERIES
+from msk_flink_streaming_cdk_spark.registry import ORACLES, QUERIES
 
 
 def _pairs(df):
@@ -1002,6 +1002,26 @@ def _brute_spans(docs, T=40, min_docs=2):
     return sorted(out)
 
 
+def _merge_intervals(spans):
+    """Union of [s, e] char intervals (overlapping OR adjacent merge)."""
+    out = []
+    for s, e in sorted(spans):
+        if out and s <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [tuple(i) for i in out]
+
+
+# Overlapping-island construction (ADVICE r10 repro): doc 9 is 49
+# chars; doc 10 shares its chars [1, 40], doc 11 shares its chars
+# [10, 49]. Doc 9 then carries two position islands ({1} and {10})
+# whose CHARACTER spans [1, 40] and [10, 49] overlap — any consumer
+# that sums or splices raw spans double-counts 31 chars (the old code
+# reported chars_removed=80 on the 49-char doc).
+_OVL_BASE = "OvErLaP iSlAnD 0123456789 abcdefghij KLMNOPQRSTUVWXYZ"[:49]
+
+
 _SPAN_EDGE_DOCS = [
     # shared 60-char passage in the middle of two docs (one maximal span)
     (1, "A" * 10 + "the quick brown fox jumps over the lazy dog again and ok!!" + "B" * 10),
@@ -1016,6 +1036,12 @@ _SPAN_EDGE_DOCS = [
     # two disjoint shared passages with doc 8 -> two spans
     (7, "E" * 5 + "0123456789abcdefghijklmnopqrstuvwxyzABCD" + "F" * 9 + "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543210zyxw" + "G" * 5),
     (8, "H" * 11 + "0123456789abcdefghijklmnopqrstuvwxyzABCD" + "I" * 17 + "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543210zyxw" + "J" * 2),
+    # OVERLAPPING islands in char space (see _OVL_BASE comment): doc
+    # 9's spans [1, 40] (shared with 10) and [10, 49] (shared with 11)
+    # overlap by 31 chars.
+    (9, _OVL_BASE),
+    (10, "T" * 7 + _OVL_BASE[:40] + "U" * 2),
+    (11, "V" * 4 + _OVL_BASE[9:] + "W" * 6),
 ]
 
 
@@ -1099,7 +1125,9 @@ def test_strip_suffix_spans_invariants(spark, sf_small):
     assert any(r.n_spans > 0 for r in out)
     for r in out:
         text = text_by_id[r.doc_id]
-        spans = sorted(spans_per_doc.get(r.doc_id, []))
+        # the strip contract is over the interval UNION of the
+        # islands (islands < 40 chars apart overlap in char space)
+        spans = _merge_intervals(spans_per_doc.get(r.doc_id, []))
         assert r.n_spans == len(spans)
         assert r.chars_removed == sum(e - s + 1 for s, e in spans)
         assert r.clean_len == len(text) - r.chars_removed
@@ -1111,6 +1139,85 @@ def test_strip_suffix_spans_invariants(spark, sf_small):
             pos = e + 1
         keep.append(text[pos - 1 :])
         assert r.clean_text == "".join(keep)
+
+
+def test_strip_spans_overlapping_islands(spark, tmp_path):
+    """ADVICE r10 high: two islands overlapping in char space must be
+    interval-unioned before counting/splicing — Spark, the pure-Python
+    contract, AND the registered DuckDB oracle must all agree (the old
+    oracle's negative-length substr walked BACKWARDS and resurrected
+    span-covered chars)."""
+    import duckdb
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        strip_substring_spans,
+    )
+    from tests.oracle import canonicalize
+
+    df = spark.createDataFrame(_SPAN_EDGE_DOCS, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_substring_spans(df).collect()}
+    # doc 9: spans [1,40] + [10,49] union to ONE region covering the
+    # whole 49-char doc.
+    r9 = out[9]
+    assert (r9.n_spans, r9.chars_removed, r9.clean_len, r9.clean_text) == (
+        1, 49, 0, ""
+    )
+    # every doc: clean_len + chars_removed == len(text), and the
+    # splice equals an independent interval-union removal.
+    want = _brute_spans(_SPAN_EDGE_DOCS)
+    spans_by_doc = {}
+    for d, s, e, _l in want:
+        spans_by_doc.setdefault(d, []).append((s, e))
+    for did, text in _SPAN_EDGE_DOCS:
+        r = out[did]
+        merged = _merge_intervals(spans_by_doc.get(did, []))
+        assert r.clean_len + r.chars_removed == len(text)
+        assert r.n_spans == len(merged)
+        keep, pos = [], 1
+        for s, e in merged:
+            keep.append(text[pos - 1 : s - 1])
+            pos = e + 1
+        keep.append(text[pos - 1 :])
+        assert r.clean_text == "".join(keep)
+    # cross-engine: the registered oracle on the SAME edge docs.
+    pq = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT doc_id, text FROM '{pq}/*.parquet'"
+        )
+        cur = con.execute(ORACLES["pipeline_strip_suffix_spans"])
+        d_cols = [d[0] for d in cur.description]
+        d_rows = cur.fetchall()
+    finally:
+        con.close()
+    s_cols = ["doc_id", "n_spans", "chars_removed", "clean_len", "clean_text"]
+    s_rows = [tuple(out[did]) for did, _ in _SPAN_EDGE_DOCS]
+    assert sorted(s_cols) == sorted(d_cols)
+    _, s_canon = canonicalize(s_cols, s_rows)
+    _, d_canon = canonicalize(d_cols, d_rows)
+    assert s_canon == d_canon
+
+
+def test_span_floor_profile_union_coverage(spark):
+    """chars_covered is the UNION of island char intervals: doc 9's
+    overlapping [1,40]+[10,49] contribute 49, not 80."""
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        span_floor_profile,
+    )
+
+    ovl_only = [d for d in _SPAN_EDGE_DOCS if d[0] in (9, 10, 11)]
+    df = spark.createDataFrame(ovl_only, "doc_id long, text string")
+    rows = {
+        r.floor: r
+        for r in span_floor_profile(df, floors=(40,)).collect()
+    }
+    r = rows[40]
+    # doc 9 union 49 + doc 10 span [8,47] 40 + doc 11 span [5,44] 40
+    assert (r.n_docs, r.n_spans, r.chars_covered) == (3, 4, 129)
+    # dup_positions counts island starts unmerged: 2 + 1 + 1
+    assert r.dup_positions == 4
 
 
 def test_blas_topk_identical_to_bruteforce(spark, sf_small):
@@ -1125,6 +1232,55 @@ def test_blas_topk_identical_to_bruteforce(spark, sf_small):
         for r in QUERIES["similarity_blas_topk"](spark, sf_small).collect()
     )
     assert brute == blas and len(blas) == 50
+
+
+def test_blas_topk_zero_norm_and_tie_parity(spark):
+    """ADVICE r10 low: zero-norm and tie handling must agree between
+    the BLAS and Catalyst paths. Measured semantics (pinned here): a
+    zero-norm corpus vector scores NULL in BOTH — Catalyst's double
+    Divide returns NULL on a zero divisor (not Java NaN), and the
+    BLAS path's numpy NaN becomes Arrow null on the pandas->Spark
+    hop — so it DESC-ranks LAST in both. Exact score ties resolve by
+    vec_id identically (the BLAS path no longer rounds half-even
+    locally; the shared F.round HALF_UP in _topk_per_query is the
+    only rounding)."""
+    from msk_flink_streaming_cdk_spark.operators.similarity import (
+        cosine_topk_blas,
+        cosine_topk_bruteforce,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0]),       # zero norm -> NaN cosine
+        (2, [2.0, 0.0, 0.0]),       # cosine 1.0 with query
+        (3, [0.5, 0.0, 0.0]),       # cosine 1.0 tie -> vec_id break
+        (4, [1.0, 1.0, 0.0]),
+        (5, [-1.0, 0.0, 0.0]),
+        (6, [3.0, 0.0, 0.0]),       # another exact 1.0 tie
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    brute = [
+        tuple(r)
+        for r in cosine_topk_bruteforce(corpus, queries, k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    blas = [
+        tuple(r)
+        for r in cosine_topk_blas(corpus, queries, k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert brute == blas
+    # the 1.0 ties in vec_id order, then 0.707; the zero-norm vector's
+    # NULL score ranks last (outside the top 4) in BOTH paths.
+    assert [t[1] for t in brute] == [2, 3, 6, 4]
 
 
 def test_prefix_filter_finds_cross_band_pairs(spark):
@@ -1168,6 +1324,32 @@ def test_prefix_filter_finds_cross_band_pairs(spark):
         }
         assert (1, 2) in got2 and abs(got2[(1, 2)] - expect_j) < 1e-12
     assert not any(3 in p for p in got)
+
+
+def test_prefix_len_never_below_lossless_bound(spark):
+    """ADVICE r10 low: the prefix length must never round BELOW the
+    lossless |x| - ceil(t|x|) + 1 bound (FP-dirty t*sz over-ceiled
+    before the epsilon fix, e.g. ceil(0.1*30) = 4). Pins the Spark
+    expression to the exact-rational bound for every (t, sz): equal,
+    or at most one longer on the FP-dirty points."""
+    from fractions import Fraction
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        _prefix_len_col,
+    )
+
+    sizes = spark.range(1, 513).select(F.col("id").cast("int").alias("sz"))
+    for t in (0.1, 0.2, 0.3, 0.5, 0.7, 0.9):
+        got = {
+            r.sz: r.plen
+            for r in sizes.select(
+                "sz", _prefix_len_col(t).alias("plen")
+            ).collect()
+        }
+        ft = Fraction(t).limit_denominator(10)
+        for sz in range(1, 513):
+            exact = sz - (-(-(ft.numerator * sz) // ft.denominator)) + 1
+            assert exact <= got[sz] <= exact + 1, (t, sz, got[sz], exact)
 
 
 def test_prefix_filter_superset_of_banded(spark, sf_small):

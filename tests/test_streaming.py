@@ -1081,3 +1081,178 @@ def test_substring_contamination_restart_from_initial_index(
         substring_contamination_stream(
             stream2, str(tmp_path / "sck2"), sink
         )
+
+
+def _stage_file(spark, df, tmp_path, src_name, file_name, order):
+    """Write df as a single parquet file into the stream source dir
+    with a monotonically increasing mtime."""
+    import glob
+    import os
+    import time as _t
+
+    src = str(tmp_path / src_name)
+    os.makedirs(src, exist_ok=True)
+    part = str(tmp_path / f"{src_name}_{file_name}_part")
+    df.coalesce(1).write.mode("overwrite").parquet(part)
+    (f,) = glob.glob(os.path.join(part, "*.parquet"))
+    dst = os.path.join(src, f"{file_name}.parquet")
+    os.rename(f, dst)
+    mt = _t.time() - 1000 + order * 10
+    os.utime(dst, (mt, mt))
+    return src
+
+
+def test_component_labels_roundtrip_table_across_sessions(
+    spark, tmp_path
+):
+    """VERDICT r10 #6 — the PRODUCTION restart posture, end to end:
+    the maintained labeling is written to a REAL parquet table, the
+    original session is gone (a fresh ``newSession()`` with its own
+    session state stands in for the new driver process), the restart
+    reads the table back, passes it as ``initial_labels``, and resumes
+    against the SAME checkpoint dir — so the file source's committed
+    offsets skip the already-processed files and only the new edge
+    file is folded. Final labeling must equal the uninterrupted
+    single-run CC over all edges."""
+    import os
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        connected_components,
+    )
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        component_maintenance_stream,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = "doc_a long, doc_b long"
+    st = _parse_datatype_string(schema)
+    run1 = [(1, 2), (3, 4), (7, 8)]
+    run2 = [(2, 3), (5, 6), (4, 5)]
+    ck = str(tmp_path / "ck_shared")
+    tbl = str(tmp_path / "labels_table")
+
+    # --- session 1: consume the first file, persist the labeling ---
+    src = _stage_file(
+        spark, spark.createDataFrame(run1, schema), tmp_path,
+        "cc_src", "b0", 0,
+    )
+    q1, s1 = component_maintenance_stream(
+        stream_parquet_dir(spark, src, st, max_files_per_trigger=1), ck
+    )
+    q1.awaitTermination()
+    s1["labels"].write.mode("overwrite").parquet(tbl)
+
+    # --- "new process": fresh session state; the table is the only
+    # carried state besides the checkpoint's source offsets ---
+    spark2 = spark.newSession()
+    restored = spark2.read.parquet(tbl)
+    _stage_file(
+        spark, spark.createDataFrame(run2, schema), tmp_path,
+        "cc_src", "b1", 1,
+    )
+    batches = []
+    q2, s2 = component_maintenance_stream(
+        stream_parquet_dir(spark2, src, st, max_files_per_trigger=1),
+        ck,
+        on_update=lambda df, bid: batches.append(bid),
+        initial_labels=restored,
+    )
+    q2.awaitTermination()
+
+    # only the NEW file was processed (offsets resumed, no reprocess)
+    assert len(batches) == 1
+    want = {
+        (r.node, r.label)
+        for r in connected_components(
+            spark.createDataFrame(run1 + run2, schema)
+        ).collect()
+    }
+    got = {(r.node, r.label) for r in s2["labels"].collect()}
+    assert got == want
+    labels = dict(got)
+    assert len({labels[n] for n in (1, 2, 3, 4, 5, 6)}) == 1
+    assert labels[7] == labels[8] != labels[1]
+    assert os.path.isdir(os.path.join(ck, "offsets"))
+
+
+def test_substring_index_roundtrip_table_across_sessions(
+    spark, tmp_path, sf_small
+):
+    """Same production restart posture for the exact-substring gate:
+    the 128-bit gram-class index goes to a parquet table, a fresh
+    session seeds ``initial_index`` from the table and resumes on the
+    SAME checkpoint; combined decisions equal the single-run
+    sequential fold."""
+    import os
+
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        substring_contamination_stream,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_small, "documents.parquet")
+    ).select("doc_id", "text")
+    ck = str(tmp_path / "sub_ck_shared")
+    tbl = str(tmp_path / "gram_index_table")
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.n_spans, r.max_span_len, r.admitted)
+
+    src = _stage_file(
+        spark, docs.filter("doc_id < 150"), tmp_path, "sub_src", "b0", 0
+    )
+    q1, s1 = substring_contamination_stream(
+        stream_parquet_dir(spark, src, docs.schema, max_files_per_trigger=1),
+        ck,
+        sink,
+    )
+    q1.awaitTermination()
+    s1["index"].write.mode("overwrite").parquet(tbl)
+
+    spark2 = spark.newSession()
+    _stage_file(
+        spark,
+        docs.filter("doc_id >= 150 and doc_id < 300"),
+        tmp_path, "sub_src", "b1", 1,
+    )
+    _stage_file(
+        spark, docs.filter("doc_id >= 300"), tmp_path, "sub_src", "b2", 2
+    )
+    q2, _s2 = substring_contamination_stream(
+        stream_parquet_dir(
+            spark2, src, docs.schema, max_files_per_trigger=1
+        ),
+        ck,
+        sink,
+        initial_index=spark2.read.parquet(tbl),
+    )
+    q2.awaitTermination()
+
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs.collect()), key=lambda t: t[0]
+    )
+    bands = [
+        [t for t in rows if t[0] < 150],
+        [t for t in rows if 150 <= t[0] < 300],
+        [t for t in rows if t[0] >= 300],
+    ]
+    index: set = set()
+    want = {}
+    for batch in bands:
+        admitted_grams = set()
+        for doc_id, text in batch:
+            decision = _py_substring_decision(text, index)
+            want[doc_id] = decision
+            if decision[2]:
+                admitted_grams |= _py_grams(text)
+        index |= admitted_grams
+    assert got == want
+    assert any(not v[2] for v in want.values())
