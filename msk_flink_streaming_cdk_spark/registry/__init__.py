@@ -103,6 +103,9 @@ ROTATION_WINDOW: list[str] = [
 # CORRECTNESS_r0*.json history. Keeping them HERE (not just in a
 # comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    # round-11 additions (never driver-checked) — head of the
+    # round-12 window per the rotation policy.
+    "similarity_nnd_recall",
     # round-5-stale leftover (window overflow), registry order
     "similarity_cosine_topk",
     "similarity_ivf_ann_topk",

@@ -1388,3 +1388,61 @@ def test_span_floor_profile_strategies_agree(spark, sf_small):
     by_floor = {r[0]: r for r in gram}
     assert by_floor[16][1] >= by_floor[24][1] >= by_floor[40][1]
     assert by_floor[40][1] > 0
+
+
+def test_nndescent_graph_properties(spark, sf_small):
+    """NN-Descent k-NN graph invariants: rank 1..k per node, no self
+    edges, degree <= k, deterministic across runs, and the descent
+    rounds never LOWER recall vs the raw LSH init (refinement only
+    adds better-or-equal neighbors under the shared total order)."""
+    from msk_flink_streaming_cdk_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        nndescent_knn_graph,
+    )
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    g = nndescent_knn_graph(emb, k=5, n_rounds=2)
+    rows = g.collect()
+    by_src = {}
+    for r in rows:
+        assert r.vec_id != r.nbr_id
+        assert 1 <= r.rank <= 5
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        by_src.setdefault(r.vec_id, []).append((r.rank, r.nbr_id))
+    assert all(len(v) <= 5 for v in by_src.values())
+    # deterministic rerun
+    again = sorted(tuple(r) for r in nndescent_knn_graph(
+        emb, k=5, n_rounds=2
+    ).collect())
+    assert again == sorted(tuple(r) for r in rows)
+
+    # recall vs brute force on every node, init vs descended
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+
+    def edge_set(graph):
+        return {(r.vec_id, r.nbr_id) for r in graph.collect()}
+
+    init_rec = len(
+        edge_set(nndescent_knn_graph(emb, k=5, n_rounds=0)) & brute
+    ) / len(brute)
+    desc_rec = len(edge_set(g) & brute) / len(brute)
+    assert desc_rec >= init_rec
+    assert desc_rec >= 0.85, f"descended recall {desc_rec:.3f}"
+
+
+def test_nnd_recall_query_shape(spark, sf_small):
+    row = QUERIES["similarity_nnd_recall"](spark, sf_small).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_exact == 125  # 25 sample nodes x top-5
+    assert r.recall >= 0.85
