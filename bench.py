@@ -9,10 +9,10 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
   2000-char stdout tail, which is where the driver parses it from.
 
 Each query is fully materialized through the noop sink (measures the
-whole plan, excludes result transfer). The set covers every engine
-surface: reference windows, scan-heavy agg, multi-join, OVER window,
-sliding/session windows, JSON, dedup (exact + MinHash-LSH), similarity
-(brute force + LSH-ANN), text analysis, multimodal Arrow path.
+whole plan, excludes result transfer). The set covers the ENTIRE
+registry (round 11): the curated HEADLINE order first (stable
+round-over-round vs_prev), then every remaining registered key —
+a query has no regression signal until it has a first timing row.
 """
 
 from __future__ import annotations
@@ -167,6 +167,17 @@ HEADLINE = [
     "similarity_blas_topk",
 ]
 
+# Full-registry coverage (VERDICT r10 #2): a query has no regression
+# signal until it has a FIRST timing row, so every registered key not
+# already in the curated HEADLINE order is appended (sorted, after the
+# explicit list so historical vs_prev ordering is untouched). New
+# registrations are benched automatically from the round they land;
+# the contract test pins HEADLINE == the whole registry.
+BENCH_EXCLUDED: frozenset = frozenset()  # every registered key is eligible
+HEADLINE = HEADLINE + sorted(
+    k for k in QUERIES if k not in set(HEADLINE) and k not in BENCH_EXCLUDED
+)
+
 
 def _recover_tail_queries(tail: str) -> dict[str, float]:
     """Best-effort per-query timings from a TRUNCATED driver tail.
@@ -246,6 +257,19 @@ def _prev_round_queries() -> tuple[int | None, dict[str, float]]:
             # priority 1: at equal round, the full record wins over a
             # tail-recovered partial one.
             candidates.append((n, 1, queries))
+        elif n == current:
+            # A SAME-round rerun already overwrote BENCH_FULL.json —
+            # without this branch the rerun's vs_prev falls back to
+            # the driver record's COMPACT tail (~45 slowest queries)
+            # and the full round-over-round baseline is lost for the
+            # rest of the round (observed in round 11: total_common
+            # collapsed 106.6s -> 51.8s between two same-round runs).
+            # Every full record stores the prev mapping it compared
+            # against; reruns inherit it.
+            pq = full.get("prev_queries")
+            pn = full.get("prev_round")
+            if isinstance(pq, dict) and pq and isinstance(pn, int):
+                candidates.append((pn, 2, pq))
     except (OSError, json.JSONDecodeError, ValueError):
         pass
     if not candidates:
@@ -396,6 +420,7 @@ def main() -> None:
     # Loaded BEFORE the loop: the previous round's per-query secs also
     # drive the burst-retry rule below.
     prev_n, prev = _prev_round_queries()
+    burst_retries: dict[str, int] = {}
     for name in selected:
         # Maintained-table memos (near-dup pair graph, corpus
         # labeling) warm OUTSIDE the timed region so graph/audit
@@ -422,6 +447,10 @@ def main() -> None:
         # the previous committed record, the whole min-of-N window
         # likely fell inside a burst — grant up to 2 extra runs so
         # one episode can't fabricate a round-over-round regression.
+        # The retry COUNT is recorded in the full record (r10 ADVICE:
+        # the rule is one-sided — it can only shrink reported times —
+        # so a number rescued by retries must be distinguishable in
+        # the committed artifact from one that measured clean).
         extra = 0
         while name in prev and best > 2 * prev[name] and extra < 2:
             t0 = time.perf_counter()
@@ -430,6 +459,8 @@ def main() -> None:
             ).save()
             best = min(best, time.perf_counter() - t0)
             extra += 1
+        if extra:
+            burst_retries[name] = extra
         timings[name] = round(best, 3)
         # Per-query isolation, outside the timed region: drop this
         # query's persisted frames and let the JVM reclaim
@@ -499,6 +530,8 @@ def main() -> None:
             file=sys.stderr,
         )
     out["streaming"] = streaming
+    if burst_retries:
+        out["burst_retries"] = burst_retries
     if prev_n is not None:
         out["vs_prev"] = vs_prev
         out["prev_round"] = prev_n
@@ -508,6 +541,13 @@ def main() -> None:
         out["total_common"] = round(
             sum(timings[n] for n in vs_prev), 3
         )
+        ratios = sorted(
+            timings[n] / prev[n] for n in vs_prev if prev[n] > 0
+        )
+        if ratios:
+            out["median_ratio_vs_prev"] = round(
+                ratios[len(ratios) // 2], 3
+            )
 
     # Full record → BENCH_FULL.json (the driver's stdout capture keeps
     # only the last 2000 chars, which the full line outgrew in round
@@ -525,11 +565,46 @@ def main() -> None:
     )
     full = dict(out)
     full["round_guess"] = max_n + 1
+    if prev_n is not None:
+        # carried so same-round reruns keep the FULL prev baseline
+        # (see _prev_round_queries).
+        full["prev_queries"] = prev
     # Subset (SPARK_GRAFT_BENCH_ONLY) runs are A/B probes — they must
     # never clobber the committed full-suite record.
     if not only:
+        # Auditable run selection (VERDICT r10 #4 / r10 ADVICE): when
+        # several full runs happen in one round and the quietest is
+        # committed, the committed record must still show EVERY
+        # attempt's summary — otherwise the quietest-of-N policy could
+        # silently mask a real regression. Each full run carries
+        # forward the prior same-round attempts' summaries.
+        full_path = os.path.join(here, "BENCH_FULL.json")
+        considered: list[dict] = []
         try:
-            with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            with open(full_path) as f:
+                old = json.load(f)
+            if int(old.get("round_guess", -1)) == full["round_guess"]:
+                considered = list(old.get("runs_considered", []))
+                considered.append(
+                    {
+                        "value": old.get("value"),
+                        "median_ratio_vs_prev": old.get(
+                            "median_ratio_vs_prev"
+                        ),
+                        "total_common": old.get("total_common"),
+                        "streaming_eps": old.get("streaming", {}).get(
+                            "rate_eps"
+                        ),
+                        "n_burst_retries": sum(
+                            old.get("burst_retries", {}).values()
+                        ),
+                    }
+                )
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass
+        full["runs_considered"] = considered
+        try:
+            with open(full_path, "w") as f:
                 json.dump(full, f)
         except OSError:
             pass

@@ -44,7 +44,6 @@ from ..operators.text import (
     fingerprint_md5,
     language_id_col,
     quality_score_cols,
-    rolling_hash_col,
     whitespace_token_count,
 )
 from ..operators.relational import (
@@ -175,13 +174,31 @@ def text_rolling_fingerprints(spark, sf_dir):
     """Rolling 8-word window hashes per document (shift-robust
     fingerprints); rows-only driver check, shape-tested in pytest.
     Hashes are emitted as a canonical CSV string: the driver's hash
-    canon cannot sort rows holding raw array cells."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(rolling_hash_col(F.col("text"))).cast("long").alias("n_windows"),
-        F.array_join(
-            rolling_hash_col(F.col("text")).cast("array<string>"), ","
-        ).alias("window_hashes"),
+    canon cannot sort rows holding raw array cells.
+
+    Two narrow projections, no shuffle: words hashed ONCE per doc
+    (``word_hashes_col`` across a projection boundary), then each
+    window is an integer polynomial fold
+    (``rolling_hash_from_words``) — the original
+    xxhash64-of-rejoined-words shape rebuilt an 8-word string per
+    position (an explode/regroup variant was rejected outright: it
+    turns a narrow map into a corpus-wide shuffle of every window
+    hash)."""
+    from ..operators.text import rolling_hash_from_words, word_hashes_col
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", word_hashes_col(F.col("text")).alias("wh"))
+        .select(
+            "doc_id", rolling_hash_from_words(F.col("wh")).alias("h")
+        )
+        .select(
+            "doc_id",
+            F.size("h").cast("long").alias("n_windows"),
+            F.array_join(F.col("h").cast("array<string>"), ",").alias(
+                "window_hashes"
+            ),
+        )
     )
 
 

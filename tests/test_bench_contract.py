@@ -76,6 +76,35 @@ def test_streaming_floor_encoded(monkeypatch):
         )
 
 
+def test_every_registered_query_is_benched():
+    # VERDICT r10 #2: a regression on a query is invisible until it
+    # has a first timing row — every registered key must be in the
+    # bench set from the round it lands. BENCH_EXCLUDED exists for a
+    # documented opt-out; it must stay empty unless a key genuinely
+    # cannot run under the bench harness.
+    unbenched = sorted(
+        set(QUERIES) - set(bench.HEADLINE) - set(bench.BENCH_EXCLUDED)
+    )
+    assert not unbenched, (
+        f"registered queries missing from the bench set: {unbenched}"
+    )
+    assert not bench.BENCH_EXCLUDED, (
+        "BENCH_EXCLUDED must carry a documented justification per key"
+    )
+
+
+def test_full_record_selection_is_auditable():
+    # VERDICT r10 #4: the committed record must expose the
+    # quietest-of-N selection — the runs_considered field lists every
+    # same-round full attempt that was NOT committed.
+    rec = _last_full_record()
+    assert "runs_considered" in rec, (
+        "BENCH_FULL.json lacks runs_considered — regenerate with the "
+        "current bench.py"
+    )
+    assert isinstance(rec["runs_considered"], list)
+
+
 def test_headline_names_in_committed_record():
     # Round-9 ADVICE: a HEADLINE addition without a regenerated
     # committed BENCH_FULL.json leaves the new query with no vs_prev
