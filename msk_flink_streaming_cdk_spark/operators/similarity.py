@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 from ..functions.vectors import cosine_similarity_col, dot_product_col
-from .util import materialize_once
+from .util import cut_lineage, materialize_once
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -911,6 +911,7 @@ def nndescent_knn_graph(
     )
     g = topk(score(init)).transform(materialize_once)
     for _ in range(int(n_rounds)):
+        g = cut_lineage(g, eager=True)
         rev_w = Window.partitionBy("dst").orderBy(
             F.col("cosine").desc(), F.col("src")
         )
@@ -935,7 +936,7 @@ def nndescent_knn_graph(
         )
         g = topk(
             score(fresh).unionByName(g.select("src", "dst", "cosine"))
-        ).transform(materialize_once)
+        )
     return g.select(
         F.col("src").alias("vec_id"),
         F.col("dst").alias("nbr_id"),
