@@ -24,8 +24,11 @@ the committed ``CORRECTNESS_r0*.json`` history).
 ``ROTATION_WINDOW`` pins the first ``ROTATION_WINDOW_SIZE`` keys
 explicitly and a test asserts the ordering, so the planned rotation is
 enforced by code, not a comment; the round-12 tranche (round-11
-additions as they land, then the round-5 leftover, in staleness order)
-is kept IN ORDER at the tail of ``PRIORITY``.
+additions at its head, then the round-5 leftover, then the oldest
+round-7-stale keys, in staleness order) is kept IN ORDER at the tail
+of ``PRIORITY`` and holds a full 46-key window so the round-12
+rotation is fully determined (and prevalidated in
+``tools/driver_sim_r12_prevalidate.log``).
 """
 
 from ._core import ORACLES, QUERIES, register
@@ -132,7 +135,29 @@ NEXT_TRANCHE: list[str] = [
     "text_inverted_index",
     "dq_source_overlap_matrix",
     "timeseries_quantile_bars",
-    "dq_event_lag_by_type",]
+    "dq_event_lag_by_type",
+    # round-7-stale keys (last driver row round 7), staleness order
+    "correlated_subquery_above_avg",
+    "unpivot_lineitem_measures",
+    "agg_max_by_priciest_item",
+    "agg_listagg_nations_per_region",
+    "agg_exact_percentiles",
+    "timeseries_gapfill_daily",
+    "sample_hash_orders",
+    "cross_join_region_pairs",
+    "union_by_name_balances",
+    "map_event_type_counts",
+    "dedup_latest_event_per_user",
+    "join_salted_skew_orders",
+    "outlier_orders_iqr",
+    "agg_time_weighted_value",
+    "asof_join_next_error",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q12_urgency_by_linestatus",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+]
 
 PRIORITY: list[str] = ROTATION_WINDOW + NEXT_TRANCHE
 
