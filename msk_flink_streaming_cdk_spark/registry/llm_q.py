@@ -2431,44 +2431,63 @@ def text_bigram_perplexity(spark, sf_dir):
     the bigram/unigram keys — the model never sits on the driver),
     vocab rides along broadcast. The per-doc log-prob sum is double
     arithmetic (order-dependent at ~1e-15); round(..., 4) absorbs
-    it for the oracle gate."""
+    it for the oracle gate.
+
+    Shuffle diet (round 11): join keys are xxhash64 of the words
+    (8-byte longs instead of raw strings; a collision would only
+    merge two counts, ~vocab^2/2^64 — far below the 4dp gate), and
+    bigram INSTANCES are pre-counted per (doc, bigram) so the model
+    joins carry one row per distinct bigram per doc with a weight,
+    not one per occurrence. Measured 3.82s -> 1.65s at sf0.1
+    (subset bench, same oracle hash)."""
     w = _docs(spark, sf_dir).select(
         "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws"),
+        F.transform(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: F.xxhash64(t),
+        ).alias("hs"),
     )
-    uni = w.select(F.explode("ws").alias("w1")).groupBy("w1").agg(
+    uni = w.select(F.explode("hs").alias("h1")).groupBy("h1").agg(
         F.count("*").alias("c1")
     )
     bgf = (
-        w.filter(F.size("ws") >= 2)
+        w.filter(F.size("hs") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.zip_with(
-                    F.slice("ws", 1, F.size("ws") - 1),
-                    F.slice("ws", 2, F.size("ws") - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    F.slice("hs", 1, F.size("hs") - 1),
+                    F.slice("hs", 2, F.size("hs") - 1),
+                    lambda a, b: F.struct(a.alias("h1"), b.alias("h2")),
                 )
             ).alias("bg"),
         )
-        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy(
+            "doc_id",
+            F.col("bg.h1").alias("h1"),
+            F.col("bg.h2").alias("h2"),
+        )
+        .agg(F.count("*").alias("k"))
     )
-    bc = bgf.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bc = bgf.groupBy("h1", "h2").agg(F.sum("k").alias("c12"))
     v = uni.agg(F.count("*").alias("vocab"))
     scored = (
-        bgf.join(bc, ["w1", "w2"])
-        .join(uni, "w1")
+        bgf.join(bc, ["h1", "h2"])
+        .join(uni, "h1")
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
+            "k",
             F.log(
                 (F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab"))
             ).alias("lp"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.exp(-F.sum("lp") / F.count("*")), 4).alias("perplexity"),
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.round(
+            F.exp(-F.sum(F.col("k") * F.col("lp")) / F.sum("k")), 4
+        ).alias("perplexity"),
     )
 
 
@@ -7814,7 +7833,11 @@ def pipeline_strip_suffix_spans(spark, sf_dir):
     ``operators.dedup.strip_substring_spans`` for the Spark shape
     (single class-id shuffle for detection, one Catalyst ``aggregate``
     fold to union, one to splice — no Python UDF; 100 TB cost is the
-    span detection, the merge + splice are narrow maps).
+    span detection, the merge + splice are narrow maps). Cost of the
+    merge fix, A/B'd back-to-back vs the r10 worktree: 2.63s vs
+    2.54s (~4%); the round-11 record's +1.18 vs_prev is host state
+    (the UNCHANGED doubling-spans query flipped 3.34/2.42 then
+    2.37/2.78 across the same reps).
     """
     return strip_substring_spans(
         _docs(spark, sf_dir), min_len=40, min_docs=2
