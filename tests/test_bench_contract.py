@@ -118,3 +118,52 @@ def test_headline_names_in_committed_record():
         "HEADLINE queries absent from committed BENCH_FULL.json "
         f"(regenerate + commit the record): {missing}"
     )
+
+
+def test_same_round_rerun_inherits_full_prev_baseline(tmp_path, monkeypatch):
+    # Round-11 find: a same-round rerun overwrites BENCH_FULL.json, and
+    # without the prev_queries carry the rerun's vs_prev falls back to
+    # the driver record's compact tail (~45 queries) — total_common
+    # collapsed 106.6s -> 51.8s. Pin the inheritance branch.
+    import importlib
+    import json as _json
+
+    import bench as bench_mod
+
+    d = tmp_path
+    # a prior-round driver record with only a COMPACT queries dict
+    (d / "BENCH_r10.json").write_text(_json.dumps(
+        {"parsed": {"queries": {"q_compact": 1.0}}}
+    ))
+    # a same-round full record carrying the full prev mapping
+    (d / "BENCH_FULL.json").write_text(_json.dumps(
+        {
+            "round_guess": 11,
+            "queries": {"q_a": 1.0},
+            "prev_round": 10,
+            "prev_queries": {"q_a": 0.9, "q_b": 2.0, "q_compact": 1.1},
+        }
+    ))
+    monkeypatch.setattr(
+        bench_mod.os.path, "abspath", lambda p: str(d / "bench.py")
+    )
+    try:
+        n, prev = bench_mod._prev_round_queries()
+    finally:
+        importlib.reload(bench_mod)
+    assert n == 10
+    assert prev == {"q_a": 0.9, "q_b": 2.0, "q_compact": 1.1}
+
+
+def test_burst_retries_recorded_in_committed_record():
+    # The one-sided retry rule must be auditable: whenever the
+    # committed record used burst retries, the field names the rescued
+    # queries (absent field == no retries happened).
+    rec = _last_full_record()
+    br = rec.get("burst_retries")
+    if br is not None:
+        assert isinstance(br, dict) and br
+        assert all(
+            isinstance(v, int) and 1 <= v <= 2 for v in br.values()
+        )
+        assert set(br) <= set(rec["queries"])
