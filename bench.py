@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -545,8 +546,11 @@ def main() -> None:
             timings[n] / prev[n] for n in vs_prev if prev[n] > 0
         )
         if ratios:
+            # statistics.median averages the two middle elements for
+            # even-length lists — the upper-middle pick used before
+            # round 12 biased the headline slightly high (ADVICE r11).
             out["median_ratio_vs_prev"] = round(
-                ratios[len(ratios) // 2], 3
+                statistics.median(ratios), 3
             )
 
     # Full record → BENCH_FULL.json (the driver's stdout capture keeps
@@ -565,6 +569,15 @@ def main() -> None:
     )
     full = dict(out)
     full["round_guess"] = max_n + 1
+    # Who ran this record (VERDICT r11 #5): the builder session exports
+    # SPARK_GRAFT_BENCH_PROVENANCE=builder around its own runs; any
+    # other invocation (the external driver's per-round pass in
+    # particular) defaults to "external", so a post-commit driver run
+    # clobbering the committed builder record is self-describing
+    # instead of forensically inferred from timestamps.
+    full["provenance"] = os.environ.get(
+        "SPARK_GRAFT_BENCH_PROVENANCE", "external"
+    )
     if prev_n is not None:
         # carried so same-round reruns keep the FULL prev baseline
         # (see _prev_round_queries).
@@ -598,6 +611,7 @@ def main() -> None:
                         "n_burst_retries": sum(
                             old.get("burst_retries", {}).values()
                         ),
+                        "provenance": old.get("provenance"),
                     }
                 )
         except (OSError, json.JSONDecodeError, ValueError):

@@ -23,6 +23,33 @@ from ..functions.vectors import cosine_similarity_col, dot_product_col
 from .util import cut_lineage, materialize_once
 
 
+def unit_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, u) unit-normalized double vectors — the shared first step
+    of every cosine-family operator (pair verify, NN-Descent scoring,
+    SemDeDup, recall audits). The L2 norm is materialized as its own
+    column FIRST: referencing the O(dim) aggregate inside the
+    transform lambda would re-evaluate it per array element (O(dim^2)
+    per row). Callers that reuse the frame across operators should
+    persist it once (see ``registry.llm_q.shared_unit_embeddings`` —
+    in production this is a maintained table next to the embeddings
+    themselves, not a per-query rebuild)."""
+    norm = F.sqrt(
+        F.aggregate(
+            vec_col,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return df.withColumn("__n", norm).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            vec_col, lambda x: x.cast("double") / F.col("__n")
+        ).alias("u"),
+    )
+
+
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Per-query top-k by cosine. The score is rounded to 9dp BEFORE
     the rank (shared by every ANN variant and the brute-force
@@ -107,6 +134,7 @@ def embedding_cosine_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    unit_df: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cosine) for every
     pair with cosine >= threshold — the embedding member of the dedup
@@ -117,6 +145,13 @@ def embedding_cosine_pairs(
     no all-pairs product. Recall for high-cosine pairs is governed by
     tables x bits: P(bucket collision per table) = (1-θ/π)^bits for
     angle θ; near-dup pairs (θ→0) collide in virtually every table.
+
+    ``unit_df``: optional caller-persisted (vec_id, u) unit-vector
+    frame covering the corpus (``unit_vectors`` layout) — the verify
+    stage then skips its own normalization pass. The embedding family
+    shares one such frame per session (VERDICT r11 #3); it MUST be
+    derived from the same corpus or a superset (ids are equi-joined,
+    extras are ignored).
     """
     bucket_udf = _bucket_udf(
         [hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
@@ -149,23 +184,10 @@ def embedding_cosine_pairs(
         .dropDuplicates(["vec_a", "vec_b"])
     )
     # Verify with a dot product over pre-normalized vectors: n
-    # normalizations once, instead of dot + 2 norms per candidate pair.
-    # The norm is materialized as a column first — referencing the
-    # O(dim) aggregate inside the transform lambda would re-evaluate
-    # it per element (O(dim^2) per row).
-    norm = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    unit = vecs.withColumn("n", norm).select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / F.col("n")
-        ).alias("u"),
-    )
+    # normalizations once, instead of dot + 2 norms per candidate pair
+    # (see unit_vectors; a caller-persisted shared frame skips even
+    # the single pass).
+    unit = unit_df if unit_df is not None else unit_vectors(vecs)
     paired = cand.join(
         unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("u_a")),
         "vec_a",
@@ -729,9 +751,15 @@ def cosine_topk_blas(
         # same NULL Catalyst's double Divide produces on a zero
         # divisor (measured, pinned in
         # test_blas_topk_zero_norm_and_tie_parity) — so both paths
-        # DESC-rank them last. NaN counts as +inf for the local
-        # threshold (conservative: emitting it costs a row, never
-        # correctness) and is emitted as-is.
+        # DESC-rank them last. NaN counts as -inf for the local
+        # threshold (a NULL ranks BELOW every finite cosine in the
+        # global DESC order, so it must never displace a finite score
+        # from the k-th-best threshold slot — mapping it to +inf did
+        # exactly that and silently pruned true neighbors, round-11
+        # advice) and is emitted unconditionally (costs a row per
+        # block, never correctness: if NULLs belong in the global
+        # top-k because a query has < k finite candidates, every block
+        # must surface its NULLs for the global re-rank to see them).
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -744,12 +772,13 @@ def cosine_topk_blas(
             for j in range(len(qids)):
                 col = S[:, j]
                 idx = np.nonzero(ids != qids[j])[0]
-                ranked = np.where(np.isnan(col[idx]), np.inf, col[idx])
+                nan = np.isnan(col[idx])
+                ranked = np.where(nan, -np.inf, col[idx])
                 if len(idx) > k:
                     kth = np.partition(ranked, len(ranked) - k)[
                         len(ranked) - k
                     ]
-                    sel = idx[ranked >= kth - 2e-9]
+                    sel = idx[(ranked >= kth - 2e-9) | nan]
                 else:
                     sel = idx
                 out_q.extend([int(qids[j])] * len(sel))
@@ -775,6 +804,7 @@ def nndescent_knn_graph(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    unit_df: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus via NN-Descent
     (Dong et al., WWW'11) — the graph-refined ANN tier the similarity
@@ -810,6 +840,14 @@ def nndescent_knn_graph(
     (cosine DESC, id ASC) total order, so ties break identically to
     ``_topk_per_query`` and reruns are bit-stable.
 
+    ``unit_df``: optional caller-persisted (vec_id, u) unit-vector
+    frame (``unit_vectors`` layout) — skips the internal
+    normalize+persist pass; the session-shared frame in
+    ``registry.llm_q.shared_unit_embeddings`` is the intended source.
+    LSH bucketing still reads the RAW vectors (sign bits are
+    scale-invariant, so hashing raw vs unit is identical for nonzero
+    norms — but zero-norm rows hash from raw values, not NaNs).
+
     100 TB posture: no driver-side data path (the only closure state
     is the kilobyte hyperplane matrix); every join is vec_id- or
     bucket-keyed hash equi; per-round state is the n*k edge frame,
@@ -835,22 +873,10 @@ def nndescent_knn_graph(
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    norm = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
     unit = (
-        vecs.withColumn("n", norm)
-        .select(
-            "vec_id",
-            F.transform(
-                "embedding", lambda x: x.cast("double") / F.col("n")
-            ).alias("u"),
-        )
-        .transform(materialize_once)
+        unit_df
+        if unit_df is not None
+        else unit_vectors(vecs).transform(materialize_once)
     )
 
     def score(edges: DataFrame) -> DataFrame:
@@ -943,3 +969,327 @@ def nndescent_knn_graph(
         "cosine",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def _auto_bits(corpus: DataFrame, n_bits: int | None) -> int:
+    """Count-derived sign-LSH bucket granularity (~64 vectors per
+    bucket), shared by the NN-Descent init and the graph-search
+    seeding so both draw candidates from the SAME hash family."""
+    if n_bits is not None:
+        return n_bits
+    n = corpus.count()  # bounded scalar job, sizes the buckets
+    return min(16, max(1, int(np.ceil(np.log2(max(n, 2) / 64)))))
+
+
+def graph_search_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    graph: DataFrame,
+    k: int = 5,
+    n_hops: int = 2,
+    n_bits: int | None = None,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    unit_df: DataFrame | None = None,
+) -> DataFrame:
+    """Query-time top-k over a maintained NN-Descent k-NN graph —
+    the greedy graph-descent consumer the graph tier exists for (the
+    HNSW-class search pattern: seed, then walk neighbors-of-neighbors
+    toward the query), VERDICT r11 #4. ``graph`` is the
+    (vec_id, nbr_id, cosine, rank) frame ``nndescent_knn_graph``
+    returns — in production a maintained TABLE, rebuilt/merged on
+    ingest, not per query.
+
+    DataFrame-native beam search, beam = k, no driver data path:
+
+    1. SEED: hash queries AND corpus with the same seeded hyperplane
+       tables as the graph init (``_auto_bits`` keeps the bucket
+       granularity identical, so seeds land where the graph has
+       edges); candidates = (table, bucket) equi-join collisions,
+       exact unit-dot re-rank keeps each query's top-k as the initial
+       beam. A query colliding with nothing in any table returns no
+       rows (surfaced by the recall audit, never silently backfilled
+       — the multi-probe dial in ``lsh_ann_topk`` is the fix if a
+       real corpus ever shows it).
+    2. HOP (x ``n_hops``): expand the beam's members through their
+       graph out-edges (one equi-join per hop), anti-join the
+       already-scored set, score only the NEW candidates, re-rank the
+       union, keep k. Per-hop candidate volume is O(|Q| * k^2) rows.
+
+    Scores are 9dp-rounded unit dots under the family's shared
+    (cosine DESC, vec_id ASC) order, so results are deterministic and
+    comparable with every other ANN leg. The query batch stays a
+    DataFrame end-to-end (bounded-batch contract like LSH/IVF/PQ).
+
+    100 TB posture: the corpus is touched only by the seeding
+    projection + bucket equi-join; every hop joins the (n*k)-row
+    graph table on vec_id and scores O(|Q|*k^2) pairs against the
+    persisted unit frame — query cost is independent of corpus size
+    after seeding, which is the entire point of the graph tier.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    unit = (
+        unit_df
+        if unit_df is not None
+        else unit_vectors(vecs).transform(materialize_once)
+    )
+    bits = _auto_bits(corpus, n_bits)
+    bucket_udf = _bucket_udf(
+        [hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
+    )
+    hashed = vecs.select(
+        "vec_id",
+        F.posexplode(bucket_udf(F.col("embedding"))).alias(
+            "table_id", "bucket"
+        ),
+    )
+    q_unit = unit_vectors(
+        queries, id_col=query_id_col, vec_col=query_vec_col
+    ).select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu"))
+    q_hashed = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(bucket_udf(F.col(query_vec_col))).alias(
+            "table_id", "bucket"
+        ),
+    )
+    seeds = (
+        hashed.join(F.broadcast(q_hashed), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+
+    def score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(unit, "vec_id")
+            .join(F.broadcast(q_unit), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(
+                    dot_product_col(F.col("u"), F.col("qu")), 9
+                ).alias("cosine"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    scored = score(seeds).transform(materialize_once)
+    edges = graph.select(
+        F.col("vec_id").alias("hop_src"), F.col("nbr_id").alias("vec_id")
+    )
+    for _ in range(int(n_hops)):
+        beam = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("hop_src"))
+        )
+        fresh = (
+            beam.join(edges, "hop_src")
+            .select("query_id", "vec_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "vec_id"])
+            .join(
+                scored.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_anti",
+            )
+        )
+        scored = materialize_once(
+            score(fresh).unionByName(
+                scored.select("query_id", "vec_id", "cosine")
+            )
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def nndescent_merge_batch(
+    graph: DataFrame,
+    old_corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 5,
+    n_bits: int | None = None,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit_df: DataFrame | None = None,
+    expand_hops: int = 0,
+) -> DataFrame:
+    """Merge a new-vector batch into a maintained NN-Descent k-NN
+    graph WITHOUT rebuilding it — the similarity-family analogue of
+    ``incremental_connected_components`` (VERDICT r11 #6), completing
+    the maintained-index story (pair graph, component labels, gram
+    index, k-NN graph).
+
+    Candidates touch only affected neighborhoods, never the corpus:
+
+    1. Hash the BATCH with the graph's seeded hyperplane tables and
+       equi-join against the hashed old corpus + the batch itself —
+       every new LSH collision pair involving a batch node, BOTH
+       directions (the batch node needs neighbors; the old node may
+       have gained a better one). ``n_bits`` must be the FIXED value
+       the maintained graph was built with (pass it explicitly when
+       maintaining across ingests; the count-derived auto-sizing is a
+       rebuild-time dial — re-deriving it per batch would silently
+       change the hash family and the exactness guarantee below).
+    2. ``expand_hops=1`` additionally walks each new pair through the
+       old graph's out-edges once (batch node -> neighbors of its
+       collision partners, and reverse) — NN-Descent's
+       neighbor-of-neighbor step restricted to the affected
+       neighborhoods. More candidates can only improve each node's
+       top-k toward the true neighbors (recall is monotone in the
+       candidate set under exact re-ranking), pinned by the property
+       test.
+    3. Score the fresh pairs (anti-joined against existing edges),
+       then re-rank ONLY the touched sources: top-k over (their old
+       edges + fresh edges); untouched rows pass through byte-equal.
+
+    EXACTNESS (the incremental-CC-grade property, pytest-pinned): for
+    an init-tier maintained graph (``n_rounds=0`` build) and
+    ``expand_hops=0``, the merged graph EQUALS
+    ``nndescent_knn_graph(old ∪ batch, n_rounds=0)`` at the same
+    fixed ``n_bits`` — per-node sign-LSH buckets don't depend on the
+    rest of the corpus, so the full-corpus collision set is exactly
+    (old collisions) ∪ (collisions involving the batch), and
+    topk(topk(A) ∪ B) == topk(A ∪ B). Descended graphs merge the
+    same way but the result is a SUPERSET-candidate top-k rather
+    than a replay of the full descent schedule; the property test
+    pins its recall >= the init-tier merge's.
+
+    100 TB posture: admission cost scales with the batch (batch
+    hashing + bucket equi-joins + O(batch * k^2) expansion pairs);
+    the only corpus-wide touch is re-hashing the old corpus — one
+    map-only projection, and a production pipeline keeps the hashed
+    (vec_id, table_id, bucket) frame as a maintained table next to
+    the graph, exactly like the substring gram index.
+
+    Returns the merged (vec_id, nbr_id, cosine, rank) frame.
+    """
+    old_vecs = old_corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    new_vecs = batch.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    full = old_vecs.unionByName(new_vecs)
+    unit = (
+        unit_df
+        if unit_df is not None
+        else unit_vectors(full).transform(materialize_once)
+    )
+    bits = _auto_bits(full, n_bits)
+    bucket_udf = _bucket_udf(
+        [hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
+    )
+
+    def hash_side(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.posexplode(bucket_udf(F.col("embedding"))).alias(
+                "table_id", "bucket"
+            ),
+        )
+
+    h_old = hash_side(old_vecs)
+    h_new = hash_side(new_vecs).transform(materialize_once)
+    ob = (
+        h_old.alias("o")
+        .join(h_new.alias("n"), ["table_id", "bucket"])
+        .filter(F.col("o.vec_id") != F.col("n.vec_id"))
+        .select(
+            F.col("o.vec_id").alias("src"), F.col("n.vec_id").alias("dst")
+        )
+    )
+    nn_pairs = (
+        h_new.alias("a")
+        .join(h_new.alias("b"), ["table_id", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+    )
+    cand = (
+        ob.unionByName(ob.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+        .unionByName(nn_pairs)
+        .dropDuplicates(["src", "dst"])
+        .transform(materialize_once)
+    )
+    g_edges = graph.select(
+        F.col("vec_id").alias("src"),
+        F.col("nbr_id").alias("dst"),
+        "cosine",
+    )
+    for _ in range(int(expand_hops)):
+        nbrs = g_edges.select(
+            F.col("src").alias("via"), F.col("dst").alias("nbr")
+        )
+        ext = (
+            cand.join(nbrs, cand["dst"] == nbrs["via"])
+            .select("src", F.col("nbr").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        rext = ext.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        cand = (
+            cand.unionByName(ext)
+            .unionByName(rext)
+            .dropDuplicates(["src", "dst"])
+            .transform(materialize_once)
+        )
+    fresh = cand.join(
+        g_edges.select("src", "dst"), ["src", "dst"], "left_anti"
+    )
+    scored_fresh = (
+        fresh.join(
+            unit.select(F.col("vec_id").alias("src"), F.col("u").alias("us")),
+            "src",
+        )
+        .join(
+            unit.select(F.col("vec_id").alias("dst"), F.col("u").alias("ud")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.round(dot_product_col(F.col("us"), F.col("ud")), 9).alias(
+                "cosine"
+            ),
+        )
+        .transform(materialize_once)
+    )
+    touched = scored_fresh.select("src").distinct()
+    kept = graph.join(
+        touched.select(F.col("src").alias("vec_id")), "vec_id", "left_anti"
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst")
+    )
+    re_ranked = (
+        g_edges.join(touched, "src", "left_semi")
+        .unionByName(scored_fresh)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("nbr_id"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    return kept.unionByName(re_ranked)

@@ -10,25 +10,22 @@ each round, while long-proven shapes rotate to the tail (they remain
 fully covered by ``tests/test_reference_queries.py``, which checks ALL
 oracle-backed queries).
 
-Round-11 rotation (the round-10 verdict's #1 item, prevalidated in
-``tools/driver_sim_r11_prevalidate.log``): the window keeps the 4
-reference queries, then takes the leading 46 keys of the round-10
-``NEXT_TRANCHE`` verbatim — FIRST-EVER driver rows for the 6 round-10
-additions (``dedup_suffix_duplicate_spans``,
-``pipeline_strip_suffix_spans``, ``dq_k_anonymity_customers``,
-``similarity_blas_topk``, ``dedup_prefix_filter_pairs``,
-``dedup_span_floor_profile``), then the round-9 tranche leftover, the
-remaining round-4-stale keys (single driver check, round 4), and the
-oldest round-5-stale keys in staleness order (staleness computed from
-the committed ``CORRECTNESS_r0*.json`` history).
+Round-12 rotation (the round-11 verdict's #1 item, prevalidated in
+``tools/driver_sim_r12_prevalidate.log``): the window keeps the 4
+reference queries, then takes the leading 46 keys of the round-11
+``NEXT_TRANCHE`` verbatim — FIRST-EVER driver row for the round-11
+addition ``similarity_nnd_recall``, then the round-5-stale leftover
+keys (last driver row round 5) in registry order, and the oldest
+round-7-stale keys in staleness order (staleness computed from the
+committed ``CORRECTNESS_r0*.json`` history).
 ``ROTATION_WINDOW`` pins the first ``ROTATION_WINDOW_SIZE`` keys
 explicitly and a test asserts the ordering, so the planned rotation is
-enforced by code, not a comment; the round-12 tranche (round-11
-additions at its head, then the round-5 leftover, then the oldest
-round-7-stale keys, in staleness order) is kept IN ORDER at the tail
-of ``PRIORITY`` and holds a full 46-key window so the round-12
-rotation is fully determined (and prevalidated in
-``tools/driver_sim_r12_prevalidate.log``).
+enforced by code, not a comment; the round-13 tranche (round-12
+additions at its head, then the round-11 window-overflow leftover
+``q16_supplier_variety``, then the remaining round-7-stale and oldest
+round-8-stale keys, in staleness order) is kept IN ORDER at the tail
+of ``PRIORITY`` and holds a full 46-key window so the round-13
+rotation is fully determined.
 """
 
 from ._core import ORACLES, QUERIES, register
@@ -46,68 +43,10 @@ ROTATION_WINDOW: list[str] = [
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
-    # Round-10 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows
-    # for the 6 round-10 additions, then the round-9 tranche leftover,
-    # the remaining round-4-stale keys, and the oldest round-5-stale
-    # keys.
-    "dedup_suffix_duplicate_spans",
-    "pipeline_strip_suffix_spans",
-    "dq_k_anonymity_customers",
-    "similarity_blas_topk",
-    "dedup_prefix_filter_pairs",
-    "dedup_span_floor_profile",
-    # round-9 tranche leftover (window overflow; last driver row r4)
-    "similarity_hard_negatives",
-    "embedding_outlier_flags",
-    "similarity_mmr_diversified",
-    "timeseries_seasonal_residuals",
-    "graph_label_propagation",
-    "dq_ks_drift_by_source",
-    "basket_pair_lift",
-    "er_golden_records",
-    "dedup_semantic_prune",
-    # remaining round-4-stale keys (single driver check, round 4)
-    "cohort_weekly_retention",
-    "customer_rfm_segments",
-    "similarity_ann_recall",
-    "similarity_ivf_recall",
-    "similarity_pq_ann_topk",
-    "similarity_pq_recall",
-    "text_gopher_quality_filter",
-    "timeseries_interpolate_linear",
-    "pipeline_strip_duplicate_passages",
-    "text_quality_percentile_gate",
-    "dedup_containment_pairs",
-    "pipeline_near_dedup_keep_longest",
-    # round-5-stale keys (last driver row round 5), registry order
-    "json_bad_record_quarantine",
-    "session_window_dynamic_gap",
-    "scd2_user_value_history",
-    "dq_orphan_foreign_keys",
-    "approx_quantiles_audit",
-    "cogrouped_activity_counts",
-    "json_variant_extract",
-    "chained_window_peak_counts",
-    "asof_point_in_time_features",
-    "window_rolling_median",
-    "funnel_view_click_purchase",
-    "winsorize_order_prices",
-    "text_chunk_sliding",
-    "text_contamination_8gram",
-    "dedup_incremental_new_vs_corpus",
-    "sketch_countmin_accuracy",
-    "storage_zorder_events",
-    "dedup_connected_components",
-    "dedup_connected_components_star",]
-
-# Next tranche (round 12): any round-11 additions are registered at
-# the head of this list as they land, then the round-5-stale leftover
-# (window overflow) — in staleness order derived from the committed
-# CORRECTNESS_r0*.json history. Keeping them HERE (not just in a
-# comment) makes the plan part of the ordered registry.
-NEXT_TRANCHE: list[str] = [
-    # round-11 additions (never driver-checked) — head of the
-    # round-12 window per the rotation policy.
+    # Round-11 NEXT_TRANCHE head, verbatim — FIRST-EVER driver row for
+    # the round-11 addition, then the round-5-stale leftover (window
+    # overflow; last driver row round 5) in registry order, then the
+    # oldest round-7-stale keys in staleness order.
     "similarity_nnd_recall",
     # round-5-stale leftover (window overflow), registry order
     "similarity_cosine_topk",
@@ -156,7 +95,72 @@ NEXT_TRANCHE: list[str] = [
     "q7_volume_shipping",
     "q12_urgency_by_linestatus",
     "q14_promo_revenue",
+]
+
+# Next tranche (round 13): any round-12 additions are registered at
+# the head of this list as they land, then the round-11
+# window-overflow leftover, then the remaining round-7-stale and
+# oldest round-8-stale keys — in staleness order derived from the
+# committed CORRECTNESS_r0*.json history. Keeping them HERE (not just
+# in a comment) makes the plan part of the ordered registry.
+NEXT_TRANCHE: list[str] = [
+    # round-12 additions (never driver-checked) — head of the
+    # round-13 window per the rotation policy.
+    "similarity_graph_search_topk",
+    "similarity_graph_search_recall",
+    "similarity_incremental_knn_merge",
+    # round-11 window-overflow leftover
     "q16_supplier_variety",
+    # remaining round-7-stale keys (last driver row round 7),
+    # staleness order
+    "q21_waiting_suppliers",
+    "sql_front_door_pipeline",
+    "grouped_map_centered_balance",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_excess_share_suppliers",
+    "q22_dormant_rich_customers",
+    "events_anomaly_mad",
+    "orders_benford_audit",
+    "events_markov_transitions",
+    "events_top_paths_3step",
+    "dedup_embedding_cosine_pairs",
+    "similarity_lsh_ann_topk",
+    "multimodal_frame_sample",
+    "text_approx_topk_words",
+    "text_pack_sequences",
+    # oldest round-8-stale keys (last driver row round 8),
+    # staleness order
+    "sketch_hll_users_by_type",
+    "sketch_theta_user_overlap",
+    "join_full_outer_activity",
+    "q5_region_revenue",
+    "join_range_clicks_before_purchase",
+    "sql_front_door_exists",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "not_in_subquery_customers",
+    "profile_key_skew_orders",
+    "window_share_of_segment",
+    "profile_table_stats_orders",
+    "window_ntile_quartiles",
+    "window_first_last_frame",
+    "scalar_try_arithmetic",
+    "orders_abc_pareto_classes",
+    "text_token_counts",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint_md5",
+    "text_rolling_fingerprints",
+    "text_stratified_sample",
+    "text_repetition_ratio",
 ]
 
 PRIORITY: list[str] = ROTATION_WINDOW + NEXT_TRANCHE

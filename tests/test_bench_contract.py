@@ -105,6 +105,19 @@ def test_full_record_selection_is_auditable():
     assert isinstance(rec["runs_considered"], list)
 
 
+def test_full_record_declares_provenance():
+    # VERDICT r11 #5: the committed record says WHO ran it ("builder"
+    # when the builder session exports SPARK_GRAFT_BENCH_PROVENANCE,
+    # "external" otherwise — e.g. the driver's own post-commit pass),
+    # so a driver overwrite of the committed builder record is
+    # self-describing rather than inferred from timestamps.
+    rec = _last_full_record()
+    assert rec.get("provenance") in ("builder", "external"), (
+        "BENCH_FULL.json lacks provenance — regenerate with the "
+        "current bench.py"
+    )
+
+
 def test_headline_names_in_committed_record():
     # Round-9 ADVICE: a HEADLINE addition without a regenerated
     # committed BENCH_FULL.json leaves the new query with no vs_prev
