@@ -759,7 +759,118 @@ def dedup_incremental_new_vs_corpus(spark, sf_dir):
     )
 
 
-@register("sketch_countmin_accuracy")  # xxhash64 cells → rows-only
+_M64 = "18446744073709551616::HUGEINT"
+# xxHash64 prime constants (public xxHash spec), as unsigned literals.
+_XXP = {
+    1: "11400714785074694791::UBIGINT",
+    2: "14029467366897019727::UBIGINT",
+    3: "1609587929392839161::UBIGINT",
+    4: "9650029242287828579::UBIGINT",
+    5: "2870177450012600261::UBIGINT",
+}
+
+
+def _umul64(a: str, b: str) -> str:
+    """Mod-2^64 multiply in DuckDB SQL: 32-bit split so every
+    intermediate fits HUGEINT (a 64x64 product would overflow it)."""
+    return (
+        f"CAST((((({a}) >> 32)::HUGEINT * (({b}) & 4294967295)::HUGEINT"
+        f" + (({a}) & 4294967295)::HUGEINT * (({b}) >> 32)::HUGEINT"
+        f") % 4294967296 * 4294967296"
+        f" + (({a}) & 4294967295)::HUGEINT * (({b}) & 4294967295)::HUGEINT"
+        f") % {_M64} AS UBIGINT)"
+    )
+
+
+def _rotl64(x: str, r: int) -> str:
+    # the two parts occupy disjoint bits, so + is |.
+    return (
+        f"CAST(((({x})::HUGEINT * {1 << r}) % {_M64}"
+        f" + (({x}) >> {64 - r})::HUGEINT) AS UBIGINT)"
+    )
+
+
+def _xxh64_long_steps(v_u: str, seed_u: str, p: str) -> list[tuple]:
+    """(alias, expr) chain computing ``h{p}`` = XXH64 of one 8-byte
+    little-endian long ``v_u`` with seed ``seed_u`` (both UBIGINT
+    expressions), exactly Spark's ``xxhash64`` long path — verified
+    value-identical for positive/negative/zero inputs. Each step MUST
+    become its own nested-subquery projection level: DuckDB lateral
+    column references expand the referenced expression INLINE, and a
+    26-step chain whose steps each reference the previous alias 3-6
+    times blows up exponentially (measured: a same-SELECT lateral
+    version spun >17 min where the nested form takes ~1s)."""
+    P = _XXP
+    return [
+        (f"k1a{p}", _umul64(v_u, P[2])),
+        (f"k1b{p}", _rotl64(f"k1a{p}", 31)),
+        (f"k1c{p}", _umul64(f"k1b{p}", P[1])),
+        (f"ac0{p}",
+         f"CAST((({seed_u})::HUGEINT + {P[5]} + 8) % {_M64} AS UBIGINT)"),
+        (f"ac1{p}", f"xor(ac0{p}, k1c{p})"),
+        (f"ac2{p}", _rotl64(f"ac1{p}", 27)),
+        (f"ac3{p}", _umul64(f"ac2{p}", P[1])),
+        (f"ac4{p}",
+         f"CAST((ac3{p}::HUGEINT + {P[4]}) % {_M64} AS UBIGINT)"),
+        (f"av1{p}", f"xor(ac4{p}, ac4{p} >> 33)"),
+        (f"av2{p}", _umul64(f"av1{p}", P[2])),
+        (f"av3{p}", f"xor(av2{p}, av2{p} >> 29)"),
+        (f"av4{p}", _umul64(f"av3{p}", P[3])),
+        (f"h{p}", f"xor(av4{p}, av4{p} >> 32)"),
+    ]
+
+
+def _sql_u64(col: str) -> str:
+    """Two's-complement reinterpret BIGINT -> UBIGINT (CAST on a
+    negative would error)."""
+    return f"CAST(((({col})::HUGEINT % {_M64}) + {_M64}) % {_M64} AS UBIGINT)"
+
+
+def _countmin_oracle(d: int = 4, w: int = 256) -> str:
+    """DuckDB replay of the count-min audit, bit-for-bit: the cell
+    hash is Spark's chained ``xxhash64(user_id, j)`` (seed 42 into
+    the first long, its output seeding the second), re-implemented as
+    pure mod-2^64 SQL arithmetic (round-12; converts this audit from
+    rows-only to hash-checked). ``h2 % w`` on the unsigned value
+    equals Spark's ``pmod(signed, w)`` because 2^64 ≡ 0 (mod w) for
+    power-of-two w."""
+    chain = (
+        [("vu", _sql_u64("user_id"))]
+        + _xxh64_long_steps("vu", "42::UBIGINT", "1")
+        + [("ju", _sql_u64("j"))]
+        + _xxh64_long_steps("ju", "h1", "2")
+    )
+    inner = (
+        "SELECT user_id, j FROM events, (SELECT unnest(["
+        + ", ".join(str(j) for j in range(d))
+        + "]) AS j)"
+    )
+    for alias, expr in chain:
+        inner = f"SELECT *, {expr} AS {alias} FROM ({inner})"
+    return f"""
+    WITH cells AS (SELECT user_id, j, CAST(h2 % {w} AS BIGINT) AS cell
+                   FROM ({inner})),
+    sketch AS (SELECT j, cell, count(*) AS n FROM cells GROUP BY j, cell),
+    exact AS (SELECT user_id, count(*) AS true_n FROM events
+              GROUP BY user_id),
+    est AS (
+      SELECT c.user_id, e.true_n, min(s.n) AS est
+      FROM (SELECT DISTINCT user_id, j, cell FROM cells) c
+      JOIN sketch s USING (j, cell)
+      JOIN exact e USING (user_id)
+      GROUP BY c.user_id, e.true_n),
+    ov AS (SELECT est - true_n AS overest FROM est)
+    SELECT CAST({d} AS BIGINT) AS d, CAST({w} AS BIGINT) AS w,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(overest) AS BIGINT) AS min_overest,
+           CAST(max(overest) AS BIGINT) AS max_overest,
+           quantile_cont(overest, 0.95) AS p95_overest,
+           round(avg(overest), 6) AS mean_overest
+    FROM ov
+    """
+
+
+@register("sketch_countmin_accuracy", oracle=_countmin_oracle())
 def sketch_countmin_accuracy(spark, sf_dir):
     """Count-min sketch accuracy audit (the mergeable-sketch answer
     to per-key counting when the key space is too large for an exact
@@ -774,7 +885,12 @@ def sketch_countmin_accuracy(spark, sf_dir):
     estimate join is a broadcast of those 1024 cells. CM never
     underestimates (every occurrence of a key lands in all d of its
     cells) and pytest pins that invariant plus the epsilon = e/w
-    error bound; the driver sees the audit row."""
+    error bound. Hash-checked since round 12: the DuckDB oracle
+    replays Spark's chained xxhash64 bit-for-bit in pure mod-2^64
+    SQL arithmetic (``_countmin_oracle`` — 32-bit-split multiplies so
+    nothing overflows HUGEINT, lateral column references so the whole
+    chain is one SELECT), so the previously rows-only audit row is
+    value-compared like any other query."""
     d, w = 4, 256
     ev = load_table(spark, sf_dir, "events").select("user_id")
     js = F.array(*[F.lit(j) for j in range(d)])
@@ -782,9 +898,13 @@ def sketch_countmin_accuracy(spark, sf_dir):
         F.explode(js).alias("j"), F.col("user_id")
     ).select(
         "j",
-        F.pmod(F.xxhash64(F.col("user_id"), F.col("j")), F.lit(w)).alias(
-            "cell"
-        ),
+        # j is hashed as a LONG so both xxhash64 inputs take the
+        # 8-byte path — the path the DuckDB oracle replays (Spark's
+        # int input would take the distinct 4-byte path).
+        F.pmod(
+            F.xxhash64(F.col("user_id"), F.col("j").cast("long")),
+            F.lit(w),
+        ).alias("cell"),
     )
     sketch = cells.groupBy("j", "cell").agg(F.count("*").alias("n"))
     exact = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
@@ -794,9 +914,10 @@ def sketch_countmin_accuracy(spark, sf_dir):
         "user_id",
         "true_n",
         "j",
-        F.pmod(F.xxhash64(F.col("user_id"), F.col("j")), F.lit(w)).alias(
-            "cell"
-        ),
+        F.pmod(
+            F.xxhash64(F.col("user_id"), F.col("j").cast("long")),
+            F.lit(w),
+        ).alias("cell"),
     )
     est = (
         probes.join(F.broadcast(sketch), ["j", "cell"])
