@@ -759,71 +759,12 @@ def dedup_incremental_new_vs_corpus(spark, sf_dir):
     )
 
 
-_M64 = "18446744073709551616::HUGEINT"
-# xxHash64 prime constants (public xxHash spec), as unsigned literals.
-_XXP = {
-    1: "11400714785074694791::UBIGINT",
-    2: "14029467366897019727::UBIGINT",
-    3: "1609587929392839161::UBIGINT",
-    4: "9650029242287828579::UBIGINT",
-    5: "2870177450012600261::UBIGINT",
-}
-
-
-def _umul64(a: str, b: str) -> str:
-    """Mod-2^64 multiply in DuckDB SQL: 32-bit split so every
-    intermediate fits HUGEINT (a 64x64 product would overflow it)."""
-    return (
-        f"CAST((((({a}) >> 32)::HUGEINT * (({b}) & 4294967295)::HUGEINT"
-        f" + (({a}) & 4294967295)::HUGEINT * (({b}) >> 32)::HUGEINT"
-        f") % 4294967296 * 4294967296"
-        f" + (({a}) & 4294967295)::HUGEINT * (({b}) & 4294967295)::HUGEINT"
-        f") % {_M64} AS UBIGINT)"
-    )
-
-
-def _rotl64(x: str, r: int) -> str:
-    # the two parts occupy disjoint bits, so + is |.
-    return (
-        f"CAST(((({x})::HUGEINT * {1 << r}) % {_M64}"
-        f" + (({x}) >> {64 - r})::HUGEINT) AS UBIGINT)"
-    )
-
-
-def _xxh64_long_steps(v_u: str, seed_u: str, p: str) -> list[tuple]:
-    """(alias, expr) chain computing ``h{p}`` = XXH64 of one 8-byte
-    little-endian long ``v_u`` with seed ``seed_u`` (both UBIGINT
-    expressions), exactly Spark's ``xxhash64`` long path — verified
-    value-identical for positive/negative/zero inputs. Each step MUST
-    become its own nested-subquery projection level: DuckDB lateral
-    column references expand the referenced expression INLINE, and a
-    26-step chain whose steps each reference the previous alias 3-6
-    times blows up exponentially (measured: a same-SELECT lateral
-    version spun >17 min where the nested form takes ~1s)."""
-    P = _XXP
-    return [
-        (f"k1a{p}", _umul64(v_u, P[2])),
-        (f"k1b{p}", _rotl64(f"k1a{p}", 31)),
-        (f"k1c{p}", _umul64(f"k1b{p}", P[1])),
-        (f"ac0{p}",
-         f"CAST((({seed_u})::HUGEINT + {P[5]} + 8) % {_M64} AS UBIGINT)"),
-        (f"ac1{p}", f"xor(ac0{p}, k1c{p})"),
-        (f"ac2{p}", _rotl64(f"ac1{p}", 27)),
-        (f"ac3{p}", _umul64(f"ac2{p}", P[1])),
-        (f"ac4{p}",
-         f"CAST((ac3{p}::HUGEINT + {P[4]}) % {_M64} AS UBIGINT)"),
-        (f"av1{p}", f"xor(ac4{p}, ac4{p} >> 33)"),
-        (f"av2{p}", _umul64(f"av1{p}", P[2])),
-        (f"av3{p}", f"xor(av2{p}, av2{p} >> 29)"),
-        (f"av4{p}", _umul64(f"av3{p}", P[3])),
-        (f"h{p}", f"xor(av4{p}, av4{p} >> 32)"),
-    ]
-
-
-def _sql_u64(col: str) -> str:
-    """Two's-complement reinterpret BIGINT -> UBIGINT (CAST on a
-    negative would error)."""
-    return f"CAST(((({col})::HUGEINT % {_M64}) + {_M64}) % {_M64} AS UBIGINT)"
+# Spark-xxhash64-in-SQL primitives (round 12): shared generator
+# library for every hash-replay oracle.
+from ._xxh64_sql import (  # noqa: E402
+    sql_u64 as _sql_u64,
+    xxh64_long_steps as _xxh64_long_steps,
+)
 
 
 def _countmin_oracle(d: int = 4, w: int = 256) -> str:

@@ -1628,3 +1628,69 @@ def test_graph_search_recall_query_shape(spark, sf_small):
     assert len(row) == 1
     assert row[0].n_exact == 125
     assert row[0].recall >= 0.8
+
+
+def test_xxh64_sql_matches_spark(spark):
+    """The SQL xxhash64 replay (registry._xxh64_sql) must equal
+    Spark's xxhash64 bit-for-bit on every input path the oracles
+    use: 8-byte longs (positive/negative/zero), 4-byte ints, and
+    variable-length UTF-8 strings spanning every tail-geometry case
+    (empty, <32, exactly 32, stripes + every 0..31 remainder,
+    multi-byte UTF-8)."""
+    import string as st
+
+    import duckdb
+
+    from msk_flink_streaming_cdk_spark.registry._xxh64_sql import (
+        nest,
+        sql_u64,
+        xxh64_int_steps,
+        xxh64_long_steps,
+        xxh64_str_steps,
+    )
+
+    con = duckdb.connect()
+
+    longs = [0, 1, -1, 42, -5, 2**63 - 1, -(2**63), 123456789]
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    expect = {r.v: r.h for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    q = nest(
+        "SELECT v FROM t", [("vu", sql_u64("v"))]
+        + xxh64_long_steps("vu", "42::UBIGINT", "1")
+    )
+    con.sql("CREATE TABLE t (v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in longs])
+    for v, h in con.sql(f"SELECT v, h1 FROM ({q})").fetchall():
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert signed == expect[v], f"long {v}"
+
+    ints = [0, 1, -1, 3, 255, 2**31 - 1, -(2**31)]
+    dfi = spark.createDataFrame([(v,) for v in ints], "v int")
+    expect_i = {
+        r.v: r.h for r in dfi.select("v", F.xxhash64("v").alias("h")).collect()
+    }
+    # 4-byte two's complement reinterpret
+    qi = nest(
+        "SELECT v FROM ti",
+        [("vu", "CAST((((v)::HUGEINT % 4294967296) + 4294967296) "
+                "% 4294967296 AS UBIGINT)")]
+        + xxh64_int_steps("vu", "42::UBIGINT", "1"),
+    )
+    con.sql("CREATE TABLE ti (v INTEGER)")
+    con.executemany("INSERT INTO ti VALUES (?)", [(v,) for v in ints])
+    for v, h in con.sql(f"SELECT v, h1 FROM ({qi})").fetchall():
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert signed == expect_i[v], f"int {v}"
+
+    strings = [""] + [(st.ascii_lowercase * 8)[:n] for n in range(1, 100)]
+    strings += ["héllo wörld", "日本語テキスト", "a b c " * 40]
+    dfs = spark.createDataFrame([(s,) for s in strings], "s string")
+    expect_s = {
+        r.s: r.h for r in dfs.select("s", F.xxhash64("s").alias("h")).collect()
+    }
+    qs = nest("SELECT s FROM ts", xxh64_str_steps("s", "42::UBIGINT", "1"))
+    con.sql("CREATE TABLE ts (s VARCHAR)")
+    con.executemany("INSERT INTO ts VALUES (?)", [(s,) for s in strings])
+    for s, h in con.sql(f"SELECT s, h1 FROM ({qs})").fetchall():
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert signed == expect_s[s], f"str {s!r}"
