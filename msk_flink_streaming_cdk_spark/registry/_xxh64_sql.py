@@ -75,6 +75,16 @@ def sql_u64(col: str) -> str:
     return f"CAST(((({col})::HUGEINT % {_M64}) + {_M64}) % {_M64} AS UBIGINT)"
 
 
+def sql_i64(col: str) -> str:
+    """Two's-complement reinterpret UBIGINT -> BIGINT (the inverse of
+    ``sql_u64`` — Spark's xxhash64 returns the signed view)."""
+    return (
+        f"CAST((({col})::HUGEINT - CASE WHEN ({col}) >= "
+        f"9223372036854775808::UBIGINT THEN {_M64} ELSE 0::HUGEINT END)"
+        f" AS BIGINT)"
+    )
+
+
 def _round(acc: str, lane: str) -> str:
     # acc = rotl31(acc + lane * P2) * P1
     return umul64(rotl64(add64(acc, umul64(lane, P2)), 31), P1)
@@ -173,25 +183,50 @@ def xxh64_str_steps(s_col: str, seed_u: str, p: str) -> list:
     )
     # tail geometry: after the stripes, r = nb % 32 bytes remain at
     # offset t0; n8 full 8-byte words, then maybe one 4-byte word,
-    # then r % 4 single bytes.
-    t8_lanes = (
-        f"list_transform(range(((({nb}) % 32) // 8)::BIGINT),"
-        f" i -> {_lane8(hx, f't0{p} + 8*i')})"
-    )
-    # (a, l) fold body: acc ^= round0(lane); acc = rotl27(acc)*P1 + P4
-    t8_step = add64(
-        umul64(rotl64(f"xor(a, {_round0('l')})", 27), P1), P4
-    )
-    byte_items = (
-        f"list_transform(range(((({nb}) % 4))::BIGINT),"
-        f" i -> {_byte(hx, f'pb{p} + i')})"
-    )
-    byte_step = umul64(rotl64(f"xor(a, {umul64('l', P5)})", 11), P1)
+    # then r % 4 single bytes. Both tail loops are bounded (<= 3
+    # iterations each), so they are UNROLLED into CASE-guarded
+    # projection levels: a list_reduce lambda fold measured ~0.1 ms
+    # per step in DuckDB (7.6 s for 26k rows), the unrolled integer
+    # arithmetic is ~100x cheaper. Reads past the end are safe (the
+    # hex stream is zero-padded); the CASE keeps the accumulator
+    # unchanged for lanes beyond n8.
+    t8_steps = []
+    for i in range(3):
+        li = f"tl{i}{p}"
+        prev = f"sa1{p}" if i == 0 else f"ta{i - 1}{p}"
+        t8_steps += [
+            (li, _lane8(hx, f"t0{p} + {8 * i}")),
+            (f"tr{i}{p}", _round0(li)),
+            (f"ta{i}{p}",
+             f"CASE WHEN ((({nb}) % 32) // 8) >= {i + 1} THEN "
+             + add64(
+                 umul64(rotl64(f"xor({prev}, tr{i}{p})", 27), P1), P4
+             )
+             + f" ELSE {prev} END"),
+        ]
+    byte_steps = []
+    for i in range(3):
+        bi = f"bl{i}{p}"
+        prev = f"sa3{p}" if i == 0 else f"ba{i - 1}{p}"
+        byte_steps += [
+            (bi, _byte(hx, f"pb{p} + {i}")),
+            (f"ba{i}{p}",
+             f"CASE WHEN (({nb}) % 4) >= {i + 1} THEN "
+             + umul64(
+                 rotl64(f"xor({prev}, {umul64(bi, P5)})", 11), P1
+             )
+             + f" ELSE {prev} END"),
+        ]
     return [
         (hx,
          f"hex(encode({s_col})) || repeat('0', 64)"),
         (nb, f"octet_length(encode({s_col}))"),
-        (f"sv{p}", stripe_fold),
+        # the whole stripe machinery is guarded: for nb < 32 the fold
+        # result is unused, and the per-row list allocation it costs
+        # is the hot path for short strings (DuckDB evaluates CASE
+        # branches lazily via selection vectors).
+        (f"sv{p}", f"CASE WHEN ({nb}) >= 32 THEN {stripe_fold}"
+                   f" ELSE NULL END"),
         # merge the four stripe accumulators (only used when nb >= 32)
         (f"mg0{p}",
          add64(rotl64(f"sv{p}[1]", 1), rotl64(f"sv{p}[2]", 7),
@@ -209,9 +244,8 @@ def xxh64_str_steps(s_col: str, seed_u: str, p: str) -> list:
          f" ELSE {add64(seed_u, P5)} END"),
         (f"sa1{p}", add64(f"sa0{p}", f"({nb})::UBIGINT")),
         (f"t0{p}", f"(({nb}) - (({nb}) % 32))::BIGINT"),
-        (f"sa2{p}",
-         f"list_reduce(list_prepend(sa1{p}, {t8_lanes}),"
-         f" (a, l) -> {t8_step})"),
+    ] + t8_steps + [
+        (f"sa2{p}", f"ta2{p}"),
         (f"p4{p}", f"(({nb}) - (({nb}) % 8))::BIGINT"),
         (f"sa3{p}",
          f"CASE WHEN (({nb}) % 8) >= 4 THEN "
@@ -226,9 +260,8 @@ def xxh64_str_steps(s_col: str, seed_u: str, p: str) -> list:
          )
          + f" ELSE sa2{p} END"),
         (f"pb{p}", f"(({nb}) - (({nb}) % 4))::BIGINT"),
-        (f"sa4{p}",
-         f"list_reduce(list_prepend(sa3{p}, {byte_items}),"
-         f" (a, l) -> {byte_step})"),
+    ] + byte_steps + [
+        (f"sa4{p}", f"ba2{p}"),
     ] + _avalanche_steps(f"sa4{p}", p)
 
 

@@ -1,16 +1,31 @@
 """LLM-training-data pipeline queries (SURVEY §7 M5) — dedup,
 similarity search, text analysis, multimodal plumbing.
 
-Oracle-checked where DuckDB can express the same computation; the
-hash-based ops (MinHash-LSH, SimHash, LSH-ANN, rolling fingerprints)
-are rows-only for the driver and quality-gated in
-``tests/test_llm_ops.py`` (recall against the exact methods).
+Oracle-checked where DuckDB can express the same computation — since
+round 12 that includes the xxhash64/md5-derived ops (MinHash-LSH,
+SimHash, rolling fingerprints, count-min), whose oracles replay
+Spark's hashes bit-for-bit via ``_xxh64_sql``; the remaining
+rows-only ops (seeded-hyperplane ANN, HLL/KLL sketches) are
+quality-gated in ``tests/test_llm_ops.py`` (recall/error floors
+against the exact methods).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+# Spark-xxhash64-in-SQL primitives: shared generator library for
+# every hash-replay oracle (count-min, MinHash-LSH, rolling
+# fingerprints).
+from ._xxh64_sql import (
+    nest as _nest,
+    sql_i64 as _sql_i64,
+    sql_u64 as _sql_u64,
+    xxh64_int_steps as _xxh64_int_steps,
+    xxh64_long_steps as _xxh64_long_steps,
+    xxh64_str_steps as _xxh64_str_steps,
+)
 
 from ..operators.dedup import (
     dedup_exact,
@@ -170,12 +185,67 @@ def text_fingerprint_md5(spark, sf_dir):
     )
 
 
-@register("text_rolling_fingerprints")  # xxhash64 → not DuckDB-expressible
+def _rolling_fp_oracle(window: int = 8) -> str:
+    """DuckDB replay of the Rabin-Karp rolling fingerprints
+    (round 12 — rows-only → hash-checked): per-word ``xxhash64``
+    via the string-path chain, then each window's Java-long fold
+    ``fold(a*31 + x)`` expanded to its closed form
+    ``sum 31^(w-1-t) * slot[t] (mod 2^64)`` — the powers of 31 stay
+    below 2^35, so plain HUGEINT products suffice (no 32-bit
+    splits). Short documents (< window words) reuse the same
+    polynomial on a front-zero-padded slot list: leading zeros
+    contribute nothing to the fold, so one expression covers both
+    branches."""
+    pow31 = [31 ** (window - 1 - t) for t in range(window)]
+    m64 = "18446744073709551616::HUGEINT"
+    word_base = r"""
+        SELECT doc_id, pos, w FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS w,
+                 unnest(range(1, len(string_split_regex(lower(trim(text)), '\s+')) + 1)) AS pos
+          FROM documents)"""
+    hashed = _nest(word_base, _xxh64_str_steps("w", "42::UBIGINT", "W"))
+    poly = " + ".join(
+        f"{pow31[t]}::HUGEINT * s8[{t + 1}]::HUGEINT"
+        for t in range(window)
+    )
+    return f"""
+    WITH wh AS MATERIALIZED (SELECT doc_id, pos, hW FROM ({hashed})),
+    wl AS (SELECT doc_id, list(hW ORDER BY pos) AS whs
+           FROM wh GROUP BY doc_id),
+    wins AS (
+      SELECT doc_id, whs,
+             unnest(CASE WHEN len(whs) >= {window}
+                         THEN range(1, len(whs) - {window - 2})
+                         ELSE [CAST(1 AS BIGINT)] END) AS i
+      FROM wl),
+    padded AS (
+      SELECT doc_id, i,
+             CASE WHEN len(whs) >= {window} THEN whs[i:i+{window - 1}]
+                  ELSE list_concat(
+                    list_transform(range({window} - len(whs)),
+                                   x -> 0::UBIGINT),
+                    whs)
+             END AS s8
+      FROM wins),
+    hv AS (
+      SELECT doc_id, i,
+             {_sql_i64(f"CAST(({poly}) % {m64} AS UBIGINT)")} AS h
+      FROM padded)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS window_hashes
+    FROM hv GROUP BY doc_id"""
+
+
+@register("text_rolling_fingerprints", oracle=_rolling_fp_oracle())
 def text_rolling_fingerprints(spark, sf_dir):
     """Rolling 8-word window hashes per document (shift-robust
-    fingerprints); rows-only driver check, shape-tested in pytest.
-    Hashes are emitted as a canonical CSV string: the driver's hash
-    canon cannot sort rows holding raw array cells.
+    fingerprints); hash-checked since round 12 — the DuckDB oracle
+    replays the per-word xxhash64 and the wrapped polynomial fold
+    bit-for-bit (``_rolling_fp_oracle``). Hashes are emitted as a
+    canonical CSV string: the driver's hash canon cannot sort rows
+    holding raw array cells.
 
     Two narrow projections, no shuffle: words hashed ONCE per doc
     (``word_hashes_col`` across a projection boundary), then each
@@ -759,12 +829,165 @@ def dedup_incremental_new_vs_corpus(spark, sf_dir):
     )
 
 
-# Spark-xxhash64-in-SQL primitives (round 12): shared generator
-# library for every hash-replay oracle.
-from ._xxh64_sql import (  # noqa: E402
-    sql_u64 as _sql_u64,
-    xxh64_long_steps as _xxh64_long_steps,
-)
+def _minhash_ctes(
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    with_bands: bool = True,
+) -> str:
+    """CTE fragment replaying ``operators.dedup`` MinHash-LSH
+    bit-for-bit in DuckDB (round 12 — converts the minhash family
+    from rows-only to hash-checked). Assumes the ``sh`` shingle CTE
+    (``_SHINGLES_CTES``) is already in scope.
+
+    Spark side being replayed: shingle hash = ``xxhash64(s)`` (string
+    path, seed 42). The permutation hash depends on the CALLER —
+    ``minhash_lsh_pairs`` goes through ``hashed_shingles`` and hashes
+    the shingle-hash LONG (``xxhash64(sh_long, lit(p))`` = long path
+    seeded 42, then int path for p — ``lit(p)`` is an INT literal,
+    Spark's 4-byte path), while ``minhash_signatures`` hashes the
+    shingle STRING directly (string path, then int path). The two
+    produce DIFFERENT signatures; ``with_bands`` selects the variant
+    (bands=True → the lsh_pairs long-rehash form; bands=False → the
+    signatures string form used by the estimate audit). An edge
+    fixture caught exactly this: at corpus scale the exact-Jaccard
+    verification masks candidate-set differences, so only a
+    sub-recall fixture distinguishes the chains
+    (``test_hash_replay_oracles_on_edge_fixture``). Signature slot =
+    min per permutation on the SIGNED view (Spark's ``array_min``
+    over longs); band hash = chained ``xxhash64(sig[jr] ..
+    sig[jr+r-1])`` (long path, seed 42). Candidates band-join with
+    ``doc_a < doc_b``; verification is exact Jaccard over the hashed
+    shingle sets — the unsigned view here, bijective to Spark's
+    signed longs, so set sizes match exactly.
+
+    The hash CTEs are MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, and re-optimizing the ~60-level hash chain once per
+    consumer measured 60s vs 10s materialized at 500 docs."""
+    r = num_perm // bands
+    exploded = "SELECT doc_id, unnest(shingles) AS s FROM sh"
+    str_steps = _xxh64_str_steps("s", "42::UBIGINT", "S")
+    if with_bands:
+        # lsh_pairs re-hashes the shingle-hash LONG before the
+        # per-permutation int hash; the int chain is seeded by hl.
+        str_steps = str_steps + _xxh64_long_steps("hS", "42::UBIGINT", "L")
+        hset_cols = "hS AS hs, hL AS hseed"
+    else:
+        hset_cols = "hS AS hs, hS AS hseed"
+    hashed = _nest(exploded, str_steps)
+    perm_base = (
+        f"SELECT doc_id, hseed, p, CAST(p AS UBIGINT) AS pu "
+        f"FROM mh_hset CROSS JOIN (SELECT unnest(range({num_perm})) AS p)"
+    )
+    permed = _nest(perm_base, _xxh64_int_steps("pu", "hseed", "P"))
+    sig_cols = ", ".join(
+        f"min(CASE WHEN p = {p} THEN {_sql_i64('hP')} END) AS g{p}"
+        for p in range(num_perm)
+    )
+    out = f"""
+    mh_hset AS MATERIALIZED (SELECT doc_id, {hset_cols} FROM ({hashed})),
+    mh_sig AS MATERIALIZED (
+      SELECT doc_id, {sig_cols}
+      FROM ({permed})
+      GROUP BY doc_id)"""
+    if not with_bands:
+        return out
+    sg_list = "[" + ", ".join(f"g{p}" for p in range(num_perm)) + "]"
+    band_base = (
+        f"SELECT doc_id, j, sg FROM mh_sig2 "
+        f"CROSS JOIN (SELECT unnest(range({bands})) AS j)"
+    )
+    steps = []
+    for i in range(r):
+        seed = "42::UBIGINT" if i == 0 else f"hB{i-1}"
+        steps.append((f"vu{i}", _sql_u64(f"sg[{r}*j + {i} + 1]")))
+        steps += _xxh64_long_steps(f"vu{i}", seed, f"B{i}")
+    banded = _nest(band_base, steps)
+    return out + f""",
+    mh_sig2 AS (SELECT doc_id, {sg_list} AS sg FROM mh_sig),
+    mh_banded AS MATERIALIZED (
+      SELECT doc_id, j AS band_id, hB{r-1} AS band_hash
+      FROM ({banded})),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mh_banded a JOIN mh_banded b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    mh_sizes AS (SELECT doc_id, count(*) AS n FROM mh_hset GROUP BY doc_id),
+    mh_pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             i.ni::DOUBLE / (sa.n + sb.n - i.ni) AS jaccard
+      FROM (SELECT c.doc_a, c.doc_b, count(*) AS ni
+            FROM mh_cand c
+            JOIN mh_hset x ON x.doc_id = c.doc_a
+            JOIN mh_hset y ON y.doc_id = c.doc_b AND y.hs = x.hs
+            GROUP BY c.doc_a, c.doc_b) i
+      JOIN mh_sizes sa ON sa.doc_id = i.doc_a
+      JOIN mh_sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.ni::DOUBLE / (sa.n + sb.n - i.ni) >= {threshold})"""
+
+
+# DuckDB replay of ``operators.dedup.simhash64`` + the pigeonhole
+# chunk join (round 12): the word digest is the big-endian first 8
+# md5 bytes — DuckDB's native md5() — and the count-weighted bit
+# votes, chunk banding, and Hamming verify are plain SQL. Word
+# splitting matches Python's str.split() (split on whitespace, skip
+# empties — NOT the regex-split-with-leading-empty of the shingle
+# path).
+_SIMHASH_CTES = r"""
+    sw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    swc AS (SELECT doc_id, w, count(*) AS cnt FROM sw GROUP BY doc_id, w),
+    sn AS (SELECT doc_id, sum(cnt) AS n_words FROM swc GROUP BY doc_id),
+    swh AS (SELECT doc_id, cnt,
+                   CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) AS h
+            FROM swc),
+    sbits AS (
+      SELECT s.doc_id, k.k,
+             sum(CASE WHEN (s.h >> k.k) & 1::UBIGINT = 1::UBIGINT
+                      THEN s.cnt ELSE 0 END) AS ones
+      FROM swh s CROSS JOIN (SELECT unnest(range(64)) AS k) k
+      GROUP BY s.doc_id, k.k),
+    shash AS MATERIALIZED (
+      SELECT d.doc_id, COALESCE(v.su, 0::UBIGINT) AS su
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN (
+        SELECT b.doc_id,
+               CAST(sum(CASE WHEN 2*b.ones - n.n_words > 0
+                             THEN (1::UBIGINT << b.k)
+                             ELSE 0::UBIGINT END) AS UBIGINT) AS su
+        FROM sbits b JOIN sn n ON n.doc_id = b.doc_id
+        GROUP BY b.doc_id) v
+      ON v.doc_id = d.doc_id),
+    sh_chunks AS (
+      SELECT doc_id, su, i AS chunk_id,
+             CAST((su >> (16*i)) & 65535::UBIGINT AS BIGINT) AS chunk_val
+      FROM shash CROSS JOIN (SELECT unnest(range(4)) AS i)),
+    sh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.su, b.su)) AS INT) AS hamming
+      FROM sh_chunks a JOIN sh_chunks b
+        ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.su, b.su)) <= 3)"""
+
+
+def _pair_metrics_sql(exact: str, approx: str) -> str:
+    """SQL twin of ``_pair_metrics``: (n_exact, n_approx, n_common,
+    recall, precision) over two pair CTEs keyed (doc_a, doc_b)."""
+    return f"""
+    SELECT n_exact, n_approx, n_common,
+           round(n_common::DOUBLE / n_exact, 4) AS recall,
+           round(n_common::DOUBLE / n_approx, 4) AS "precision"
+    FROM (SELECT
+      (SELECT count(*) FROM {exact}) AS n_exact,
+      (SELECT count(*) FROM {approx}) AS n_approx,
+      (SELECT count(*) FROM {exact} e JOIN {approx} a
+         ON e.doc_a = a.doc_a AND e.doc_b = a.doc_b) AS n_common)"""
 
 
 def _countmin_oracle(d: int = 4, w: int = 256) -> str:
@@ -1170,17 +1393,30 @@ def dedup_connected_components_star(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_lsh_pairs")  # xxhash64-based → rows-only
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"WITH {_SHINGLES_CTES}, {_minhash_ctes()}\n"
+    "    SELECT doc_a, doc_b, jaccard FROM mh_pairs",
+)
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs (the 100 TB path), exact-Jaccard
-    verified; recall vs the exact method is pinned in pytest."""
+    verified; recall vs the exact method is pinned in pytest.
+    Hash-checked since round 12: the DuckDB oracle replays the whole
+    LSH stack — string-path shingle hash, int-path permutation mins,
+    long-path band chain — bit-for-bit (``_minhash_ctes``)."""
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
-@register("dedup_simhash_pairs")  # pandas-UDF bit ops → rows-only
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"WITH {_SIMHASH_CTES}\n"
+    "    SELECT doc_a, doc_b, hamming FROM sh_pairs",
+)
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash Hamming<=3 near-dup pairs (Arrow-batched sketch,
-    pigeonhole-banded join)."""
+    pigeonhole-banded join). Hash-checked since round 12: the md5
+    word digests, count-weighted bit votes, chunk banding, and
+    Hamming verify all replay natively in DuckDB (``_SIMHASH_CTES``)."""
     return simhash_hamming_pairs(_docs(spark, sf_dir))
 
 
@@ -1675,12 +1911,18 @@ def _pair_metrics(exact, approx, cols):
     )
 
 
-@register("dedup_minhash_recall")  # audit metric → rows-only
+@register(
+    "dedup_minhash_recall",
+    oracle=f"WITH {_NGRAM_PAIRS_CTES}, {_minhash_ctes()}\n"
+    + _pair_metrics_sql("pairs", "mh_pairs"),
+)
 def dedup_minhash_recall(spark, sf_dir):
     """Recall/precision of MinHash-LSH near-dup pairs vs the
     oracle-green exact n-gram-Jaccard method (same 0.5 threshold).
     Both sides verify with exact Jaccard, so precision vs the banded
-    exact set can exceed it only via pairs outside the length band."""
+    exact set can exceed it only via pairs outside the length band.
+    Hash-checked since round 12: the oracle combines the exact-pair
+    replay with the full LSH replay and computes the same metrics."""
     docs = _docs(spark, sf_dir)
     return _pair_metrics(
         shared_pair_graph(spark, sf_dir),
@@ -1752,7 +1994,24 @@ def pipeline_forget_expand(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_estimate_audit")  # xxhash64 sigs → rows-only
+_MINHASH_EST_MATCHES = " + ".join(
+    f"(CASE WHEN a.g{p} = b.g{p} THEN 1 ELSE 0 END)" for p in range(16)
+)
+
+
+@register(
+    "dedup_minhash_estimate_audit",
+    oracle=f"""WITH {_NGRAM_PAIRS_CTES}, {_minhash_ctes(with_bands=False)},
+    perr AS (
+      SELECT abs(({_MINHASH_EST_MATCHES})::DOUBLE / 16 - p.jaccard) AS err
+      FROM pairs p
+      JOIN mh_sig a ON a.doc_id = p.doc_a
+      JOIN mh_sig b ON b.doc_id = p.doc_b)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(err), 6) AS mae,
+           round(max(err), 6) AS max_err
+    FROM perr""",
+)
 def dedup_minhash_estimate_audit(spark, sf_dir):
     """MinHash Jaccard-ESTIMATION error audit (the companion to the
     recall pin, which only checks pair retrieval): over the exact
@@ -1810,7 +2069,11 @@ def dedup_minhash_estimate_audit(spark, sf_dir):
     )
 
 
-@register("dedup_simhash_recall")  # audit metric → rows-only
+@register(
+    "dedup_simhash_recall",
+    oracle=f"WITH {_NGRAM_PAIRS_CTES}, {_SIMHASH_CTES}\n"
+    + _pair_metrics_sql("pairs", "sh_pairs"),
+)
 def dedup_simhash_recall(spark, sf_dir):
     """Recall of SimHash Hamming<=3 pairs against the exact Jaccard
     near-dup set. SimHash is a coarser sketch with its own criterion,

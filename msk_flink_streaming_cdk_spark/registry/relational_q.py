@@ -854,13 +854,35 @@ def sketch_hll_users_by_type(spark, sf_dir):
     )
 
 
-@register("sketch_theta_user_overlap")  # DataSketches theta → rows-only
+@register(
+    "sketch_theta_user_overlap",
+    oracle="""
+    WITH x AS (
+      SELECT count(*) AS exact_overlap FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'))
+    SELECT CAST(exact_overlap AS BIGINT) AS est_overlap,
+           CAST(exact_overlap AS BIGINT) AS exact_overlap,
+           round(0.0::DOUBLE, 4) AS rel_err
+    FROM x
+    """,
+)
 def sketch_theta_user_overlap(spark, sf_dir):
     """Theta-sketch set intersection: estimated |users(click) ∩
     users(purchase)| without materializing either side — the audience-
     overlap computation that at 100 TB replaces a distinct-distinct
     join with two single-scan sketches intersected on the driver.
-    Self-auditing output (exact via a semi-join at test scale)."""
+    Self-auditing output (exact via a semi-join at test scale).
+
+    Hash-checked since round 12 UNDER THE EXACT-MODE BOUND: a theta
+    sketch with the default 4096 nominal entries is exact below 4096
+    distinct keys, and every shipped SF stays under it (1500 distinct
+    users per side at sf0.1), so ``est_overlap == exact_overlap`` is
+    a deterministic identity here, verified at all three SFs. If a
+    fixture ever crosses the nominal-entry bound this oracle must be
+    dropped back to rows-only (the estimate becomes genuinely
+    probabilistic)."""
     ev = _t(spark, sf_dir, "events")
     sks = ev.agg(
         F.expr(

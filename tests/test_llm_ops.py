@@ -688,6 +688,73 @@ def _write_docs(spark, tmp_path, texts):
     return str(tmp_path)
 
 
+def _edge_docs_sf(spark, tmp_path, sf_small):
+    """documents.parquet of shingle/rolling edge cases (empty text,
+    sub-window word counts, whitespace/case quirks, multi-byte UTF-8,
+    one verifiable near-dup pair), with every OTHER table symlinked
+    from the real fixture so ``compare``'s DuckDB views bind."""
+    import os
+
+    from msk_flink_streaming_cdk_spark.sources.fixtures import TABLES
+
+    texts = [
+        "",  # empty -> split yields [''], whole-text shingle ''
+        "one",
+        "\tlead tab words",  # trim strips spaces only: leading '' token
+        "alpha beta gamma delta",  # 4 words < k=5: whole-text shingle
+        "alpha beta gamma delta eps",  # exactly k: one 5-shingle
+        "a b c d e f g",  # 7 words < window=8: front-padded fold
+        "a b c d e f g h",  # exactly the window: one rolling hash
+        "Multi  spaces\tand MiXeD CaSe tokens here now",
+        "héllo wörld ünïcode bytes test",  # multi-byte UTF-8
+        " ".join(f"w{i}" for i in range(40)),  # near-dup pair: band
+        " ".join(f"w{i}" for i in range(38)) + " z1 z2",  # + verify
+    ]
+    import pandas as pd
+
+    # a FLAT parquet file (not a Spark part-file directory): the
+    # DuckDB side of ``compare`` binds views on '<sf>/<table>.parquet'
+    # exactly like the driver does.
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "test",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(
+                f"{sf_small}/{t}.parquet", f"{tmp_path}/{t}.parquet"
+            )
+    return str(tmp_path)
+
+
+def test_hash_replay_oracles_on_edge_fixture(spark, tmp_path, sf_small):
+    """The round-12 hash-replay oracles (MinHash-LSH, SimHash,
+    rolling fingerprints) hash-match Spark on the EDGE corpus: the
+    shipped fixtures never exercise the short-document branches
+    (whole-text shingle for < k words, front-zero-padded rolling fold
+    for < window words, empty text), so this pins those paths in both
+    engines at once."""
+    from tests.oracle import compare
+
+    sf = _edge_docs_sf(spark, tmp_path, sf_small)
+    for name in (
+        "dedup_minhash_lsh_pairs",
+        "dedup_minhash_recall",
+        "dedup_minhash_estimate_audit",
+        "dedup_simhash_pairs",
+        "dedup_simhash_recall",
+        "text_rolling_fingerprints",
+    ):
+        compare(QUERIES[name](spark, sf), ORACLES[name], sf)
+
+
 def test_winnowing_guarantee_shared_run(spark, tmp_path):
     """Any shared run of >= w+k-1 = 7 words must yield at least one
     identical fingerprint in both docs, wherever the run sits."""

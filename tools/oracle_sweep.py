@@ -39,6 +39,12 @@ from tests.oracle import compare
 
 
 HEAVY_ORACLES = {
+    # not recursive, but the MinHash replay hashes every (shingle x
+    # 16 permutations) row through the mod-2^64 SQL chain — linear,
+    # with a ~10x-vs-Spark constant that matters at 5000 docs.
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_recall",
+    "dedup_minhash_estimate_audit",
     "dedup_graph_pagerank",
     "dedup_connected_components",
     "dedup_connected_components_star",
