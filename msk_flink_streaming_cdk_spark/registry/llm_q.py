@@ -2703,7 +2703,14 @@ def text_approx_topk_words(spark, sf_dir):
     top-k at 100 TB without a full (word, count) shuffle + sort: the
     sketch accumulates per partition and merges small. Self-auditing
     output (est_count vs exact_count per returned word); the exact
-    counterpart query is ``explode_top_words``."""
+    counterpart query is ``explode_top_words``.
+
+    Stays rows-only BY NECESSITY, not convenience (checked during the
+    round-12 oracle-conversion pass): the 31-word fixture vocabulary
+    keeps the sketch exact (maxItemsTracked 10000), but at sf0.01 the
+    rank-10 and rank-11 words TIE at 918 occurrences, so the returned
+    top-10 SET is a sketch-internal choice no SQL oracle can
+    replay."""
     words = _docs(spark, sf_dir).select(
         F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
