@@ -707,6 +707,8 @@ def _edge_docs_sf(spark, tmp_path, sf_small):
         "a b c d e f g h",  # exactly the window: one rolling hash
         "Multi  spaces\tand MiXeD CaSe tokens here now",
         "héllo wörld ünïcode bytes test",  # multi-byte UTF-8
+        # >32-byte shingles: the xxh64 STRIPE path inside the oracle
+        " ".join(f"verylongword{i}alpha" for i in range(8)),
         " ".join(f"w{i}" for i in range(40)),  # near-dup pair: band
         " ".join(f"w{i}" for i in range(38)) + " z1 z2",  # + verify
     ]
