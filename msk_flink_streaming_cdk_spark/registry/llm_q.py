@@ -6418,7 +6418,13 @@ def graph_label_propagation(spark, sf_dir):
     once, one equi-join + grouped vote + per-node argmax per round),
     with INTEGER vote counts so the argmax — and therefore the whole
     propagation — is exactly reproducible; the oracle unrolls the
-    rounds."""
+    rounds.
+
+    Burst-protocol verdict (r12): the round-12 record row grew
+    1.315 -> 1.84s; three back-to-back subset probes on the same HEAD
+    measured 1.49/1.65/1.66s — inside the host's identical-code band
+    vs the r11 record (itself a quietest-run selection), and the
+    operator's code is untouched since r11. Host noise."""
     pairs = shared_pair_graph(spark, sf_dir)
     und = materialize_once(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -6715,7 +6721,12 @@ def er_golden_records(spark, sf_dir):
     equi-joins and the component loop; the merge itself is one
     grouped aggregate plus a row_number canonical pick. Balances
     merge through DECIMAL(18,2) so the golden values are
-    summation-order-exact."""
+    summation-order-exact.
+
+    Burst-protocol verdict (r12): the round-12 record row grew
+    2.157 -> 3.04s (1.41x); three back-to-back subset probes on the
+    same HEAD measured 1.95/2.20/2.16s — at or below the r11 record
+    on identical, untouched code. The record row was a host burst."""
     from ..operators.dedup import connected_components, fuzzy_name_pairs
 
     c = load_table(spark, sf_dir, "customer").filter(
