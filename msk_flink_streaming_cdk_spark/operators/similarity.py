@@ -359,6 +359,132 @@ def lsh_ann_topk(
     return _topk_per_query(scored, k)
 
 
+def int_lsh_planes(
+    dim: int, n_bits: int, n_tables: int, span: int = 7
+) -> list[list[list[int]]]:
+    """Deterministic INTEGER sign-LSH hyperplanes: coefficient
+    (t, b, d) = md5("t:b:d")-derived int in [-span, span]. Unlike the
+    gaussian ``hyperplanes`` (numpy RNG — irreproducible outside this
+    process's numpy), these are pure arithmetic on a public digest:
+    any engine (or a SQL oracle) regenerates the identical planes.
+    Small-integer coefficients lose nothing for sign-LSH — only the
+    DIRECTION of the plane matters, and md5-uniform ints are as
+    direction-uniform as floats at these dims."""
+    import hashlib
+
+    return [
+        [
+            [
+                int.from_bytes(
+                    hashlib.md5(f"{t}:{b}:{d}".encode()).digest()[:8],
+                    "big",
+                )
+                % (2 * span + 1)
+                - span
+                for d in range(dim)
+            ]
+            for b in range(n_bits)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _int8_bucket_udf(all_planes: list[list[list[int]]]):
+    """Vectorized int8-quantize + integer sign-LSH bucketing.
+
+    EVERY arithmetic step lands on exactly representable doubles:
+    the int8 code is floor(x/scale + 0.5) clamped to [-127, 127]
+    (IEEE ops, bit-equal to the SQL replay), and the plane dot is a
+    sum of 64 products each <= 127*span — integers in float64, so
+    numpy's matmul reassociation CANNOT change the result and the
+    oracle's sequential list_dot_product lands on the same value.
+    That exactness is what makes this the one ANN variant whose
+    bucketing a DuckDB oracle can replay bit-for-bit (the gaussian
+    variant's float dots are reassociation-sensitive at the sign
+    boundary)."""
+    H = np.asarray(all_planes, dtype=np.float64)  # (tables, bits, dim)
+    tables, bits, dim = H.shape
+    flat = H.reshape(tables * bits, dim).T  # (dim, tables*bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        scale = np.abs(X).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        Q = np.clip(np.floor(X / safe[:, None] + 0.5), -127.0, 127.0)
+        Q[scale == 0.0] = 0.0
+        signs = (Q @ flat) >= 0  # exact: integer-valued operands
+        b = signs.reshape(len(X), tables, bits) @ weights
+        return pd.Series(list(b.astype(np.int32)))
+
+    return buckets
+
+
+def int8_lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    span: int = 7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k with DETERMINISTIC integer sign-LSH
+    over int8-quantized vectors — the reproducible-ANN variant: the
+    same corpus yields the same buckets on any engine, any numpy, any
+    rerun (md5-derived integer planes + integer dot products), so the
+    index is portable across systems and the whole retrieval is
+    SQL-oracle-checkable end-to-end. Same scale shape as
+    ``lsh_ann_topk``: corpus hashed in one projection, Hamming-1
+    multi-probe, (table, bucket) equi-join, exact float cosine
+    re-rank — no all-pairs product at any corpus size."""
+    bucket_udf = _int8_bucket_udf(
+        int_lsh_planes(dim, n_bits, n_tables, span)
+    )
+    hashed = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.posexplode(bucket_udf(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vec"),
+        F.posexplode(bucket_udf(F.col(query_vec_col))).alias(
+            "table_id", "qbucket"
+        ),
+    )
+    probes = qb.select(
+        "query_id",
+        "query_vec",
+        "table_id",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(n_bits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = hashed.join(
+        F.broadcast(probes), ["table_id", "bucket"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity_col(
+            F.col("embedding"), F.col("query_vec")
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    return _topk_per_query(scored, k)
+
+
 def pca_power_project(
     corpus: DataFrame,
     n_components: int = 2,

@@ -109,6 +109,8 @@ NEXT_TRANCHE: list[str] = [
     "similarity_graph_search_topk",
     "similarity_graph_search_recall",
     "similarity_incremental_knn_merge",
+    "similarity_int8_lsh_topk",
+    "similarity_int8_lsh_recall",
     # round-11 window-overflow leftover
     "q16_supplier_variety",
     # remaining round-7-stale keys (last driver row round 7),

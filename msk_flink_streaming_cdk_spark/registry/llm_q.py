@@ -49,6 +49,7 @@ from ..operators.similarity import (
     cosine_topk_bruteforce,
     embedding_cosine_pairs,
     ivf_ann_topk,
+    int8_lsh_ann_topk,
     lsh_ann_topk,
     nndescent_knn_graph,
     unit_vectors,
@@ -976,9 +977,12 @@ _SIMHASH_CTES = r"""
       WHERE bit_count(xor(a.su, b.su)) <= 3)"""
 
 
-def _pair_metrics_sql(exact: str, approx: str) -> str:
+def _pair_metrics_sql(
+    exact: str, approx: str, keys: tuple = ("doc_a", "doc_b")
+) -> str:
     """SQL twin of ``_pair_metrics``: (n_exact, n_approx, n_common,
-    recall, precision) over two pair CTEs keyed (doc_a, doc_b)."""
+    recall, precision) over two pair CTEs compared on ``keys``."""
+    on = " AND ".join(f"e.{c} = a.{c}" for c in keys)
     return f"""
     SELECT n_exact, n_approx, n_common,
            round(n_common::DOUBLE / n_exact, 4) AS recall,
@@ -987,7 +991,7 @@ def _pair_metrics_sql(exact: str, approx: str) -> str:
       (SELECT count(*) FROM {exact}) AS n_exact,
       (SELECT count(*) FROM {approx}) AS n_approx,
       (SELECT count(*) FROM {exact} e JOIN {approx} a
-         ON e.doc_a = a.doc_a AND e.doc_b = a.doc_b) AS n_common)"""
+         ON {on}) AS n_common)"""
 
 
 def _countmin_oracle(d: int = 4, w: int = 256) -> str:
@@ -1454,6 +1458,128 @@ def similarity_cosine_topk(spark, sf_dir):
     )
     return cosine_topk_bruteforce(emb, queries, k=5).select(
         "query_id", "vec_id", "cosine", F.col("rank")
+    )
+
+
+def _int8_lsh_ctes(
+    k: int = 5, n_bits: int = 6, n_tables: int = 8, span: int = 7,
+    dim: int = 64,
+) -> str:
+    """CTE fragment replaying ``int8_lsh_ann_topk`` bit-for-bit
+    (round 12 — the first hash-checked ANN variant): the md5-derived
+    integer planes are generated by the SAME Python function the
+    Spark operator uses and embedded as literals; the int8 codes are
+    the oracle-proven quantization ops (IEEE max/div/floor/clamp);
+    the plane dots are sums of integer-valued doubles, exactly
+    representable, so numpy's matmul and DuckDB's sequential
+    list_dot_product cannot disagree — the property the gaussian
+    LSH variant lacks (reassociation-sensitive float dots at the
+    sign boundary). Ends with ``ilsh_topk``."""
+    from ..operators.similarity import int_lsh_planes
+
+    planes = int_lsh_planes(dim, n_bits, n_tables, span)
+    vals = ",\n      ".join(
+        f"({t}, {b}, {planes[t][b]})"
+        for t in range(n_tables)
+        for b in range(n_bits)
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << j for j in range(n_bits)])
+    return f"""
+    pl(t, b, c) AS (VALUES {vals}),
+    ilsh_qv AS (
+      SELECT vec_id, embedding, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                    x -> greatest(-127.0, least(127.0,
+                         floor(CAST(x AS DOUBLE) / scale + 0.5))))
+             END AS q
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+            FROM embeddings)),
+    ilsh_bk AS MATERIALIZED (
+      SELECT vec_id, t, CAST(sum(bitval) AS INT) AS bucket
+      FROM (SELECT v.vec_id, pl.t, pl.b,
+                   CASE WHEN list_dot_product(v.q, CAST(pl.c AS DOUBLE[]))
+                             >= 0
+                        THEN 1 << pl.b ELSE 0 END AS bitval
+            FROM ilsh_qv v CROSS JOIN pl)
+      GROUP BY vec_id, t),
+    ilsh_probes AS (
+      SELECT q.vec_id AS query_id, q.t, xor(q.bucket, m.m) AS bucket
+      FROM ilsh_bk q CROSS JOIN (SELECT unnest([{masks}]) AS m) m
+      WHERE q.vec_id < 10),
+    ilsh_cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id
+      FROM ilsh_bk c JOIN ilsh_probes p
+        ON c.t = p.t AND c.bucket = p.bucket
+      WHERE c.vec_id <> p.query_id),
+    ilsh_scored AS (
+      SELECT cd.query_id, cd.vec_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(qe.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+                                        CAST(qe.embedding AS DOUBLE[])))),
+                   9) AS cosine
+      FROM ilsh_cand cd
+      JOIN embeddings e ON e.vec_id = cd.vec_id
+      JOIN embeddings qe ON qe.vec_id = cd.query_id),
+    ilsh_topk AS (
+      SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) AS rank
+            FROM ilsh_scored)
+      WHERE rank <= {k})"""
+
+
+@register(
+    "similarity_int8_lsh_topk",
+    oracle=f"WITH {_int8_lsh_ctes()}\n"
+    "    SELECT query_id, vec_id, cosine, rank FROM ilsh_topk",
+)
+def similarity_int8_lsh_topk(spark, sf_dir):
+    """REPRODUCIBLE ANN: integer sign-LSH over int8-quantized vectors
+    (md5-derived integer planes, integer dot products), Hamming-1
+    multi-probe, exact float cosine re-rank — the one ANN variant
+    whose whole retrieval a SQL oracle replays bit-for-bit, making
+    the index portable across engines and reruns (the gaussian-plane
+    variants depend on numpy's RNG and reassociation-sensitive float
+    dots, so they are recall-pinned instead). Same 100 TB shape as
+    ``lsh_ann_topk``: one corpus hashing projection, (table, bucket)
+    equi-join, no all-pairs product."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return int8_lsh_ann_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@register(
+    "similarity_int8_lsh_recall",
+    oracle=f"WITH {_int8_lsh_ctes()}, exact5 AS ({_COSINE_SQL})\n"
+    + _pair_metrics_sql("exact5", "ilsh_topk", ("query_id", "vec_id")),
+)
+def similarity_int8_lsh_recall(spark, sf_dir):
+    """Recall@5 of the reproducible int8 integer-LSH ANN against
+    brute-force cosine — unlike the other ANN recall audits this one
+    is HASH-CHECKED: both sides (the exact top-k and the integer-LSH
+    retrieval) replay exactly in SQL, so the driver value-compares
+    the metrics instead of recording rows-only."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return _pair_metrics(
+        cosine_topk_bruteforce(emb, queries, k=5),
+        int8_lsh_ann_topk(emb, queries, k=5),
+        ["query_id", "vec_id"],
     )
 
 

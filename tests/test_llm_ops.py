@@ -108,6 +108,9 @@ def test_quality_audit_queries_pin_floors(spark, sf_small):
         "similarity_ann_recall": 0.5,
         "similarity_ivf_recall": 0.6,  # 25% probe fraction on uniform vecs
         "dedup_embedding_recall": 0.4,
+        # reproducible int8 integer-LSH (r12): 0.88/0.98 measured at
+        # sf0.01/sf0.1 — 8 tables x 6 bits + Hamming-1 multi-probe
+        "similarity_int8_lsh_recall": 0.8,
     }
     for name, floor in floors.items():
         row = QUERIES[name](spark, sf_small).first()

@@ -45,6 +45,10 @@ HEAVY_ORACLES = {
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_recall",
     "dedup_minhash_estimate_audit",
+    # iterative peeling closure: 1004s at sf0.1 in the round-12 full
+    # sweep (every other non-heavy row <= 216s, dominated by the
+    # shared linear exact-pair base).
+    "graph_kcore_mirror_clusters",
     "dedup_graph_pagerank",
     "dedup_connected_components",
     "dedup_connected_components_star",
