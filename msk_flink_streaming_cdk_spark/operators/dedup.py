@@ -19,6 +19,7 @@ Four tiers, all driver-free and shuffle-minimal:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -45,7 +46,7 @@ def _perm_hash(p: int):
 def shingle_col(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
     """Distinct k-word shingles (documents shorter than k words hash
     as a single whole-text shingle)."""
-    w = F.split(F.lower(F.trim(text)), r"\s+")
+    w = F.split(F.lower(F.trim(text)), r"[\t\n\f\r ]+")
     return F.when(
         F.size(w) >= k,
         F.array_distinct(
@@ -399,6 +400,18 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+# The SimHash word splitter matches the oracle's RE2 semantics
+# EXACTLY: DuckDB's string_split_regex(..., '\s+') is RE2, whose \s
+# is the ASCII class [\t\n\f\r ] — it does NOT split on Unicode
+# whitespace (NBSP, U+2028, ...) or \v, while Python's str.split()
+# splits on all of them (round-12 advice). Splitting with the same
+# ASCII class (+ dropping the empty edge tokens the regex split
+# produces, as the oracle's `w <> ''` filter does) makes the two
+# tokenizations agree for ANY input, pinned by the Unicode-whitespace
+# document in the edge fixture.
+_ASCII_WS = re.compile(r"[\t\n\f\r ]+")
+
+
 @F.pandas_udf(LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over words (Arrow-batched; bit-twiddling is the
@@ -423,7 +436,7 @@ def simhash64(texts: pd.Series) -> pd.Series:
     def one(text: str) -> int:
         if text is None:
             return 0
-        words = text.lower().split()
+        words = [w for w in _ASCII_WS.split(text.lower()) if w]
         if not words:
             return 0
         uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
@@ -914,7 +927,7 @@ def winnow_fingerprints(
     parallelize_narrow fans a single-split input across cores (no-op
     on real multi-file inputs). Returns distinct (id_col, h) rows.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), r"[\t\n\f\r ]+")
     d = _parallelize(
         docs.select(id_col, text_col).filter(F.size(toks) >= 7)
     ).select(id_col, toks.alias("w"))

@@ -27,7 +27,7 @@ CJK_RANGE_RE = r"[\x{4e00}-\x{9fff}]"
 
 
 def whitespace_token_count(text: Column) -> Column:
-    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    return F.size(F.split(F.trim(text), r"[\t\n\f\r ]+")).cast("long")
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -53,7 +53,7 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
     stopword / alpha ratios. Deterministic doubles (single IEEE
     expression per value — no engine-dependent rounding)."""
     n_chars = char_count(text)
-    words = F.split(F.trim(text), r"\s+")
+    words = F.split(F.trim(text), r"[\t\n\f\r ]+")
     n_words = F.size(words).cast("long")
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
     n_alpha = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]"), 0))
@@ -91,7 +91,7 @@ def language_id_col(text: Column) -> Column:
 def fingerprint_md5(text: Column) -> Column:
     """Canonical document fingerprint: md5 of the lowercased,
     whitespace-collapsed text — the exact-dedup / caching key."""
-    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"[\t\n\f\r ]+", " ")
     return F.md5(F.encode(canon, "UTF-8"))
 
 
@@ -104,7 +104,7 @@ def word_chunks(text: Column, size: int = 40, stride: int = 20) -> Column:
 
     Returns ``array<string>``; chunk ``i`` covers words
     ``[i*stride, i*stride+size)`` (last chunks may be short)."""
-    w = F.split(F.trim(text), r"\s+")
+    w = F.split(F.trim(text), r"[\t\n\f\r ]+")
     n = F.size(w)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
     return F.transform(
@@ -119,7 +119,7 @@ def word_ngram_keys(text: Column, n: int = 8) -> Column:
     the engine, so it only has to be consistent within one run, and
     the narrow key halves the gram shuffle. Documents shorter than
     ``n`` words yield an empty array."""
-    w = F.split(F.lower(F.trim(text)), r"\s+")
+    w = F.split(F.lower(F.trim(text)), r"[\t\n\f\r ]+")
     cnt = F.size(w)
     return F.when(
         cnt >= n,
@@ -138,7 +138,7 @@ def word_hashes_col(text: Column) -> Column:
     hashed once per document; inlined into the window lambda they
     would re-hash per window (O(n*w) hashing instead of O(n))."""
     return F.transform(
-        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: F.xxhash64(t)
+        F.split(F.lower(F.trim(text)), r"[\t\n\f\r ]+"), lambda t: F.xxhash64(t)
     )
 
 

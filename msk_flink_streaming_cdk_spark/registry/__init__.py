@@ -10,22 +10,23 @@ each round, while long-proven shapes rotate to the tail (they remain
 fully covered by ``tests/test_reference_queries.py``, which checks ALL
 oracle-backed queries).
 
-Round-12 rotation (the round-11 verdict's #1 item, prevalidated in
-``tools/driver_sim_r12_prevalidate.log``): the window keeps the 4
-reference queries, then takes the leading 46 keys of the round-11
-``NEXT_TRANCHE`` verbatim — FIRST-EVER driver row for the round-11
-addition ``similarity_nnd_recall``, then the round-5-stale leftover
-keys (last driver row round 5) in registry order, and the oldest
-round-7-stale keys in staleness order (staleness computed from the
-committed ``CORRECTNESS_r0*.json`` history).
+Round-13 rotation (the round-12 verdict's #1 item, prevalidated in
+``tools/driver_sim_r13_prevalidate.log``): the window keeps the 4
+reference queries, then takes the leading 46 keys of the round-12
+``NEXT_TRANCHE`` verbatim — FIRST-EVER driver rows for the five
+round-12 additions (graph-search ANN topk/recall, incremental k-NN
+merge, and both int8-LSH keys), then the round-11 window-overflow
+leftover ``q16_supplier_variety``, the remaining round-7-stale keys
+and the oldest round-8-stale keys in staleness order (staleness
+computed from the committed ``CORRECTNESS_r0*.json`` history).
 ``ROTATION_WINDOW`` pins the first ``ROTATION_WINDOW_SIZE`` keys
 explicitly and a test asserts the ordering, so the planned rotation is
-enforced by code, not a comment; the round-13 tranche (round-12
-additions at its head, then the round-11 window-overflow leftover
-``q16_supplier_variety``, then the remaining round-7-stale and oldest
-round-8-stale keys, in staleness order) is kept IN ORDER at the tail
-of ``PRIORITY`` and holds a full 46-key window so the round-13
-rotation is fully determined.
+enforced by code, not a comment; the round-14 tranche (round-13
+additions at its head as they land, then the round-12 window-overflow
+leftovers, the remaining round-8-stale keys in registry order, then
+the oldest round-9-stale keys) is kept IN ORDER at the tail of
+``PRIORITY`` and holds a full 46-key window so the round-14 rotation
+is fully determined.
 """
 
 from ._core import ORACLES, QUERIES, register
@@ -43,78 +44,16 @@ ROTATION_WINDOW: list[str] = [
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
-    # Round-11 NEXT_TRANCHE head, verbatim — FIRST-EVER driver row for
-    # the round-11 addition, then the round-5-stale leftover (window
-    # overflow; last driver row round 5) in registry order, then the
-    # oldest round-7-stale keys in staleness order.
-    "similarity_nnd_recall",
-    # round-5-stale leftover (window overflow), registry order
-    "similarity_cosine_topk",
-    "similarity_ivf_ann_topk",
-    "pipeline_clean_corpus",
-    "pipeline_near_dedup_corpus",
-    "dedup_minhash_recall",
-    "pipeline_forget_expand",
-    "dedup_minhash_estimate_audit",
-    "dedup_simhash_recall",
-    "dedup_embedding_recall",
-    "multimodal_feature_extract",
-    "embedding_kmeans_assign",
-    "dedup_fuzzy_name_pairs",
-    "text_redact_pii",
-    "embedding_quantize_int8",
-    "text_split_assign",
-    "text_token_balanced_mixture",
-    "udtf_sentence_split",
-    "pipeline_training_manifest",
-    "text_token_budget_pack",
-    "retrieval_hybrid_rrf",
-    "embedding_pca_variance_audit",
-    "quality_logistic_score",
-    "text_inverted_index",
-    "dq_source_overlap_matrix",
-    "timeseries_quantile_bars",
-    "dq_event_lag_by_type",
-    # round-7-stale keys (last driver row round 7), staleness order
-    "correlated_subquery_above_avg",
-    "unpivot_lineitem_measures",
-    "agg_max_by_priciest_item",
-    "agg_listagg_nations_per_region",
-    "agg_exact_percentiles",
-    "timeseries_gapfill_daily",
-    "sample_hash_orders",
-    "cross_join_region_pairs",
-    "union_by_name_balances",
-    "map_event_type_counts",
-    "dedup_latest_event_per_user",
-    "join_salted_skew_orders",
-    "outlier_orders_iqr",
-    "agg_time_weighted_value",
-    "asof_join_next_error",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q12_urgency_by_linestatus",
-    "q14_promo_revenue",
-]
-
-# Next tranche (round 13): any round-12 additions are registered at
-# the head of this list as they land, then the round-11
-# window-overflow leftover, then the remaining round-7-stale and
-# oldest round-8-stale keys — in staleness order derived from the
-# committed CORRECTNESS_r0*.json history. Keeping them HERE (not just
-# in a comment) makes the plan part of the ordered registry.
-NEXT_TRANCHE: list[str] = [
-    # round-12 additions (never driver-checked) — head of the
-    # round-13 window per the rotation policy.
+    # Round-12 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows
+    # for the five round-12 additions, then the round-11
+    # window-overflow leftover, then the remaining round-7-stale and
+    # oldest round-8-stale keys in staleness order.
     "similarity_graph_search_topk",
     "similarity_graph_search_recall",
     "similarity_incremental_knn_merge",
     "similarity_int8_lsh_topk",
     "similarity_int8_lsh_recall",
-    # round-11 window-overflow leftover
     "q16_supplier_variety",
-    # remaining round-7-stale keys (last driver row round 7),
-    # staleness order
     "q21_waiting_suppliers",
     "sql_front_door_pipeline",
     "grouped_map_centered_balance",
@@ -138,8 +77,6 @@ NEXT_TRANCHE: list[str] = [
     "multimodal_frame_sample",
     "text_approx_topk_words",
     "text_pack_sequences",
-    # oldest round-8-stale keys (last driver row round 8),
-    # staleness order
     "sketch_hll_users_by_type",
     "sketch_theta_user_overlap",
     "join_full_outer_activity",
@@ -157,12 +94,73 @@ NEXT_TRANCHE: list[str] = [
     "scalar_try_arithmetic",
     "orders_abc_pareto_classes",
     "text_token_counts",
+]
+
+# Next tranche (round 14): any round-13 additions are registered at
+# the head of this list as they land, then the round-12
+# window-overflow leftovers (round-8-stale), the remaining
+# round-8-stale keys in registry order, then the oldest round-9-stale
+# keys — staleness derived from the committed CORRECTNESS_r0*.json
+# history. Keeping them HERE (not just in a comment) makes the plan
+# part of the ordered registry.
+NEXT_TRANCHE: list[str] = [
+    # round-12 window-overflow leftovers (round-8-stale, pinned order)
     "text_quality_scores",
     "text_language_id",
     "text_fingerprint_md5",
     "text_rolling_fingerprints",
     "text_stratified_sample",
     "text_repetition_ratio",
+    # remaining round-8-stale keys (last driver row round 8),
+    # registry order
+    "text_doc_frequency_idf",
+    "embedding_label_centroids",
+    "text_top_tfidf_term_per_doc",
+    "dedup_exact_text",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_incremental_components",
+    "dedup_cluster_stats",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "embedding_matryoshka_recall",
+    "pipeline_admission_decisions",
+    "text_dsir_importance_weights",
+    "multimodal_resize_dims",
+    "text_duplicate_passages",
+    "embedding_norm_stats",
+    "text_sample_per_source",
+    "text_bigram_perplexity",
+    "embedding_kmeans_lloyd2",
+    "text_rolling_md5_fingerprints",
+    "dq_split_leakage",
+    "text_seeded_shuffle",
+    "text_char_entropy",
+    "multimodal_audio_segments",
+    # oldest round-9-stale keys (last driver row round 9),
+    # registry order
+    "agg_pricing_summary",
+    "distinct_suppliers_per_brand",
+    "rollup_status_priority",
+    "cube_status_priority",
+    "case_when_price_buckets",
+    "join_orders_per_segment",
+    "q3_shipping_priority",
+    "join_left_order_counts",
+    "join_semi_open_order_customers",
+    "join_anti_customers_without_orders",
+    "join_broadcast_region_suppliers",
+    "window_top3_orders_per_customer",
+    "window_running_total",
+    "window_lag_days_between_orders",
+    "window_rank_functions",
+    "top20_orders_by_price",
+    "setop_union_active_or_rich",
+    "setop_intersect_active_and_rich",
+    "agg_mode_disc_percentiles",
+    "window_range_frame_avg30d",
+    "window_percent_rank_cume_dist",
+    "agg_monthly_revenue",
+    "histogram_price_buckets",
 ]
 
 PRIORITY: list[str] = ROTATION_WINDOW + NEXT_TRANCHE

@@ -303,7 +303,7 @@ def text_chunk_sliding(spark, sf_dir):
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         "chunk_text",
-        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long").alias(
+        F.size(F.split(F.col("chunk_text"), r"[\t\n\f\r ]+")).cast("long").alias(
             "n_words"
         ),
     )
@@ -419,7 +419,7 @@ def text_repetition_ratio(spark, sf_dir):
     fixture across cores (measured 4.4s → sub-second at sf0.1)."""
     from ..operators.util import parallelize_narrow
 
-    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+")
     n = F.size(w)
     grams = F.transform(
         F.sequence(F.lit(1), n - 2),
@@ -469,7 +469,7 @@ def text_doc_frequency_idf(spark, sf_dir):
         "doc_id",
         F.explode(
             F.array_distinct(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+")
             )
         ).alias("word"),
     )
@@ -548,7 +548,7 @@ def text_top_tfidf_term_per_doc(spark, sf_dir):
     words = d.select(
         "doc_id",
         F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+")
         ).alias("word"),
     )
     tfc = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
@@ -932,9 +932,10 @@ def _minhash_ctes(
 # chunk join (round 12): the word digest is the big-endian first 8
 # md5 bytes — DuckDB's native md5() — and the count-weighted bit
 # votes, chunk banding, and Hamming verify are plain SQL. Word
-# splitting matches Python's str.split() (split on whitespace, skip
-# empties — NOT the regex-split-with-leading-empty of the shingle
-# path).
+# splitting matches the Spark UDF's ASCII-whitespace rule exactly
+# (both sides split on RE2's \s class [\t\n\f\r ] and skip empties —
+# round-12 advice; NOT the regex-split-with-leading-empty of the
+# shingle path).
 _SIMHASH_CTES = r"""
     sw AS (
       SELECT doc_id, w FROM (
@@ -1915,7 +1916,7 @@ def text_dsir_importance_weights(spark, sf_dir):
             "doc_id",
             "lang",
             F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+")
             ).alias("w"),
         )
         .filter(F.length("w") > 0)
@@ -2537,7 +2538,7 @@ def text_duplicate_passages(spark, sf_dir):
     form keeps raw text keys."""
     from ..operators.util import parallelize_narrow
 
-    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+")
     grams = F.when(
         F.size(w) >= 16,
         F.transform(
@@ -2839,7 +2840,7 @@ def text_approx_topk_words(spark, sf_dir):
     replay."""
     words = _docs(spark, sf_dir).select(
         F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+")
         ).alias("word")
     )
     topk = words.agg(F.expr("approx_top_k(word, 10)").alias("tk")).select(
@@ -3029,7 +3030,7 @@ def text_pack_sequences(spark, sf_dir):
     t = materialize_once(
         _docs(spark, sf_dir).select(
             "doc_id",
-            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            F.size(F.split(F.trim(F.col("text")), r"[\t\n\f\r ]+"))
             .cast("long")
             .alias("n_tokens"),
         )
@@ -3098,7 +3099,7 @@ def text_bigram_perplexity(spark, sf_dir):
     w = _docs(spark, sf_dir).select(
         "doc_id",
         F.transform(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+"),
             lambda t: F.xxhash64(t),
         ).alias("hs"),
     )
@@ -3291,7 +3292,7 @@ def text_rolling_md5_fingerprints(spark, sf_dir):
     All Catalyst HOFs (sequence/transform/slice) — no Python in the
     loop."""
     toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+", " "), " "
     )
     d = (
         _docs(spark, sf_dir)
@@ -3530,7 +3531,7 @@ def text_curriculum_stages(spark, sf_dir):
     t = materialize_once(
         _docs(spark, sf_dir).select(
             "doc_id",
-            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            F.size(F.split(F.trim(F.col("text")), r"[\t\n\f\r ]+"))
             .cast("long")
             .alias("n_tokens"),
         )
@@ -4166,7 +4167,7 @@ def pipeline_strip_duplicate_passages(spark, sf_dir):
         _docs(spark, sf_dir)
         .select(
             "doc_id",
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+            F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+").alias("w"),
         )
         .transform(materialize_once)  # feeds gram build AND rebuild
     )
@@ -4572,7 +4573,7 @@ def _bm25_scored(spark, sf_dir):
     k1, b = 1.2, 0.75
     w = _docs(spark, sf_dir).select(
         "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+        F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+").alias("w"),
     )
     dl = w.select("doc_id", F.size("w").cast("long").alias("dl"))
     stats = dl.agg(
@@ -5088,7 +5089,7 @@ def text_prefix_boilerplate_groups(spark, sf_dir):
         "doc_id",
         "source",
         F.array_join(
-            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 8),
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+"), 1, 8),
             " ",
         ).alias("prefix8"),
     )
@@ -5125,11 +5126,11 @@ def quality_logistic_fit(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.log1p(
-            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            F.size(F.split(F.trim(F.col("text")), r"[\t\n\f\r ]+"))
         ).alias("log_words"),
         (
-            F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
-            / F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            F.length(F.regexp_replace(F.col("text"), r"[\t\n\f\r ]+", ""))
+            / F.size(F.split(F.trim(F.col("text")), r"[\t\n\f\r ]+"))
         ).alias("mean_wl"),
         (F.col("n_chars") > 300).cast("double").alias("y"),
     )
@@ -5204,11 +5205,11 @@ def quality_logistic_score(spark, sf_dir):
         .select(
             "doc_id",
             F.log1p(
-                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                F.size(F.split(F.trim(F.col("text")), r"[\t\n\f\r ]+"))
             ).alias("log_words"),
             (
-                F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
-                / F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                F.length(F.regexp_replace(F.col("text"), r"[\t\n\f\r ]+", ""))
+                / F.size(F.split(F.trim(F.col("text")), r"[\t\n\f\r ]+"))
             ).alias("mean_wl"),
         )
     )
@@ -5718,7 +5719,7 @@ def text_bpe_pair_counts(spark, sf_dir):
         .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
         .select(
             F.explode(
-                F.split(F.lower(F.trim("text")), r"\s+")
+                F.split(F.lower(F.trim("text")), r"[\t\n\f\r ]+")
             ).alias("word")
         )
     )
@@ -5783,7 +5784,7 @@ def text_inverted_index(spark, sf_dir):
             "doc_id",
             F.explode(
                 F.array_distinct(
-                    F.split(F.lower(F.trim("text")), r"\s+")
+                    F.split(F.lower(F.trim("text")), r"[\t\n\f\r ]+")
                 )
             ).alias("term"),
         )
@@ -5851,7 +5852,7 @@ def text_pmi_pairs(spark, sf_dir):
     t = docs.select(
         "doc_id",
         F.explode(
-            F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+            F.array_distinct(F.split(F.lower(F.trim("text")), r"[\t\n\f\r ]+"))
         ).alias("term"),
     ).filter(F.col("term").rlike("^[a-z]{3,}$")).distinct()
     cnt = t.groupBy("term").agg(F.count("*").alias("c"))
@@ -6049,7 +6050,7 @@ def dq_source_overlap_matrix(spark, sf_dir):
             F.md5(
                 F.array_join(
                     F.slice(
-                        F.split(F.lower(F.trim("text")), r"\s+"), 1, 8
+                        F.split(F.lower(F.trim("text")), r"[\t\n\f\r ]+"), 1, 8
                     ),
                     " ",
                 )
@@ -7167,7 +7168,7 @@ def learned_bpe_merges(spark, sf_dir: str) -> list:
     words = (
         _docs(spark, sf_dir)
         .select(
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+            F.explode(F.split(F.trim(F.col("text")), r"[\t\n\f\r ]+")).alias("word")
         )
         .filter(F.col("word").rlike("^[a-z]+$"))
         .groupBy("word")
@@ -7279,7 +7280,7 @@ def text_winnowing_fingerprints(spark, sf_dir):
     on the WORD count (size(w) >= 7 <=> size(keys) >= 4) so Catalyst's
     filter pushdown below the repartition re-evaluates only the cheap
     split, never the md5 transform."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[\t\n\f\r ]+")
     d = parallelize_narrow(
         _docs(spark, sf_dir)
         .select("doc_id", "text")
@@ -7529,7 +7530,7 @@ def text_ngram_heaps_curve(spark, sf_dir):
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
             "b"
         ),
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+        F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+").alias("w"),
     )
     g = d.filter(F.size("w") >= 5).select(
         "b",
@@ -7818,7 +7819,7 @@ def text_naive_bayes_lang(spark, sf_dir):
             "doc_id",
             "lang",
             (F.col("doc_id") % 5 == 0).alias("is_test"),
-            F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+            F.explode(F.split(F.trim("text"), r"[\t\n\f\r ]+")).alias("word"),
         )
     )
     train = tok.filter(~F.col("is_test"))
@@ -7934,7 +7935,7 @@ def text_repeated_ngram_loops(spark, sf_dir):
     combined groupBy(doc, gram), then a doc-partitioned top-1 window
     and a doc-grain rollup — no global window, no self-join; doc
     count only widens the hash aggregate."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[\t\n\f\r ]+")
     d = parallelize_narrow(
         _docs(spark, sf_dir)
         .select("doc_id", "text")
@@ -8023,7 +8024,7 @@ def text_zipf_rank_slope(spark, sf_dir):
     t = parallelize_narrow(
         _docs(spark, sf_dir).select("text")
     ).select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        F.explode(F.split(F.trim(F.col("text")), r"[\t\n\f\r ]+")).alias("term")
     )
     tf = (
         t.filter(F.col("term") != "")
@@ -8227,7 +8228,7 @@ def text_bpe_encode_tokens(spark, sf_dir):
         (rank, pair, merged)
         for rank, pair, merged, _cnt in learned_bpe_merges(spark, sf_dir)
     )
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[\t\n\f\r ]+")
     aw = parallelize_narrow(
         _docs(spark, sf_dir).select("doc_id", "text")
     ).select(

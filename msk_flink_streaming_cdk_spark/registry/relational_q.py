@@ -588,7 +588,7 @@ def explode_top_words(spark, sf_dir):
     return (
         docs.select(
             F.explode(
-                F.split(F.lower(F.trim("text")), r"\s+")
+                F.split(F.lower(F.trim("text")), r"[\t\n\f\r ]+")
             ).alias("word")
         )
         .groupBy("word")

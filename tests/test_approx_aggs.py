@@ -50,6 +50,38 @@ def test_theta_sketch_overlap_within_bounds(spark, sf_small):
     assert r.rel_err <= 0.05, (r.est_overlap, r.exact_overlap)
 
 
+def test_theta_exact_mode_bound_holds_at_every_shipped_sf(spark):
+    """ADVICE r12 low: the sketch_theta_user_overlap oracle pins
+    est == exact, which is only valid while distinct users per side
+    stay under the theta sketch's 4096-entry exact mode. Enforce the
+    bound mechanically at EVERY shipped SF so a fixture change trips
+    this assertion (naming the offending SF and event_type) instead
+    of an opaque oracle hash mismatch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        rows = (
+            spark.read.parquet(path)
+            .filter(F.col("event_type").isin("click", "purchase"))
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        )
+        for r in rows:
+            assert r.n < 4096, (
+                f"{sf} events has {r.n} distinct users for "
+                f"{r.event_type}: theta sketch leaves exact mode at "
+                f"4096 and the sketch_theta_user_overlap oracle's "
+                f"est == exact pin no longer holds — raise the "
+                f"sketch's nominal entries or loosen the oracle."
+            )
+
+
 def test_approx_topk_words_matches_exact_counts(spark, sf_small):
     # The frequent-items sketch tracks far more slots than this
     # fixture's vocabulary, so every returned heavy hitter must carry
