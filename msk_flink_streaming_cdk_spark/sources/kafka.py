@@ -59,6 +59,24 @@ def sink_options(bootstrap: str, topic: str, iam: bool = False) -> dict[str, str
     return opts
 
 
+def decode_kafka_json(raw: DataFrame, schema: StructType) -> DataFrame:
+    """The value-decode projection of ``read_kafka_json``: Kafka wire
+    rows (binary ``value`` + topic/partition/offset metadata) → typed
+    rows via ``from_json(value.cast(string))`` with ISO-8601 timestamp
+    defaults (reference format props main.py:25-26).
+
+    Split out of the reader so the decode half of the Kafka path is
+    testable WITHOUT a broker (round-12 verdict #3): the e2e test
+    routes byte-frames built from the ``events`` fixture through this
+    exact select and checks the decoded rows against the parquet
+    fixture. On a cluster the input is the real ``format("kafka")``
+    scan; the projection is identical.
+    """
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("j")
+    ).select("j.*")
+
+
 def read_kafka_json(
     spark: SparkSession,
     schema: StructType,
@@ -71,15 +89,22 @@ def read_kafka_json(
     reader = (spark.readStream if streaming else spark.read).format("kafka")
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.load().select(
-        F.from_json(F.col("value").cast("string"), schema).alias("j")
-    ).select("j.*")
+    return decode_kafka_json(reader.load(), schema)
 
 
 def to_kafka_json(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """Typed DataFrame → Kafka-writable frame (JSON value, optional
-    key) — sink format parity with main.py:49-50."""
-    value = F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    key) — sink format parity with main.py:49-50.
+
+    Timestamps are written at MICROSECOND precision (to_json's default
+    ISO-8601 format truncates to millis, which silently loses 3 digits
+    on every Kafka round-trip); ``from_json``'s lenient default parser
+    reads any fraction width, so decode needs no matching option.
+    """
+    value = F.to_json(
+        F.struct(*[F.col(c) for c in df.columns]),
+        {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+    ).alias("value")
     if key_col is None:
         return df.select(value)
     return df.select(F.col(key_col).cast("string").alias("key"), value)

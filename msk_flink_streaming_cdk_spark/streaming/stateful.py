@@ -246,7 +246,18 @@ def interval_join(
     trail the inner ones by the watermark delay (documented Structured
     Streaming outer-join semantics, and why the time bound is
     MANDATORY for outer stream-stream joins: without it the row could
-    never be declared unmatched)."""
+    never be declared unmatched).
+
+    ``how='right_outer'`` / ``how='full_outer'`` additionally flush
+    unmatched RIGHT rows null-padded once the watermark passes the
+    last left event-time that could still match them
+    (``right_time + lower``) — the CDC-reconciliation shape where
+    records missing from EITHER side must surface (round-12 verdict
+    #4). For these the output ``key`` is ``coalesce(left, right)``:
+    a right-unmatched row has a null left side, so keeping only the
+    left key (as the inner/left path's ``drop`` does) would erase the
+    very key the unmatched row is reporting.
+    """
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)
     cond = (
@@ -254,7 +265,14 @@ def interval_join(
         & (rw[right_time] >= lw[left_time] - F.expr(f"INTERVAL {lower}"))
         & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, how).drop(rw[key])
+    joined = lw.join(rw, cond, how)
+    if how.replace("_", "") in ("rightouter", "right", "fullouter", "full", "outer"):
+        return joined.select(
+            F.coalesce(lw[key], rw[key]).alias(key),
+            *[lw[c] for c in left.columns if c != key],
+            *[rw[c] for c in right.columns if c != key],
+        )
+    return joined.drop(rw[key])
 
 
 def near_dup_admission_gate(

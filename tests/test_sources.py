@@ -15,10 +15,74 @@ from msk_flink_streaming_cdk_spark.sources.generator import (
     rate_sensor_stream,
 )
 from msk_flink_streaming_cdk_spark.sources.kafka import (
+    decode_kafka_json,
     sink_options,
     source_options,
     to_kafka_json,
 )
+
+
+def _kafka_wire_frame(encoded, topic="kfp_sensor_topic"):
+    """Dress an (optional key, value) string frame in the exact schema
+    the real ``format("kafka")`` scan produces — binary key/value plus
+    topic/partition/offset/timestamp/timestampType metadata — so the
+    decode select runs against the wire shape, not a convenience one."""
+    cols = [
+        (
+            F.col("key").cast("binary")
+            if "key" in encoded.columns
+            else F.lit(None).cast("binary")
+        ).alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.spark_partition_id().alias("partition"),
+        (F.monotonically_increasing_id()).alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    ]
+    return encoded.select(*cols)
+
+
+def test_kafka_json_decode_roundtrips_events_fixture(spark, sf_medium):
+    """VERDICT r12 #3: exercise read_kafka_json's ACTUAL decode select
+    (from_json(value.cast(string)) → j.*) end-to-end without a broker.
+    The events fixture is encoded to Kafka byte-frames with
+    to_kafka_json (the sink half), dressed in the real Kafka wire
+    schema, then decoded with the source half — decoded rows must
+    equal the parquet fixture exactly (including the double `value`
+    column and micros timestamps through ISO-8601 JSON)."""
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_medium, "events")
+    wire = _kafka_wire_frame(to_kafka_json(events, key_col="event_id"))
+    assert [f.name for f in wire.schema.fields] == [
+        "key",
+        "value",
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+        "timestampType",
+    ]
+    decoded = decode_kafka_json(wire, events.schema)
+    assert decoded.schema == events.schema
+    want = sorted(map(tuple, events.collect()))
+    got = sorted(map(tuple, decoded.collect()))
+    assert len(got) == len(want) and got == want
+
+
+def test_kafka_json_decode_sensor_reference_shape(spark):
+    """Reference format parity (main.py:25-26): the producer's sensor
+    JSON {sensor_id, temperature, event_time} survives the
+    encode→wire→decode loop with the reference's ISO-8601 timestamps."""
+    df = batch_sensor_frame(spark, n=99)
+    decoded = decode_kafka_json(
+        _kafka_wire_frame(to_kafka_json(df, key_col="sensor_id")),
+        SENSOR_READING,
+    )
+    assert sorted(map(tuple, decoded.collect())) == sorted(
+        map(tuple, df.collect())
+    )
 
 
 def test_kafka_source_options_reference_parity():

@@ -433,6 +433,80 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     assert got == {("1", 1), ("9", None)}, got
 
 
+def test_stream_stream_full_outer_interval_join(spark, tmp_path):
+    # VERDICT r12 #4: full-outer stream-stream interval join — rows
+    # missing from EITHER side must flush null-padded after the
+    # watermark passes their join band. Left "9"@60 has no right rows;
+    # right key "5"@50 has no left rows; right clicks @200/@400 are
+    # outside every left band. The output key must survive for
+    # right-unmatched rows (coalesce, not drop) — the shape a CDC
+    # reconciliation depends on. Pushers at t=600 on both sides move
+    # the global watermark (min over inputs) past every band; the
+    # pushers themselves stay in state (watermark never passes 600).
+    left_src = _write_batches(
+        spark,
+        tmp_path,
+        [[("1", 100, 60), ("9", 100, 60)], [("7", 100, 600)]],
+        subdir="fo_left",
+    )
+    right_src = _write_batches(
+        spark,
+        tmp_path,
+        # outer eviction runs a batch BEHIND the watermark advance:
+        # trailing pusher batches guarantee triggers after it passes.
+        [
+            [("1", 1, 40), ("5", 7, 50)],
+            [("1", 2, 200)],
+            [("1", 3, 400)],
+            [("1", 4, 600)],
+        ],
+        subdir="fo_right",
+    )
+    left = stream_parquet_dir(spark, left_src, SENSOR_READING).select(
+        F.col("sensor_id").alias("key"),
+        F.col("event_time").alias("l_time"),
+    )
+    right = stream_parquet_dir(
+        spark, right_src, SENSOR_READING, max_files_per_trigger=1
+    ).select(
+        F.col("sensor_id").alias("key"),
+        F.col("temperature").alias("click_id"),
+        F.col("event_time").alias("r_time"),
+    )
+    joined = interval_join(
+        left,
+        right,
+        key="key",
+        left_time="l_time",
+        right_time="r_time",
+        lower="30 seconds",
+        upper="0 seconds",
+        how="full_outer",
+    )
+    q = (
+        joined.select(
+            "key", "click_id", F.col("l_time").isNull().alias("left_missing")
+        )
+        .writeStream.format("memory")
+        .queryName("ssj_full_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.click_id, r.left_missing)
+        for r in spark.sql("SELECT * FROM ssj_full_outer_test").collect()
+    }
+    assert got == {
+        ("1", 1.0, False),   # matched: click@40 in "1"@60's [30,60]
+        ("9", None, False),  # left-unmatched, right null-padded
+        ("5", 7.0, True),    # right-unmatched KEY — key must survive
+        ("1", 2.0, True),    # right rows outside every left band
+        ("1", 3.0, True),
+    }, got
+
+
 def test_chained_windowed_aggregations_stream(spark, tmp_path):
     # Multiple stateful operators in ONE streaming query (Spark 3.4+):
     # 30s counts re-windowed into 60s peaks, append mode. Only periods
