@@ -421,15 +421,24 @@ def _int8_bucket_udf(all_planes: list[list[list[int]]]):
                 f"{X.shape[1]} so the hyperplane family matches the "
                 f"embeddings."
             )
-        scale = np.abs(X).max(axis=1) / 127.0
-        safe = np.where(scale == 0.0, 1.0, scale)
-        Q = np.clip(np.floor(X / safe[:, None] + 0.5), -127.0, 127.0)
-        Q[scale == 0.0] = 0.0
-        signs = (Q @ flat) >= 0  # exact: integer-valued operands
+        signs = (_int8_codes(X) @ flat) >= 0  # exact: integer operands
         b = signs.reshape(len(X), tables, bits) @ weights
         return pd.Series(list(b.astype(np.int32)))
 
     return buckets
+
+
+def _int8_codes(X: np.ndarray) -> np.ndarray:
+    """Exact per-vector int8 quantization shared by every integer ANN
+    variant: scale = max|x|/127, code = clip(floor(x/scale + 0.5),
+    -127, 127), zero vectors -> all-zero codes. Every step is a plain
+    IEEE double op, so the DuckDB oracle replays it bit-for-bit (the
+    property the reproducible ANN family is built on)."""
+    scale = np.abs(X).max(axis=1) / 127.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    Q = np.clip(np.floor(X / safe[:, None] + 0.5), -127.0, 127.0)
+    Q[scale == 0.0] = 0.0
+    return Q
 
 
 def int8_lsh_ann_topk(
@@ -493,6 +502,108 @@ def int8_lsh_ann_topk(
             F.col("embedding"), F.col("query_vec")
         ).alias("cosine"),
     ).dropDuplicates(["query_id", "vec_id"])
+    return _topk_per_query(scored, k)
+
+
+def _int8_assign_udf(centroid_codes: np.ndarray, n_top: int):
+    """Arrow-batched list assignment for the int8 IVF: integer dot of
+    each vector's int8 code against every int8 centroid code (exact —
+    products <= 127*127, sums of 64 of them are integer-valued
+    doubles), ranked dot DESC with ties to the LOWER centroid rank
+    (np.argsort stable on the negated exact dots). Returns the top
+    ``n_top`` list ids per vector."""
+    CT = centroid_codes.T  # (dim, n_lists)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        if X.shape[1] != CT.shape[0]:
+            raise ValueError(
+                f"int8 IVF centroids have dim={CT.shape[0]} but the "
+                f"vector column has width {X.shape[1]}"
+            )
+        D = _int8_codes(X) @ CT  # exact integer-valued doubles
+        order = np.argsort(-D, axis=1, kind="stable")[:, :n_top]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return assign
+
+
+def int8_ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """REPRODUCIBLE IVF ANN — the second member of the int8 integer
+    family (round-12 verdict #6, following the ``int8_lsh_ann_topk``
+    precedent): every stage is exact integer/IEEE arithmetic, so a
+    DuckDB oracle replays the whole retrieval bit-for-bit, unlike the
+    float ``ivf_ann_topk`` whose numpy-matmul assignment is
+    reassociation-sensitive and therefore only recall-pinned.
+
+    Stages, each SQL-replayable:
+
+    1. CENTROIDS: the ``n_lists`` corpus vectors with the smallest
+       ``md5('ivf:' || vec_id)`` digest (tie: vec_id) — a seeded
+       deterministic sample both engines compute natively; their int8
+       codes are the list centroids (rank order = digest order). A
+       random-vector codebook loses some clustering quality vs
+       k-means centroids, but it is scale-free, one TakeOrdered job,
+       and — the point of this variant — byte-reproducible anywhere.
+    2. ASSIGN: each corpus vector goes to the list whose centroid
+       maximizes the int8 integer dot (exact doubles; ties to the
+       lower list rank). One Arrow-batched projection over the corpus.
+    3. PROBE: each query ranks the same dots and probes its top
+       ``n_probe`` lists.
+    4. RE-RANK: candidates = corpus rows in probed lists (list_id
+       equi-join, no all-pairs), exact float cosine under the shared
+       (9dp DESC, vec_id) order.
+
+    100 TB: centroid pick is one TakeOrderedAndProject over (digest,
+    id); assignment is one scan; the join fans out |Q| * n_probe
+    lists * (n/n_lists) rows — dial ``n_lists`` up with corpus size
+    exactly like the float IVF's docstring prescribes.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(
+            F.md5(F.concat(F.lit("ivf:"), F.col("cid").cast("string"))),
+            "cid",
+        )
+        .limit(n_lists)
+        .collect()
+    )  # bounded: n_lists rows via TakeOrderedAndProject
+    C = _int8_codes(np.asarray([r.cv for r in cent_rows], dtype=np.float64))
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.element_at(_int8_assign_udf(C, 1)(F.col(vec_col)), 1).alias(
+            "list_id"
+        ),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vec"),
+        F.explode(_int8_assign_udf(C, n_probe)(F.col(query_vec_col))).alias(
+            "list_id"
+        ),
+    )
+    cand = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity_col(
+            F.col("embedding"), F.col("query_vec")
+        ).alias("cosine"),
+    )
     return _topk_per_query(scored, k)
 
 
@@ -1445,3 +1556,141 @@ def nndescent_merge_batch(
         )
     )
     return kept.unionByName(re_ranked)
+
+
+def nndescent_forget_compact(
+    graph: DataFrame,
+    corpus: DataFrame,
+    forget: DataFrame,
+    k: int = 5,
+    n_bits: int | None = None,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit_df: DataFrame | None = None,
+) -> DataFrame:
+    """Compact a maintained NN-Descent k-NN graph after a deletion
+    batch — the forget-side counterpart of ``nndescent_merge_batch``
+    (round-12 verdict #8): dropping a document from the corpus (e.g.
+    via ``pipeline_forget_expand``'s component expansion) must also
+    drop it from the similarity index, and every node that LOST a
+    neighbor must be repaired, or future graph searches walk through
+    ghosts.
+
+    Stages, all bounded by the affected neighborhoods:
+
+    1. DROP: edges whose source OR neighbor is forgotten are removed
+       (one broadcast anti-join each way — a deletion batch is small).
+    2. TOUCHED: surviving sources that lost >= 1 edge. Only they can
+       differ from a rebuild; untouched rows pass through byte-equal.
+    3. REPAIR: re-hash the SURVIVING corpus with the graph's fixed
+       seeded hyperplane tables (``n_bits`` must be the build-time
+       value, exactly as in ``nndescent_merge_batch``); candidates =
+       bucket collisions restricted to touched sources; anti-join the
+       kept edges; exact unit-dot re-rank of (kept ∪ fresh) per
+       touched source under the family's (9dp cosine DESC, id) order.
+
+    EXACTNESS (pytest-pinned, same grade as the merge): for an
+    init-tier graph (``n_rounds=0`` build) at fixed ``n_bits``, the
+    compacted graph EQUALS ``nndescent_knn_graph(corpus \\ forget,
+    n_rounds=0)`` — per-node buckets are corpus-independent, so a
+    touched node's bucket re-join yields ALL its surviving collisions
+    and top-k(kept ∪ collisions) is the rebuild's top-k; an untouched
+    node's old top-k members all survive, and removing non-members
+    never changes a top-k. Descended graphs compact the same way;
+    the result is a superset-candidate top-k (recall floor pinned).
+
+    100 TB posture: cost scales with |forget| x bucket occupancy
+    (touched-side hash join), plus the one map-only re-hash of the
+    surviving corpus that a production pipeline amortizes by keeping
+    the hashed (vec_id, table_id, bucket) frame as a maintained table
+    next to the graph.
+    """
+    fids = forget.select(F.col(forget.columns[0]).alias("fid")).distinct()
+    survivors = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).join(
+        F.broadcast(fids), F.col("vec_id") == F.col("fid"), "left_anti"
+    )
+    unit = (
+        unit_df
+        if unit_df is not None
+        else unit_vectors(survivors).transform(materialize_once)
+    )
+    src_kept = graph.join(
+        F.broadcast(fids), graph["vec_id"] == F.col("fid"), "left_anti"
+    )
+    kept = src_kept.join(
+        F.broadcast(fids), src_kept["nbr_id"] == F.col("fid"), "left_anti"
+    ).transform(materialize_once)
+    touched = (
+        src_kept.join(
+            F.broadcast(fids), src_kept["nbr_id"] == F.col("fid"), "left_semi"
+        )
+        .select("vec_id")
+        .distinct()
+        .transform(materialize_once)
+    )
+    bits = _auto_bits(survivors, n_bits)
+    bucket_udf = _bucket_udf(
+        [hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
+    )
+    hashed = survivors.select(
+        "vec_id",
+        F.posexplode(bucket_udf(F.col("embedding"))).alias(
+            "table_id", "bucket"
+        ),
+    ).transform(materialize_once)
+    h_touched = hashed.join(touched, "vec_id", "left_semi")
+    cand = (
+        h_touched.alias("a")
+        .join(hashed.alias("b"), ["table_id", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    kept_edges = kept.select(
+        F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"), "cosine"
+    )
+    fresh = cand.join(
+        kept_edges.select("src", "dst"), ["src", "dst"], "left_anti"
+    )
+    scored_fresh = (
+        fresh.join(
+            unit.select(F.col("vec_id").alias("src"), F.col("u").alias("us")),
+            "src",
+        )
+        .join(
+            unit.select(F.col("vec_id").alias("dst"), F.col("u").alias("ud")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.round(dot_product_col(F.col("us"), F.col("ud")), 9).alias(
+                "cosine"
+            ),
+        )
+    )
+    untouched = kept.join(touched, "vec_id", "left_anti")
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst")
+    )
+    repaired = (
+        kept_edges.join(touched.select(F.col("vec_id").alias("src")),
+                        "src", "left_semi")
+        .unionByName(scored_fresh)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("nbr_id"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    return untouched.unionByName(repaired)

@@ -104,6 +104,11 @@ ROTATION_WINDOW: list[str] = [
 # history. Keeping them HERE (not just in a comment) makes the plan
 # part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    # round-13 additions (never driver-checked) — head of the
+    # round-14 window per the rotation policy.
+    "similarity_int8_ivf_topk",
+    "similarity_int8_ivf_recall",
+    "similarity_knn_forget_compact",
     # round-12 window-overflow leftovers (round-8-stale, pinned order)
     "text_quality_scores",
     "text_language_id",

@@ -49,6 +49,7 @@ from ..operators.similarity import (
     cosine_topk_bruteforce,
     embedding_cosine_pairs,
     ivf_ann_topk,
+    int8_ivf_ann_topk,
     int8_lsh_ann_topk,
     lsh_ann_topk,
     nndescent_knn_graph,
@@ -1584,6 +1585,123 @@ def similarity_int8_lsh_recall(spark, sf_dir):
     )
 
 
+def _int8_ivf_ctes(k: int = 5, n_lists: int = 16, n_probe: int = 4) -> str:
+    """CTE fragment replaying ``int8_ivf_ann_topk`` bit-for-bit — the
+    SECOND hash-checked ANN variant (round-13, following the int8-LSH
+    precedent): centroid pick is an md5-digest order both engines
+    compute natively, assignment/probing are exact integer dots on the
+    oracle-proven int8 codes (sums of 64 products <= 127^2 — integer-
+    valued doubles, reassociation-immune), and the re-rank is the
+    shared 9dp cosine. Ends with ``iivf_topk``."""
+    return f"""
+    iivf_qv AS (
+      SELECT vec_id, embedding,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                    x -> greatest(-127.0, least(127.0,
+                         floor(CAST(x AS DOUBLE) / scale + 0.5))))
+             END AS q
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+            FROM embeddings)),
+    iivf_cent AS (
+      SELECT q AS cq,
+             row_number() OVER (
+               ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1 AS crank
+      FROM iivf_qv
+      ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {n_lists}),
+    iivf_assign AS MATERIALIZED (
+      SELECT vec_id, crank AS list_id FROM (
+        SELECT v.vec_id, c.crank,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.q, c.cq) DESC, c.crank)
+                 AS rn
+        FROM iivf_qv v CROSS JOIN iivf_cent c)
+      WHERE rn = 1),
+    iivf_probes AS (
+      SELECT vec_id AS query_id, crank AS list_id FROM (
+        SELECT v.vec_id, c.crank,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.q, c.cq) DESC, c.crank)
+                 AS rn
+        FROM iivf_qv v CROSS JOIN iivf_cent c
+        WHERE v.vec_id < 10)
+      WHERE rn <= {n_probe}),
+    iivf_cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM iivf_assign a JOIN iivf_probes p ON a.list_id = p.list_id
+      WHERE a.vec_id <> p.query_id),
+    iivf_scored AS (
+      SELECT cd.query_id, cd.vec_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(qe.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+                                        CAST(qe.embedding AS DOUBLE[])))),
+                   9) AS cosine
+      FROM iivf_cand cd
+      JOIN embeddings e ON e.vec_id = cd.vec_id
+      JOIN embeddings qe ON qe.vec_id = cd.query_id),
+    iivf_topk AS (
+      SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) AS rank
+            FROM iivf_scored)
+      WHERE rank <= {k})"""
+
+
+@register(
+    "similarity_int8_ivf_topk",
+    oracle=f"WITH {_int8_ivf_ctes()}\n"
+    "    SELECT query_id, vec_id, cosine, rank FROM iivf_topk",
+)
+def similarity_int8_ivf_topk(spark, sf_dir):
+    """REPRODUCIBLE IVF ANN (round-13): md5-seeded centroid sample,
+    exact int8 integer-dot assignment/probing, shared 9dp cosine
+    re-rank — the second ANN variant whose whole retrieval a SQL
+    oracle replays bit-for-bit (the float IVF's numpy assignment is
+    reassociation-sensitive, so it stays recall-pinned). Scale shape:
+    one TakeOrdered centroid pick, one assignment scan, a list_id
+    equi-join — no all-pairs product.
+    See ``operators.similarity.int8_ivf_ann_topk``."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return int8_ivf_ann_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@register(
+    "similarity_int8_ivf_recall",
+    oracle=f"WITH {_int8_ivf_ctes()}, exact5 AS ({_COSINE_SQL})\n"
+    + _pair_metrics_sql("exact5", "iivf_topk", ("query_id", "vec_id")),
+)
+def similarity_int8_ivf_recall(spark, sf_dir):
+    """Recall@5 of the reproducible int8 IVF against brute-force
+    cosine — HASH-CHECKED like ``similarity_int8_lsh_recall``: both
+    the exact top-k and the integer-IVF retrieval replay exactly in
+    SQL, so the driver value-compares the recall numbers instead of
+    recording rows-only."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return _pair_metrics(
+        cosine_topk_bruteforce(emb, queries, k=5),
+        int8_ivf_ann_topk(emb, queries, k=5),
+        ["query_id", "vec_id"],
+    )
+
+
 @register(
     "embedding_matryoshka_recall",
     oracle="""
@@ -2375,6 +2493,68 @@ def similarity_incremental_knn_merge(spark, sf_dir):
         F.count(
             F.when(F.col("__m").isNull() | F.col("__r").isNull(), 1)
         ).alias("n_diff"),
+    )
+
+
+@register("similarity_knn_forget_compact")  # equality audit → rows-only
+def similarity_knn_forget_compact(spark, sf_dir):
+    """k-NN graph compaction audit (VERDICT r12 #8 — the deletion
+    counterpart of ``similarity_incremental_knn_merge``, closing the
+    maintained-index lifecycle: build → merge-on-ingest →
+    compact-on-forget): every 7th vector plays the deletion batch
+    (``pipeline_forget_expand``'s output shape); the init-tier graph
+    over the FULL corpus is the maintained table, the batch compacts
+    out via ``nndescent_forget_compact`` (ghost edges dropped,
+    touched sources repaired from their surviving bucket collisions),
+    and the result must EXACTLY equal the from-scratch init-tier
+    build over the surviving corpus at the same fixed n_bits.
+    Returns one row (n_edges_compacted, n_edges_rebuilt, n_diff,
+    n_ghost_edges); pytest pins n_diff == 0, ghost-free output, and
+    the descended-graph recall floor."""
+    from ..operators.similarity import (
+        _auto_bits,
+        nndescent_forget_compact,
+        nndescent_knn_graph,
+    )
+
+    emb = _emb(spark, sf_dir)
+    unit = shared_unit_embeddings(spark, sf_dir)
+    forget = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    survivors = emb.filter(F.col("vec_id") % 7 != 0)
+    # ONE bucket granularity derived from the full corpus and passed
+    # everywhere — the exactness property requires a FIXED hash
+    # family, and the count-derived auto-sizing (~64/bucket) keeps the
+    # collision volume linear at every SF (a hard-coded coarse n_bits
+    # made this the suite's slowest query at sf0.1: 8 tables x 625-row
+    # buckets ~= 25M scored pairs).
+    bits = _auto_bits(emb, None)
+    g_full = nndescent_knn_graph(
+        emb, k=5, n_rounds=0, n_bits=bits, unit_df=unit
+    )
+    compacted = nndescent_forget_compact(
+        g_full, emb, forget, k=5, n_bits=bits, unit_df=unit
+    )
+    rebuilt = nndescent_knn_graph(
+        survivors, k=5, n_rounds=0, n_bits=bits, unit_df=unit
+    )
+    cols = ["vec_id", "nbr_id", "cosine", "rank"]
+    c = compacted.select(*cols).withColumn("__c", F.lit(1))
+    r = rebuilt.select(*cols).withColumn("__r", F.lit(1))
+    j = c.join(r, cols, "full_outer")
+    ghosts = compacted.join(
+        forget.withColumnRenamed("vec_id", "fid"),
+        (F.col("vec_id") == F.col("fid"))
+        | (F.col("nbr_id") == F.col("fid")),
+        "left_semi",
+    )
+    return j.agg(
+        F.count("__c").alias("n_edges_compacted"),
+        F.count("__r").alias("n_edges_rebuilt"),
+        F.count(
+            F.when(F.col("__c").isNull() | F.col("__r").isNull(), 1)
+        ).alias("n_diff"),
+    ).crossJoin(
+        F.broadcast(ghosts.agg(F.count("*").alias("n_ghost_edges")))
     )
 
 
