@@ -93,6 +93,14 @@ def ngram_jaccard_pairs(
     — O(n · bucket_width) candidates instead of O(n²). Near-dup docs
     have near-equal lengths, so a tight band keeps recall (observed
     Δlen <= 12 on the fixtures at threshold 0.5).
+
+    Measured growth (r13, ``tools/heavy_growth_r13.log``): a 3x
+    corpus over the SAME length range runs the banded pipelines at
+    x1.6-2.7 (Spark) / x4.0-4.7 (SQL replay) — between linear and
+    the m^2 bucket-occupancy bound, because absolute-width bands
+    densify with the corpus. At real scale hold occupancy constant:
+    shrink ``length_band`` (or shard bands by a content prefix) as n
+    grows, which restores ~linear candidate volume.
     """
     # Shingles are compared as xxhash64 longs, not strings: set sizes
     # (and therefore the Jaccard value) are identical modulo 64-bit

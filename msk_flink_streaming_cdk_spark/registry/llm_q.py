@@ -863,6 +863,17 @@ def _minhash_ctes(
     shingle sets — the unsigned view here, bijective to Spark's
     signed longs, so set sizes match exactly.
 
+    MEASURED growth (round-13, ``tools/heavy_growth_r13.log``): on a
+    3x structure-identical corpus the replay runs 99->392s
+    (lsh_pairs, x3.96) / 156->722s (recall, x4.61) / 156->737s
+    (estimate audit, x4.73) — between the linear shingle-hash bound
+    (3.0x; the per-shingle xxh64 chains dominate) and the ~m^2
+    banded-verification bound (9x candidates: length bands are
+    absolute-width, so bucket occupancy grows with corpus density —
+    equally true of the Spark side and a real sf0.3). Nothing
+    super-quadratic; at real scale the documented band/stride dial
+    caps verification fan-out.
+
     The hash CTEs are MATERIALIZED: DuckDB inlines plain CTEs per
     reference, and re-optimizing the ~60-level hash chain once per
     consumer measured 60s vs 10s materialized at 500 docs."""

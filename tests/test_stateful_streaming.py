@@ -507,6 +507,66 @@ def test_stream_stream_full_outer_interval_join(spark, tmp_path):
     }, got
 
 
+def test_stream_stream_right_outer_interval_join(spark, tmp_path):
+    # right_outer: unmatched RIGHT rows flush null-padded (key kept
+    # via the coalesce projection); unmatched LEFT rows do NOT emit.
+    left_src = _write_batches(
+        spark,
+        tmp_path,
+        [[("1", 100, 60), ("9", 100, 60)], [("7", 100, 600)]],
+        subdir="ro_left",
+    )
+    right_src = _write_batches(
+        spark,
+        tmp_path,
+        [[("1", 1, 40), ("5", 7, 50)], [("1", 2, 400)], [("1", 3, 600)]],
+        subdir="ro_right",
+    )
+    left = stream_parquet_dir(spark, left_src, SENSOR_READING).select(
+        F.col("sensor_id").alias("key"),
+        F.col("event_time").alias("l_time"),
+    )
+    right = stream_parquet_dir(
+        spark, right_src, SENSOR_READING, max_files_per_trigger=1
+    ).select(
+        F.col("sensor_id").alias("key"),
+        F.col("temperature").alias("click_id"),
+        F.col("event_time").alias("r_time"),
+    )
+    joined = interval_join(
+        left,
+        right,
+        key="key",
+        left_time="l_time",
+        right_time="r_time",
+        lower="30 seconds",
+        upper="0 seconds",
+        how="right_outer",
+    )
+    q = (
+        joined.select(
+            "key", "click_id", F.col("l_time").isNull().alias("left_missing")
+        )
+        .writeStream.format("memory")
+        .queryName("ssj_right_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.click_id, r.left_missing)
+        for r in spark.sql("SELECT * FROM ssj_right_outer_test").collect()
+    }
+    # matched pair emits; right-unmatched "5"@50 and out-of-band
+    # click@400 flush null-padded; left-unmatched "9" must NOT appear.
+    assert got == {
+        ("1", 1.0, False),
+        ("5", 7.0, True),
+        ("1", 2.0, True),
+    }, got
+
+
 def test_chained_windowed_aggregations_stream(spark, tmp_path):
     # Multiple stateful operators in ONE streaming query (Spark 3.4+):
     # 30s counts re-windowed into 60s peaks, append mode. Only periods

@@ -2,13 +2,20 @@
 
 The heavy tier's only super-linear-risk surface is the DuckDB SQL
 replay of the MinHash oracles (104-166s at sf0.1) plus the suffix-span
-pipeline. This script builds a THROWAWAY 5x documents fixture —
-5 structure-identical replicas of sf0.1's documents with DISJOINT
+pipeline. This script builds a THROWAWAY 3x documents fixture —
+3 structure-identical replicas of sf0.1's documents with DISJOINT
 per-replica vocabularies (every word suffixed with the replica id), so
 the near-dup pair structure replicates exactly linearly and no
 cross-replica shingle ever collides — then times each query's Spark
-side and DuckDB oracle side at 1x and 5x and prints a growth-ratio
-table (measured 5x/1x vs the linear prediction 5.0).
+side and DuckDB oracle side at 1x and 3x and prints a growth-ratio
+table. NOTE the prediction is NOT flat 3x for the banded operators:
+length-band blocking is absolute-width, so bucket occupancy (and the
+exact-Jaccard verification join) grows with corpus DENSITY — the
+docstring claim is O(n * bucket_width), i.e. ~m^2 = 9x verification
+at m = 3x data over a fixed length range, on top of the ~3x linear
+shingle-hashing cost. This is equally true of a real sf0.3: the fix
+at scale is the documented band/stride dial, and this measurement is
+the evidence for when to turn it.
 
 Run: python tools/heavy_growth_r13.py > tools/heavy_growth_r13.log 2>&1
 """
@@ -25,8 +32,8 @@ sys.path.insert(
 import duckdb
 
 BASE = "/root/testdata/sf0.1"
-WORK = "/tmp/sf0.5x_growth"
-REPLICAS = 5
+WORK = "/tmp/sf0.3x_growth"
+REPLICAS = 3
 QUERIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_recall",
@@ -109,8 +116,11 @@ def main():
     rows = []
     for name in QUERIES:
         s1, n1 = time_spark(spark, name, BASE)
+        print(f"  [{name}] spark 1x {s1:.1f}s", flush=True)
         s5, n5 = time_spark(spark, name, WORK)
+        print(f"  [{name}] spark 3x {s5:.1f}s", flush=True)
         o1, on1 = time_oracle(name, BASE)
+        print(f"  [{name}] oracle 1x {o1:.1f}s", flush=True)
         o5, on5 = time_oracle(name, WORK)
         rows.append((name, s1, s5, o1, o5, n1, n5, on1, on5))
         print(
@@ -119,17 +129,17 @@ def main():
             f"(x{o5 / o1:.2f}); rows {n1}->{n5} / {on1}->{on5}",
             flush=True,
         )
-    print("\n== growth-ratio table (linear prediction = 5.00) ==")
+    print("\n== growth-ratio table (3x data; linear prediction 3.0, banded-verify prediction ~9x candidates) ==")
     print(
-        f"{'query':38s} {'spark_1x':>8s} {'spark_5x':>8s} {'ratio':>6s} "
-        f"{'ora_1x':>7s} {'ora_5x':>7s} {'ratio':>6s} verdict"
+        f"{'query':38s} {'spark_1x':>8s} {'spark_3x':>8s} {'ratio':>6s} "
+        f"{'ora_1x':>7s} {'ora_3x':>7s} {'ratio':>6s} verdict"
     )
     for name, s1, s5, o1, o5, *_ in rows:
         rs, ro = s5 / s1, o5 / o1
         verdict = (
-            "superlinear"
-            if max(rs, ro) > 7.5  # 1.5x headroom over linear
-            else "~linear"
+            "SUPER-QUADRATIC"
+            if max(rs, ro) > 13.5  # 1.5x headroom over the m^2 bound
+            else ("~m^2-banded" if max(rs, ro) > 4.5 else "~linear")
         )
         print(
             f"{name:38s} {s1:8.1f} {s5:8.1f} {rs:6.2f} "
