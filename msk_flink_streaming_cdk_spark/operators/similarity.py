@@ -1694,3 +1694,208 @@ def nndescent_forget_compact(
         )
     )
     return untouched.unionByName(repaired)
+
+
+def _int8_pq_books(cent_rows, m: int, ksub: int) -> np.ndarray:
+    """(m, ksub, dim//m) integer codebooks from the md5-picked corpus
+    vectors: subspace j's codewords are the int8 SUBVECTOR codes of
+    the ksub vectors ranked by md5('pq:<j>:' || vec_id). Pure
+    arithmetic on public digests + the shared exact quantization —
+    any engine regenerates the identical books."""
+    dim = len(cent_rows[0][0][1])
+    sub = dim // m
+    books = np.empty((m, ksub, sub))
+    for j in range(m):
+        rows = cent_rows[j]
+        Q = _int8_codes(
+            np.asarray([r[1] for r in rows], dtype=np.float64)
+        )
+        books[j] = Q[:, j * sub : (j + 1) * sub]
+    return books
+
+
+def _int8_pq_encode_udf(books: np.ndarray):
+    """Arrow-batch integer-PQ encoder: int8-quantize the vector
+    (shared exact rule), then per subspace emit the codeword with the
+    smallest INTEGER squared L2 distance (ties -> lower codeword
+    rank, numpy argmin's first-min). Every distance is a sum of 16
+    squared integer diffs <= 254^2 — exact in float64 under any
+    summation order, so the SQL replay cannot disagree."""
+    m, ksub, sub = books.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = _int8_codes(np.stack(vecs.to_numpy()).astype(np.float64))
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def int8_pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 32,
+    rerank: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """REPRODUCIBLE PQ ANN — the third member of the int8 integer
+    family (after LSH and IVF): every retrieval stage is exact
+    integer arithmetic or a single IEEE op, so a DuckDB oracle
+    replays it bit-for-bit (the float PQ's k-means codebooks are
+    iterative float means, hence recall-pinned rows-only).
+
+    - BOOKS: subspace j's ksub codewords are the int8 subvector codes
+      of the corpus vectors ranked by ``md5('pq:<j>:' || vec_id)`` —
+      a per-subspace deterministic sample both engines compute
+      natively (codebook quality below trained k-means, exactly the
+      IVF trade: reproducibility over recall; the exact re-rank
+      recovers precision on the candidate set).
+    - ENCODE: one corpus scan -> m codeword ids by integer L2
+      (exact), plus the reconstruction self-dot (integer).
+    - ADC: per (query, vec): integer LUT sum of subspace dots, then
+      approx cosine = adc / sqrt(selfdot) — the per-vector int8
+      scale CANCELS in this ratio, and it is one integer-ratio
+      divide + sqrt, deterministic on any engine. Zero
+      reconstructions score NULL in BOTH engines (explicit guard —
+      Catalyst's double divide would NULL where DuckDB gives inf).
+    - RE-RANK: top k*rerank ADC candidates per query, exact float
+      cosine under the family's shared (9dp DESC, vec_id) order.
+
+    100 TB: codebooks are m bounded TakeOrdered picks; encode is one
+    scan emitting m+1 small ints per row (the 32x compression that
+    makes the index fit); ADC joins the code frame against a
+    broadcast per-query LUT — no all-pairs float work, and the exact
+    re-rank touches k*rerank rows per query.
+    """
+    # All m per-subspace codebook picks in ONE job: explode each
+    # corpus row to its m subspace lanes, rank within each lane by the
+    # lane-seeded md5 digest (WindowGroupLimit keeps the rank filter
+    # per-partition), collect the m*ksub winners — one bounded
+    # collect instead of m TakeOrdered round-trips.
+    lanes = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j"),
+    )
+    wj = Window.partitionBy("j").orderBy(
+        F.md5(
+            F.concat(
+                F.lit("pq:"),
+                F.col("j").cast("string"),
+                F.lit(":"),
+                F.col("cid").cast("string"),
+            )
+        ),
+        "cid",
+    )
+    picked = (
+        lanes.withColumn("crank", F.row_number().over(wj) - 1)
+        .filter(F.col("crank") < ksub)
+        .select("j", "crank", "cid", "cv")
+        .collect()
+    )
+    cent_rows = [
+        [
+            (r.cid, r.cv)
+            for r in sorted(
+                (x for x in picked if x.j == j), key=lambda x: x.crank
+            )
+        ]
+        for j in range(m)
+    ]
+    books = _int8_pq_books(cent_rows, m, ksub)
+    encode = _int8_pq_encode_udf(books)
+    # per-codeword self-dots (exact ints), flattened (m * ksub,)
+    self_dots = np.einsum("mkd,mkd->mk", books, books).ravel().tolist()
+    self_arr = F.array(*[F.lit(float(x)) for x in self_dots])
+
+    codes = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        encode(F.col(vec_col)).alias("codes"),
+    )
+    codes = codes.withColumn("sd", self_arr).withColumn(
+        "selfdot",
+        F.expr(
+            f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
+            f"(acc, j) -> acc + element_at(sd, "
+            f"j * {ksub} + element_at(codes, j + 1) + 1))"
+        ),
+    ).drop("sd")
+
+    flat = books.reshape(m * ksub, -1)  # (m*ksub, sub)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def lut_udf(qvecs: pd.Series) -> pd.Series:
+        Q = _int8_codes(np.stack(qvecs.to_numpy()).astype(np.float64))
+        sub = Q.shape[1] // m
+        L = np.einsum(
+            "nmd,mkd->nmk", Q.reshape(len(Q), m, sub), books
+        )  # exact: integer-valued operands
+        return pd.Series([row.ravel().tolist() for row in L])
+
+    lut_df = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        lut_udf(F.col(query_vec_col)).alias("lut"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "selfdot",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
+                f"(acc, j) -> acc + element_at(lut, "
+                f"j * {ksub} + element_at(codes, j + 1) + 1))"
+            ).alias("iadc"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(
+                F.col("selfdot") > 0,
+                F.col("iadc") / F.sqrt(F.col("selfdot")),
+            ).alias("acos"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc_nulls_last(), F.col("vec_id")
+    )
+    cand = (
+        adc.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= k * rerank)
+        .select("query_id", "vec_id")
+    )
+    paired = cand.join(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        "vec_id",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("query_vec"),
+            )
+        ),
+        "query_id",
+    )
+    scored = paired.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity_col(
+            F.col("embedding"), F.col("query_vec")
+        ).alias("cosine"),
+    )
+    return _topk_per_query(scored, k)

@@ -108,6 +108,8 @@ NEXT_TRANCHE: list[str] = [
     # round-14 window per the rotation policy.
     "similarity_int8_ivf_topk",
     "similarity_int8_ivf_recall",
+    "similarity_int8_pq_topk",
+    "similarity_int8_pq_recall",
     "similarity_knn_forget_compact",
     # round-12 window-overflow leftovers (round-8-stale, pinned order)
     "text_quality_scores",

@@ -51,6 +51,7 @@ from ..operators.similarity import (
     ivf_ann_topk,
     int8_ivf_ann_topk,
     int8_lsh_ann_topk,
+    int8_pq_ann_topk,
     lsh_ann_topk,
     nndescent_knn_graph,
     unit_vectors,
@@ -1664,6 +1665,144 @@ def _int8_ivf_ctes(k: int = 5, n_lists: int = 16, n_probe: int = 4) -> str:
                         ORDER BY cosine DESC, vec_id) AS rank
             FROM iivf_scored)
       WHERE rank <= {k})"""
+
+
+def _int8_pq_ctes(
+    k: int = 5, m: int = 16, ksub: int = 32, rerank: int = 10,
+    dim: int = 64,
+) -> str:
+    """CTE fragment replaying ``int8_pq_ann_topk`` bit-for-bit — the
+    THIRD hash-checked ANN variant (round-13): md5-ranked integer
+    codebooks, integer-L2 encode (a·a - 2a·b + b·b on integer-valued
+    doubles — any summation order lands on the same exact integer),
+    integer ADC, and the scale-cancelling approx cosine
+    ``adc / sqrt(selfdot)`` (one IEEE divide + sqrt — deterministic on
+    any engine; zero reconstructions NULL in BOTH engines, matching
+    Catalyst's guarded divide). Ends with ``ipq_topk``."""
+    sub = dim // m
+    return f"""
+    ipq_qv AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                    x -> greatest(-127.0, least(127.0,
+                         floor(CAST(x AS DOUBLE) / scale + 0.5))))
+             END AS q
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+            FROM embeddings)),
+    ipq_books AS MATERIALIZED (
+      SELECT j, crank, cw, list_dot_product(cw, cw) AS cw_selfdot
+      FROM (
+        SELECT j.j,
+               row_number() OVER (PARTITION BY j.j
+                 ORDER BY md5('pq:' || CAST(j.j AS VARCHAR) || ':'
+                              || CAST(v.vec_id AS VARCHAR)),
+                          v.vec_id) - 1 AS crank,
+               v.q[j.j * {sub} + 1 : (j.j + 1) * {sub}] AS cw
+        FROM ipq_qv v
+        CROSS JOIN (SELECT unnest(range({m})) AS j) j)
+      WHERE crank < {ksub}),
+    ipq_codes AS MATERIALIZED (
+      SELECT vec_id, j, crank AS code, cw_selfdot FROM (
+        SELECT v.vec_id, b.j, b.crank, b.cw_selfdot,
+               row_number() OVER (PARTITION BY v.vec_id, b.j
+                 ORDER BY list_dot_product(sv, sv)
+                          - 2 * list_dot_product(sv, b.cw)
+                          + b.cw_selfdot,
+                          b.crank) AS rn
+        FROM (SELECT vec_id, j.j AS bj,
+                     q[j.j * {sub} + 1 : (j.j + 1) * {sub}] AS sv
+              FROM ipq_qv
+              CROSS JOIN (SELECT unnest(range({m})) AS j) j) v
+        JOIN ipq_books b ON b.j = v.bj)
+      WHERE rn = 1),
+    ipq_adc AS (
+      SELECT qv.vec_id AS query_id, c.vec_id,
+             sum(list_dot_product(
+                   qv.q[c.j * {sub} + 1 : (c.j + 1) * {sub}], b.cw))
+               AS iadc,
+             sum(c.cw_selfdot) AS selfdot
+      FROM ipq_codes c
+      JOIN ipq_books b ON b.j = c.j AND b.crank = c.code
+      CROSS JOIN (SELECT vec_id, q FROM ipq_qv WHERE vec_id < 10) qv
+      WHERE c.vec_id <> qv.vec_id
+      GROUP BY qv.vec_id, c.vec_id),
+    ipq_cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY CASE WHEN selfdot > 0
+                               THEN iadc / sqrt(selfdot) END
+                          DESC NULLS LAST, vec_id) AS arn
+        FROM ipq_adc)
+      WHERE arn <= {k * rerank}),
+    ipq_scored AS (
+      SELECT cd.query_id, cd.vec_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(qe.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+                                        CAST(qe.embedding AS DOUBLE[])))),
+                   9) AS cosine
+      FROM ipq_cand cd
+      JOIN embeddings e ON e.vec_id = cd.vec_id
+      JOIN embeddings qe ON qe.vec_id = cd.query_id),
+    ipq_topk AS (
+      SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) AS rank
+            FROM ipq_scored)
+      WHERE rank <= {k})"""
+
+
+@register(
+    "similarity_int8_pq_topk",
+    oracle=f"WITH {_int8_pq_ctes()}\n"
+    "    SELECT query_id, vec_id, cosine, rank FROM ipq_topk",
+)
+def similarity_int8_pq_topk(spark, sf_dir):
+    """REPRODUCIBLE PQ ANN (round-13, third integer-family member):
+    md5-ranked integer codebooks, exact integer-L2 encode, integer
+    ADC with the scale-cancelling ``adc/sqrt(selfdot)`` approx
+    cosine, exact float cosine re-rank of the top k*rerank — the
+    whole retrieval replays bit-for-bit in SQL (the float PQ's
+    k-means codebooks are iterative float means, hence rows-only).
+    See ``operators.similarity.int8_pq_ann_topk``."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return int8_pq_ann_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@register(
+    "similarity_int8_pq_recall",
+    oracle=f"WITH {_int8_pq_ctes()}, exact5 AS ({_COSINE_SQL})\n"
+    + _pair_metrics_sql("exact5", "ipq_topk", ("query_id", "vec_id")),
+)
+def similarity_int8_pq_recall(spark, sf_dir):
+    """Recall@5 of the reproducible int8 PQ against brute-force
+    cosine — HASH-CHECKED like the int8 LSH/IVF recalls: both sides
+    replay exactly in SQL, so the driver value-compares the metrics
+    (measured 0.96 at sf0.01 with m=16, ksub=32, rerank=10 — the
+    float PQ's recall at reproducible-codebook quality)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return _pair_metrics(
+        cosine_topk_bruteforce(emb, queries, k=5),
+        int8_pq_ann_topk(emb, queries, k=5),
+        ["query_id", "vec_id"],
+    )
 
 
 @register(
