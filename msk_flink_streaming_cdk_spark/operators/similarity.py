@@ -135,6 +135,8 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     unit_df: DataFrame | None = None,
+    int_planes: bool = False,
+    span: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cosine) for every
     pair with cosine >= threshold — the embedding member of the dedup
@@ -152,9 +154,23 @@ def embedding_cosine_pairs(
     shares one such frame per session (VERDICT r11 #3); it MUST be
     derived from the same corpus or a superset (ids are equi-joined,
     extras are ignored).
+
+    ``int_planes=True`` swaps the numpy-RNG gaussian hyperplanes for
+    the md5-derived INTEGER planes of the int8 family (round-13):
+    the candidate set becomes engine-reproducible and the whole pair
+    retrieval SQL-replayable — the ``dedup_int8_embedding_pairs``
+    hash-checked twin. Sign-LSH quality is direction-uniform either
+    way; only the provenance of the planes changes.
     """
-    bucket_udf = _bucket_udf(
-        [hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
+    bucket_udf = (
+        _int8_bucket_udf(int_lsh_planes(dim, n_bits, n_tables, span))
+        if int_planes
+        else _bucket_udf(
+            [
+                hyperplanes(dim, n_bits, seed + 1000 * t)
+                for t in range(n_tables)
+            ]
+        )
     )
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
@@ -1899,3 +1915,96 @@ def int8_pq_ann_topk(
         ).alias("cosine"),
     )
     return _topk_per_query(scored, k)
+
+
+def incremental_embedding_near_dup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.45,
+    n_bits: int = 6,
+    n_tables: int = 16,
+    span: int = 7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit_df: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental embedding near-dup: for each INCOMING vector, its
+    best corpus match at cosine >= threshold — the daily-ingest shape
+    of ``embedding_cosine_pairs`` (the embedding twin of
+    ``dedup.incremental_near_dup``), built on the REPRODUCIBLE int8
+    integer planes so the probe is engine-stable across ingests and
+    engines (an index maintained for months must not depend on a
+    numpy RNG state).
+
+    Shape: the corpus is bucketed once (at scale a maintained
+    (vec_id, table_id, bucket) table persisted next to the
+    embeddings); the incoming batch is bucketed and equi-joined —
+    cost O(|batch| * bucket occupancy), never a corpus rescan. Exact
+    unit-dot verification, per-doc argmax (cosine DESC, corpus id) by
+    one partitioned window over the batch's candidates.
+
+    Returns (vec_id, matched_vec, cosine) — one row per incoming
+    vector with a match at/above ``threshold``.
+    """
+    bucket_udf = _int8_bucket_udf(int_lsh_planes(dim, n_bits, n_tables, span))
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(bucket_udf(F.col(vec_col))).alias(
+                "table_id", "bucket"
+            ),
+        )
+
+    cand = (
+        hashed(incoming)
+        .withColumnRenamed("vec_id", "in_id")
+        .join(
+            hashed(corpus).withColumnRenamed("vec_id", "corpus_id"),
+            ["table_id", "bucket"],
+        )
+        .filter(F.col("in_id") != F.col("corpus_id"))
+        .select("in_id", "corpus_id")
+        .dropDuplicates(["in_id", "corpus_id"])
+    )
+    all_vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).unionByName(
+        incoming.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+    )
+    unit = unit_df if unit_df is not None else unit_vectors(all_vecs)
+    scored = (
+        cand.join(
+            unit.select(
+                F.col("vec_id").alias("in_id"), F.col("u").alias("u_in")
+            ),
+            "in_id",
+        )
+        .join(
+            unit.select(
+                F.col("vec_id").alias("corpus_id"), F.col("u").alias("u_c")
+            ),
+            "corpus_id",
+        )
+        .select(
+            "in_id",
+            "corpus_id",
+            dot_product_col(F.col("u_in"), F.col("u_c")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("in_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("in_id").alias("vec_id"),
+            F.col("corpus_id").alias("matched_vec"),
+            "cosine",
+        )
+    )

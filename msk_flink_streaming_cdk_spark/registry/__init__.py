@@ -110,6 +110,8 @@ NEXT_TRANCHE: list[str] = [
     "similarity_int8_ivf_recall",
     "similarity_int8_pq_topk",
     "similarity_int8_pq_recall",
+    "dedup_int8_embedding_pairs",
+    "dedup_embedding_incremental",
     "similarity_knn_forget_compact",
     # round-12 window-overflow leftovers (round-8-stale, pinned order)
     "text_quality_scores",

@@ -1959,6 +1959,132 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     )
 
 
+def _int8_pairs_ctes(
+    threshold: float = 0.45, n_bits: int = 6, n_tables: int = 16,
+    span: int = 7, dim: int = 64,
+) -> str:
+    """CTE fragment replaying ``embedding_cosine_pairs(int_planes=
+    True)`` bit-for-bit: the int8 quantization + integer-plane
+    buckets (the proven ilsh shapes, self-join instead of query
+    probes), then exact unit-vector-dot verification — norm, per-
+    element divide, and the sequential dot fold all mirror Spark's
+    ``unit_vectors``/``dot_product_col`` op-for-op, so the >=
+    threshold filter compares bit-identical doubles. Ends with
+    ``ie_pairs``."""
+    from ..operators.similarity import int_lsh_planes
+
+    planes = int_lsh_planes(dim, n_bits, n_tables, span)
+    vals = ",\n      ".join(
+        f"({t}, {b}, {planes[t][b]})"
+        for t in range(n_tables)
+        for b in range(n_bits)
+    )
+    return f"""
+    iep(t, b, c) AS (VALUES {vals}),
+    ie_qv AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                    x -> greatest(-127.0, least(127.0,
+                         floor(CAST(x AS DOUBLE) / scale + 0.5))))
+             END AS q
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+            FROM embeddings)),
+    ie_bk AS MATERIALIZED (
+      SELECT vec_id, t, CAST(sum(bitval) AS INT) AS bucket
+      FROM (SELECT v.vec_id, p.t, p.b,
+                   CASE WHEN list_dot_product(v.q, CAST(p.c AS DOUBLE[]))
+                             >= 0
+                        THEN 1 << p.b ELSE 0 END AS bitval
+            FROM ie_qv v CROSS JOIN iep p)
+      GROUP BY vec_id, t),
+    ie_cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM ie_bk a JOIN ie_bk b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    ie_un AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS u
+      FROM embeddings),
+    ie_pairs AS (
+      SELECT vec_a, vec_b, cosine FROM (
+        SELECT c.vec_a, c.vec_b,
+               list_dot_product(ua.u, ub.u) AS cosine
+        FROM ie_cand c
+        JOIN ie_un ua ON ua.vec_id = c.vec_a
+        JOIN ie_un ub ON ub.vec_id = c.vec_b)
+      WHERE cosine >= {threshold}),
+    ie_incr AS (
+      SELECT vec_id, matched_vec, cosine FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cosine DESC, matched_vec) AS rn
+        FROM (
+          SELECT cd.in_id AS vec_id, cd.corpus_id AS matched_vec,
+                 list_dot_product(ua.u, ub.u) AS cosine
+          FROM (
+            SELECT DISTINCT i.vec_id AS in_id, c.vec_id AS corpus_id
+            FROM ie_bk i JOIN ie_bk c
+              ON i.t = c.t AND i.bucket = c.bucket
+            WHERE i.vec_id % 4 = 0 AND c.vec_id % 4 <> 0) cd
+          JOIN ie_un ua ON ua.vec_id = cd.in_id
+          JOIN ie_un ub ON ub.vec_id = cd.corpus_id) s
+        WHERE cosine >= {threshold})
+      WHERE rn = 1)"""
+
+
+@register(
+    "dedup_int8_embedding_pairs",
+    oracle=f"WITH {_int8_pairs_ctes()}\n"
+    "    SELECT vec_a, vec_b, cosine FROM ie_pairs",
+)
+def dedup_int8_embedding_pairs(spark, sf_dir):
+    """REPRODUCIBLE embedding near-dup pairs (round-13): the
+    ``dedup_embedding_cosine_pairs`` retrieval with the gaussian
+    hyperplanes swapped for the int8 family's md5-derived integer
+    planes — candidate generation becomes engine-reproducible, so
+    the WHOLE pair set (collisions + exact unit-dot verification at
+    cosine >= 0.45) is hash-checked against a bit-for-bit SQL replay.
+    Same scale shape: one bucketing projection, (table, bucket)
+    self-equi-join, verification on unique candidate ids only."""
+    return embedding_cosine_pairs(
+        _emb(spark, sf_dir),
+        threshold=0.45,
+        unit_df=shared_unit_embeddings(spark, sf_dir),
+        int_planes=True,
+    )
+
+
+@register(
+    "dedup_embedding_incremental",
+    oracle=f"WITH {_int8_pairs_ctes()}\n"
+    "    SELECT vec_id, matched_vec, cosine FROM ie_incr",
+)
+def dedup_embedding_incremental(spark, sf_dir):
+    """Incremental embedding near-dup admission (round-13): every 4th
+    vector plays the incoming batch; each gets its best corpus match
+    at cosine >= 0.45 via the reproducible int8-plane probe + exact
+    unit-dot verify + (cosine DESC, corpus id) argmax — the batch
+    twin the streaming ``embedding_admission_stream`` gate is
+    replay-pinned against, HASH-CHECKED end-to-end. Scale shape: the
+    corpus bucket index is the maintained table; an ingest batch
+    costs O(|batch| * bucket occupancy)."""
+    from ..operators.similarity import incremental_embedding_near_dup
+
+    emb = _emb(spark, sf_dir)
+    return incremental_embedding_near_dup(
+        emb.filter(F.col("vec_id") % 4 != 0),
+        emb.filter(F.col("vec_id") % 4 == 0),
+        threshold=0.45,
+        unit_df=shared_unit_embeddings(spark, sf_dir),
+    )
+
+
 @register("similarity_lsh_ann_topk")  # approximate → rows-only
 def similarity_lsh_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-5 (multi-probe random-hyperplane)

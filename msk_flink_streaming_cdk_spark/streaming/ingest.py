@@ -111,6 +111,46 @@ def near_dup_admission_stream(
     )
 
 
+def embedding_admission_stream(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    checkpoint: str,
+    on_batch: Callable[[DataFrame, int], None],
+    threshold: float = 0.45,
+    trigger: dict | None = None,
+):
+    """Streaming EMBEDDING admission gate (round-13 — the semantic
+    twin of ``near_dup_admission_stream``): each arriving batch of
+    (vec_id, embedding) rows is probed against the maintained corpus
+    via the reproducible int8 integer-plane LSH and exact unit-dot
+    verification; ``on_batch`` receives (vec_id, matched_vec, cosine)
+    for every incoming vector with a corpus match at/above
+    ``threshold``. A decision depends only on (vector, corpus), so
+    any micro-batch split yields identical output (replay-pinned).
+
+    ``corpus`` is the maintained frame; at scale persist its hashed
+    (vec_id, table_id, bucket) index next to the embeddings — the
+    integer planes guarantee the index stays valid across sessions
+    and engines (the reason this gate does NOT use gaussian planes).
+    """
+    trigger = trigger or {"availableNow": True}
+
+    from ..operators.similarity import incremental_embedding_near_dup
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        decisions = incremental_embedding_near_dup(
+            corpus, batch_df, threshold=threshold
+        )
+        on_batch(decisions, batch_id)
+
+    return (
+        incoming.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )
+
+
 def component_maintenance_stream(
     edge_stream: DataFrame,
     checkpoint: str,

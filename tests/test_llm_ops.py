@@ -1710,6 +1710,49 @@ def test_nnd_merge_equals_rebuild_and_monotone(spark, sf_small):
     assert rec1 >= rec0
 
 
+def test_int8_embedding_pairs_recall_floor(spark, sf_small):
+    """The reproducible int8-plane pair variant must keep the gaussian
+    variant's recall class against the exact all-pairs sweep (both are
+    16-table sign-LSH; only the plane provenance differs). Precision
+    is exact by construction (every candidate is cosine-verified)."""
+    from msk_flink_streaming_cdk_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        unit_vectors,
+    )
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    unit = unit_vectors(emb)
+    from msk_flink_streaming_cdk_spark.functions.vectors import (
+        dot_product_col,
+    )
+
+    a = unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+    b = unit.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            dot_product_col(F.col("ua"), F.col("ub")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.45)
+        .collect()
+    }
+    assert brute, "fixture must have >= 1 moderate-cosine pair"
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(
+            emb, threshold=0.45, int_planes=True
+        ).collect()
+    }
+    assert got <= brute.union(set())  # precision exact: verified pairs
+    assert len(got & brute) / len(brute) >= 0.4
+
+
 def test_nnd_forget_compact_equals_rebuild(spark, sf_small):
     """Graph compaction after deletion (VERDICT r12 #8). Init-tier
     exactness: compact(graph, forget) == rebuilt-from-scratch on the

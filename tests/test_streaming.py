@@ -376,6 +376,73 @@ def test_streaming_near_dup_admission_matches_batch(spark, tmp_path, sf_small):
     assert want, "fixture must produce at least one near-dup decision"
 
 
+def test_streaming_embedding_admission_matches_batch(spark, tmp_path, sf_small):
+    # The embedding gate's decisions across any micro-batch split must
+    # equal the batch operator on the whole incoming set (a vector's
+    # decision depends only on (vector, corpus)).
+    import glob
+    import os
+    import time as _t
+
+    from msk_flink_streaming_cdk_spark.operators.similarity import (
+        incremental_embedding_near_dup,
+    )
+    from msk_flink_streaming_cdk_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        embedding_admission_stream,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter("vec_id % 4 != 0")
+    incoming = emb.filter("vec_id % 4 = 0")
+
+    src = str(tmp_path / "emb_in")
+    os.makedirs(src)
+    for i, pred in enumerate(("vec_id < 40", "vec_id >= 40")):
+        part = str(tmp_path / f"embpart{i}")
+        incoming.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            part
+        )
+        (f,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(f, dst)
+        mtime = _t.time() - 1000 + i * 10
+        os.utime(dst, (mtime, mtime))
+
+    stream = stream_parquet_dir(
+        spark, src, incoming.schema, max_files_per_trigger=1
+    )
+    got = []
+    n_batches = []
+
+    def sink(df, bid):
+        got.extend(
+            (r.vec_id, r.matched_vec, round(r.cosine, 9))
+            for r in df.collect()
+        )
+        n_batches.append(bid)
+
+    q = embedding_admission_stream(
+        stream, corpus, str(tmp_path / "emb_ckpt"), sink, threshold=0.4
+    )
+    q.awaitTermination()
+    assert len(n_batches) == 2
+
+    want = {
+        (r.vec_id, r.matched_vec, round(r.cosine, 9))
+        for r in incremental_embedding_near_dup(
+            corpus, incoming, threshold=0.4
+        ).collect()
+    }
+    assert set(got) == want and len(got) == len(want)
+    assert want, "fixture must produce at least one embedding match"
+
+
 def test_streaming_component_maintenance_reaches_full_cc(spark, tmp_path):
     # Edges stream in three micro-batches; after the replay the
     # maintained labeling must equal full-graph CC — including
