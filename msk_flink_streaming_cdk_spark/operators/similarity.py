@@ -1917,6 +1917,197 @@ def int8_pq_ann_topk(
     return _topk_per_query(scored, k)
 
 
+def int8_ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ksub: int = 32,
+    rerank: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """REPRODUCIBLE IVF-PQ (IVFADC-shaped) ANN — the composition of
+    the two hash-checked parents (round-13 verdict Next #3): int8-IVF's
+    md5-seeded list assignment gates int8-PQ's ADC scan so the LUT sum
+    touches ONLY the ``n_probe``/``n_lists`` probed fraction of the
+    code table. This is the standard 100 TB ANN shape (Jegou, Douze,
+    Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011 — the IVFADC system; see PAPERS.md), with one deliberate
+    simplification: codes are GLOBAL (non-residual) PQ codes rather
+    than residual codes. Residual encoding buys recall at equal probe
+    cost, but the reconstruction self-dot would become
+    centroid+codeword cross terms; keeping the parents' exact-integer
+    stages verbatim keeps the whole retrieval SQL-replayable — the
+    property this family exists for. The exact re-rank recovers
+    precision on the candidate set either way.
+
+    Stages, each inherited unchanged from a hash-checked parent:
+
+    1. CENTROIDS: the ``int8_ivf_ann_topk`` pick — smallest
+       ``md5('ivf:' || vec_id)`` digests, int8 centroid codes.
+    2. BOOKS: the ``int8_pq_ann_topk`` pick — per-subspace
+       ``md5('pq:<j>:' || vec_id)`` ranked int8 subvector codes.
+    3. ENCODE+ASSIGN: ONE corpus scan emits (codes, selfdot, list_id)
+       — the PQ encode and the IVF top-1 integer-dot assignment fused
+       into a single projection (flat PQ and IVF each cost one scan;
+       the composition still costs one).
+    4. PROBED ADC: query LUTs join the code frame ON ``list_id`` —
+       a broadcast HASH join (the flat PQ's bounded
+       BroadcastNestedLoopJoin becomes an equi-join), so ADC work is
+       the probe fraction of the corpus, not all of it.
+    5. RE-RANK: top ``k*rerank`` ADC candidates per query, exact
+       float cosine under the family's shared (9dp DESC, vec_id)
+       order.
+
+    100 TB: centroid/book picks are bounded TakeOrdered collects;
+    encode+assign is one scan emitting m+2 small ints per row; the
+    ADC join fans out |Q| * n_probe * (n/n_lists) rows — dial
+    ``n_lists`` up with corpus size so the probed fraction stays
+    constant, exactly the IVFADC recipe.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(
+            F.md5(F.concat(F.lit("ivf:"), F.col("cid").cast("string"))),
+            "cid",
+        )
+        .limit(n_lists)
+        .collect()
+    )  # bounded: n_lists rows via TakeOrderedAndProject
+    C = _int8_codes(np.asarray([r.cv for r in cent_rows], dtype=np.float64))
+
+    # PQ codebooks: the parent's one-job lanes pick (all m subspaces
+    # ranked in a single WindowGroupLimit job, one bounded collect).
+    lanes = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j"),
+    )
+    wj = Window.partitionBy("j").orderBy(
+        F.md5(
+            F.concat(
+                F.lit("pq:"),
+                F.col("j").cast("string"),
+                F.lit(":"),
+                F.col("cid").cast("string"),
+            )
+        ),
+        "cid",
+    )
+    picked = (
+        lanes.withColumn("crank", F.row_number().over(wj) - 1)
+        .filter(F.col("crank") < ksub)
+        .select("j", "crank", "cid", "cv")
+        .collect()
+    )
+    cent_lists = [
+        [
+            (r.cid, r.cv)
+            for r in sorted(
+                (x for x in picked if x.j == j), key=lambda x: x.crank
+            )
+        ]
+        for j in range(m)
+    ]
+    books = _int8_pq_books(cent_lists, m, ksub)
+    encode = _int8_pq_encode_udf(books)
+    self_dots = np.einsum("mkd,mkd->mk", books, books).ravel().tolist()
+    self_arr = F.array(*[F.lit(float(x)) for x in self_dots])
+
+    # ONE corpus scan: PQ codes + reconstruction selfdot + IVF list.
+    codes = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        encode(F.col(vec_col)).alias("codes"),
+        F.element_at(_int8_assign_udf(C, 1)(F.col(vec_col)), 1).alias(
+            "list_id"
+        ),
+    )
+    codes = codes.withColumn("sd", self_arr).withColumn(
+        "selfdot",
+        F.expr(
+            f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
+            f"(acc, j) -> acc + element_at(sd, "
+            f"j * {ksub} + element_at(codes, j + 1) + 1))"
+        ),
+    ).drop("sd")
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def lut_udf(qvecs: pd.Series) -> pd.Series:
+        Q = _int8_codes(np.stack(qvecs.to_numpy()).astype(np.float64))
+        sub = Q.shape[1] // m
+        L = np.einsum(
+            "nmd,mkd->nmk", Q.reshape(len(Q), m, sub), books
+        )  # exact: integer-valued operands
+        return pd.Series([row.ravel().tolist() for row in L])
+
+    # Probe list ids and the ADC LUT ride the same small query frame,
+    # so the ADC join below is a broadcast HASH join on list_id.
+    probe_lut = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        lut_udf(F.col(query_vec_col)).alias("lut"),
+        F.explode(
+            _int8_assign_udf(C, n_probe)(F.col(query_vec_col))
+        ).alias("list_id"),
+    )
+    adc = (
+        codes.join(F.broadcast(probe_lut), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "selfdot",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
+                f"(acc, j) -> acc + element_at(lut, "
+                f"j * {ksub} + element_at(codes, j + 1) + 1))"
+            ).alias("iadc"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(
+                F.col("selfdot") > 0,
+                F.col("iadc") / F.sqrt(F.col("selfdot")),
+            ).alias("acos"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc_nulls_last(), F.col("vec_id")
+    )
+    cand = (
+        adc.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= k * rerank)
+        .select("query_id", "vec_id")
+    )
+    paired = cand.join(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        "vec_id",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("query_vec"),
+            )
+        ),
+        "query_id",
+    )
+    scored = paired.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity_col(
+            F.col("embedding"), F.col("query_vec")
+        ).alias("cosine"),
+    )
+    return _topk_per_query(scored, k)
+
+
 def incremental_embedding_near_dup(
     corpus: DataFrame,
     incoming: DataFrame,

@@ -10,23 +10,23 @@ each round, while long-proven shapes rotate to the tail (they remain
 fully covered by ``tests/test_reference_queries.py``, which checks ALL
 oracle-backed queries).
 
-Round-13 rotation (the round-12 verdict's #1 item, prevalidated in
-``tools/driver_sim_r13_prevalidate.log``): the window keeps the 4
-reference queries, then takes the leading 46 keys of the round-12
-``NEXT_TRANCHE`` verbatim — FIRST-EVER driver rows for the five
-round-12 additions (graph-search ANN topk/recall, incremental k-NN
-merge, and both int8-LSH keys), then the round-11 window-overflow
-leftover ``q16_supplier_variety``, the remaining round-7-stale keys
-and the oldest round-8-stale keys in staleness order (staleness
-computed from the committed ``CORRECTNESS_r0*.json`` history).
-``ROTATION_WINDOW`` pins the first ``ROTATION_WINDOW_SIZE`` keys
-explicitly and a test asserts the ordering, so the planned rotation is
-enforced by code, not a comment; the round-14 tranche (round-13
-additions at its head as they land, then the round-12 window-overflow
-leftovers, the remaining round-8-stale keys in registry order, then
-the oldest round-9-stale keys) is kept IN ORDER at the tail of
-``PRIORITY`` and holds a full 46-key window so the round-14 rotation
-is fully determined.
+Round-14 rotation (the round-13 verdict's #1 item, prevalidated at
+current HEAD in ``tools/driver_sim_r14_window.log``): the window keeps
+the 4 reference queries, then takes the leading 46 keys of the
+round-13 ``NEXT_TRANCHE`` verbatim — FIRST-EVER driver rows for all
+seven round-13 additions (int8-IVF topk/recall, int8-PQ topk/recall,
+int8 embedding dedup, incremental embedding dedup, k-NN
+forget-compaction), then the round-12 window-overflow leftovers, the
+remaining round-8-stale keys in registry order, then the oldest
+round-9-stale keys (staleness computed from the committed
+``CORRECTNESS_r0*.json`` history). ``ROTATION_WINDOW`` pins the first
+``ROTATION_WINDOW_SIZE`` keys explicitly and a test asserts the
+ordering, so the planned rotation is enforced by code, not a comment;
+the round-15 tranche (round-14 additions at its head as they land,
+then the round-13 window-overflow leftovers, the remaining
+round-9-stale keys in registry order, then the oldest round-10-stale
+keys) is kept IN ORDER at the tail of ``PRIORITY`` and holds a full
+46-key window so the round-15 rotation is fully determined.
 """
 
 from ._core import ORACLES, QUERIES, register
@@ -44,68 +44,10 @@ ROTATION_WINDOW: list[str] = [
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
-    # Round-12 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows
-    # for the five round-12 additions, then the round-11
-    # window-overflow leftover, then the remaining round-7-stale and
-    # oldest round-8-stale keys in staleness order.
-    "similarity_graph_search_topk",
-    "similarity_graph_search_recall",
-    "similarity_incremental_knn_merge",
-    "similarity_int8_lsh_topk",
-    "similarity_int8_lsh_recall",
-    "q16_supplier_variety",
-    "q21_waiting_suppliers",
-    "sql_front_door_pipeline",
-    "grouped_map_centered_balance",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q13_order_count_distribution",
-    "q2_min_cost_supplier",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_excess_share_suppliers",
-    "q22_dormant_rich_customers",
-    "events_anomaly_mad",
-    "orders_benford_audit",
-    "events_markov_transitions",
-    "events_top_paths_3step",
-    "dedup_embedding_cosine_pairs",
-    "similarity_lsh_ann_topk",
-    "multimodal_frame_sample",
-    "text_approx_topk_words",
-    "text_pack_sequences",
-    "sketch_hll_users_by_type",
-    "sketch_theta_user_overlap",
-    "join_full_outer_activity",
-    "q5_region_revenue",
-    "join_range_clicks_before_purchase",
-    "sql_front_door_exists",
-    "q10_returned_items",
-    "q18_large_volume_orders",
-    "not_in_subquery_customers",
-    "profile_key_skew_orders",
-    "window_share_of_segment",
-    "profile_table_stats_orders",
-    "window_ntile_quartiles",
-    "window_first_last_frame",
-    "scalar_try_arithmetic",
-    "orders_abc_pareto_classes",
-    "text_token_counts",
-]
-
-# Next tranche (round 14): any round-13 additions are registered at
-# the head of this list as they land, then the round-12
-# window-overflow leftovers (round-8-stale), the remaining
-# round-8-stale keys in registry order, then the oldest round-9-stale
-# keys — staleness derived from the committed CORRECTNESS_r0*.json
-# history. Keeping them HERE (not just in a comment) makes the plan
-# part of the ordered registry.
-NEXT_TRANCHE: list[str] = [
-    # round-13 additions (never driver-checked) — head of the
-    # round-14 window per the rotation policy.
+    # Round-13 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows
+    # for the seven round-13 additions, then the round-12
+    # window-overflow leftovers, the remaining round-8-stale keys and
+    # the oldest round-9-stale keys in staleness order.
     "similarity_int8_ivf_topk",
     "similarity_int8_ivf_recall",
     "similarity_int8_pq_topk",
@@ -113,15 +55,12 @@ NEXT_TRANCHE: list[str] = [
     "dedup_int8_embedding_pairs",
     "dedup_embedding_incremental",
     "similarity_knn_forget_compact",
-    # round-12 window-overflow leftovers (round-8-stale, pinned order)
     "text_quality_scores",
     "text_language_id",
     "text_fingerprint_md5",
     "text_rolling_fingerprints",
     "text_stratified_sample",
     "text_repetition_ratio",
-    # remaining round-8-stale keys (last driver row round 8),
-    # registry order
     "text_doc_frequency_idf",
     "embedding_label_centroids",
     "text_top_tfidf_term_per_doc",
@@ -145,8 +84,6 @@ NEXT_TRANCHE: list[str] = [
     "text_seeded_shuffle",
     "text_char_entropy",
     "multimodal_audio_segments",
-    # oldest round-9-stale keys (last driver row round 9),
-    # registry order
     "agg_pricing_summary",
     "distinct_suppliers_per_brand",
     "rollup_status_priority",
@@ -157,6 +94,21 @@ NEXT_TRANCHE: list[str] = [
     "join_left_order_counts",
     "join_semi_open_order_customers",
     "join_anti_customers_without_orders",
+]
+
+# Next tranche (round 15): any round-14 additions are registered at
+# the head of this list as they land, then the round-13
+# window-overflow leftovers (round-9-stale), the remaining
+# round-9-stale keys in registry order, then the oldest
+# round-10-stale keys — staleness derived from the committed
+# CORRECTNESS_r0*.json history. Keeping them HERE (not just in a
+# comment) makes the plan part of the ordered registry.
+NEXT_TRANCHE: list[str] = [
+    # round-14 additions (never driver-checked) — head of the
+    # round-15 window per the rotation policy.
+    "similarity_int8_ivfpq_topk",
+    "similarity_int8_ivfpq_recall",
+    # round-13 window-overflow leftovers (round-9-stale, pinned order)
     "join_broadcast_region_suppliers",
     "window_top3_orders_per_customer",
     "window_running_total",
@@ -170,6 +122,43 @@ NEXT_TRANCHE: list[str] = [
     "window_percent_rank_cume_dist",
     "agg_monthly_revenue",
     "histogram_price_buckets",
+    # remaining round-9-stale keys (last driver row round 9),
+    # registry order
+    "scalar_null_handling",
+    "orders_cohort_ltv",
+    "dq_schema_drift_events",
+    "part_skyline_price_size",
+    "dedup_edit_distance1_names",
+    "agg_regr_price_vs_qty",
+    "json_variant_typed_extract",
+    "dq_expectation_suite",
+    "sql_recursive_assembly_rollup",
+    "lateral_top2_suppliers_per_nation",
+    "multimodal_arrow_byte_stats",
+    "text_token_fertility_by_lang",
+    "embedding_int8_quant_error",
+    "text_curriculum_stages",
+    "text_source_cap_rebalance",
+    "text_cdc_duplicate_chunks",
+    "text_bpe_learn_merges",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "graph_kcore_mirror_clusters",
+    "text_ngram_heaps_curve",
+    "timeseries_lttb_downsample",
+    "text_naive_bayes_lang",
+    # oldest round-10-stale keys (last driver row round 10),
+    # registry order
+    "setop_except_rich_without_open_orders",
+    "setop_union_all_order_events",
+    "explode_top_words",
+    "scalar_string_functions",
+    "scalar_date_math",
+    "json_extract_props",
+    "pivot_event_type_counts",
+    "sliding_window_event_counts",
+    "session_window_user_sessions",
+    "grouped_map_price_trend",
 ]
 
 PRIORITY: list[str] = ROTATION_WINDOW + NEXT_TRANCHE

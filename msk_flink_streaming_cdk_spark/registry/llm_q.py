@@ -50,6 +50,7 @@ from ..operators.similarity import (
     embedding_cosine_pairs,
     ivf_ann_topk,
     int8_ivf_ann_topk,
+    int8_ivfpq_ann_topk,
     int8_lsh_ann_topk,
     int8_pq_ann_topk,
     lsh_ann_topk,
@@ -1848,6 +1849,172 @@ def similarity_int8_ivf_recall(spark, sf_dir):
     return _pair_metrics(
         cosine_topk_bruteforce(emb, queries, k=5),
         int8_ivf_ann_topk(emb, queries, k=5),
+        ["query_id", "vec_id"],
+    )
+
+
+def _int8_ivfpq_ctes(
+    k: int = 5, n_lists: int = 16, n_probe: int = 4,
+    m: int = 16, ksub: int = 32, rerank: int = 10, dim: int = 64,
+) -> str:
+    """CTE fragment replaying ``int8_ivfpq_ann_topk`` bit-for-bit —
+    the IVFADC composition of the two hash-checked parents (round-14):
+    the int8-IVF centroid pick/assignment CTEs gate the int8-PQ ADC
+    so the LUT sum runs over probed lists only. Every stage is a
+    verbatim parent CTE; only the ADC FROM clause changes (the cross
+    join against all codes becomes a join through the probed-list
+    assignment). Ends with ``ivp_topk``."""
+    sub = dim // m
+    return f"""
+    ivp_qv AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                    x -> greatest(-127.0, least(127.0,
+                         floor(CAST(x AS DOUBLE) / scale + 0.5))))
+             END AS q
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+            FROM embeddings)),
+    ivp_cent AS (
+      SELECT q AS cq,
+             row_number() OVER (
+               ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1 AS crank
+      FROM ivp_qv
+      ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {n_lists}),
+    ivp_assign AS MATERIALIZED (
+      SELECT vec_id, crank AS list_id FROM (
+        SELECT v.vec_id, c.crank,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.q, c.cq) DESC, c.crank)
+                 AS rn
+        FROM ivp_qv v CROSS JOIN ivp_cent c)
+      WHERE rn = 1),
+    ivp_probes AS (
+      SELECT vec_id AS query_id, crank AS list_id FROM (
+        SELECT v.vec_id, c.crank,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.q, c.cq) DESC, c.crank)
+                 AS rn
+        FROM ivp_qv v CROSS JOIN ivp_cent c
+        WHERE v.vec_id < 10)
+      WHERE rn <= {n_probe}),
+    ivp_books AS MATERIALIZED (
+      SELECT j, crank, cw, list_dot_product(cw, cw) AS cw_selfdot
+      FROM (
+        SELECT j.j,
+               row_number() OVER (PARTITION BY j.j
+                 ORDER BY md5('pq:' || CAST(j.j AS VARCHAR) || ':'
+                              || CAST(v.vec_id AS VARCHAR)),
+                          v.vec_id) - 1 AS crank,
+               v.q[j.j * {sub} + 1 : (j.j + 1) * {sub}] AS cw
+        FROM ivp_qv v
+        CROSS JOIN (SELECT unnest(range({m})) AS j) j)
+      WHERE crank < {ksub}),
+    ivp_codes AS MATERIALIZED (
+      SELECT vec_id, j, crank AS code, cw_selfdot FROM (
+        SELECT v.vec_id, b.j, b.crank, b.cw_selfdot,
+               row_number() OVER (PARTITION BY v.vec_id, b.j
+                 ORDER BY list_dot_product(sv, sv)
+                          - 2 * list_dot_product(sv, b.cw)
+                          + b.cw_selfdot,
+                          b.crank) AS rn
+        FROM (SELECT vec_id, j.j AS bj,
+                     q[j.j * {sub} + 1 : (j.j + 1) * {sub}] AS sv
+              FROM ivp_qv
+              CROSS JOIN (SELECT unnest(range({m})) AS j) j) v
+        JOIN ivp_books b ON b.j = v.bj)
+      WHERE rn = 1),
+    ivp_adc AS (
+      SELECT p.query_id, c.vec_id,
+             sum(list_dot_product(
+                   qv.q[c.j * {sub} + 1 : (c.j + 1) * {sub}], b.cw))
+               AS iadc,
+             sum(c.cw_selfdot) AS selfdot
+      FROM ivp_probes p
+      JOIN ivp_assign a ON a.list_id = p.list_id
+      JOIN ivp_codes c ON c.vec_id = a.vec_id
+      JOIN ivp_books b ON b.j = c.j AND b.crank = c.code
+      JOIN ivp_qv qv ON qv.vec_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+      GROUP BY p.query_id, c.vec_id),
+    ivp_cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY CASE WHEN selfdot > 0
+                               THEN iadc / sqrt(selfdot) END
+                          DESC NULLS LAST, vec_id) AS arn
+        FROM ivp_adc)
+      WHERE arn <= {k * rerank}),
+    ivp_scored AS (
+      SELECT cd.query_id, cd.vec_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(qe.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+                                        CAST(qe.embedding AS DOUBLE[])))),
+                   9) AS cosine
+      FROM ivp_cand cd
+      JOIN embeddings e ON e.vec_id = cd.vec_id
+      JOIN embeddings qe ON qe.vec_id = cd.query_id),
+    ivp_topk AS (
+      SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) AS rank
+            FROM ivp_scored)
+      WHERE rank <= {k})"""
+
+
+@register(
+    "similarity_int8_ivfpq_topk",
+    oracle=f"WITH {_int8_ivfpq_ctes()}\n"
+    "    SELECT query_id, vec_id, cosine, rank FROM ivp_topk",
+)
+def similarity_int8_ivfpq_topk(spark, sf_dir):
+    """REPRODUCIBLE IVF-PQ ANN (round-14): the IVFADC composition of
+    the hash-checked int8-IVF and int8-PQ — md5-seeded lists gate the
+    integer ADC so the LUT sum scans only the probed
+    ``n_probe/n_lists`` fraction of the code table (the flat PQ's
+    scale-killer, per the round-13 verdict). Global (non-residual)
+    codes keep every stage a verbatim parent stage, so the whole
+    retrieval still replays bit-for-bit in SQL.
+    See ``operators.similarity.int8_ivfpq_ann_topk``."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return int8_ivfpq_ann_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@register(
+    "similarity_int8_ivfpq_recall",
+    oracle=f"WITH {_int8_ivfpq_ctes()}, exact5 AS ({_COSINE_SQL})\n"
+    + _pair_metrics_sql("exact5", "ivp_topk", ("query_id", "vec_id")),
+)
+def similarity_int8_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of the reproducible int8 IVF-PQ against brute-force
+    cosine — HASH-CHECKED like its parents: both sides replay exactly
+    in SQL, so the driver value-compares the metrics. Expect roughly
+    the IVF's probe-fraction recall gated further by PQ quantization
+    (the price of scanning 1/4 of the code table); the pytest floor
+    pins it."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return _pair_metrics(
+        cosine_topk_bruteforce(emb, queries, k=5),
+        int8_ivfpq_ann_topk(emb, queries, k=5),
         ["query_id", "vec_id"],
     )
 

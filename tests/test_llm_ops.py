@@ -123,6 +123,14 @@ def test_quality_audit_queries_pin_floors(spark, sf_small):
         # integer codebooks + exact re-rank of the ADC top-50; the
         # sf0.1 dip is the fixed rerank window over 5x the corpus)
         "similarity_int8_pq_recall": 0.7,
+        # reproducible int8 IVF-PQ (r14): 0.52/0.48/0.40 measured at
+        # sf0.001/0.01/0.1 — the IVF probe gate (4/16 lists ~= 25%
+        # on uniform vectors, the documented worst case) dominates;
+        # the PQ stage inside loses almost nothing extra because the
+        # exact re-rank recovers precision on the probed candidates.
+        # The point of the composition is the ADC cost (probe
+        # fraction of the code table), not recall on flat data.
+        "similarity_int8_ivfpq_recall": 0.35,
     }
     for name, floor in floors.items():
         row = QUERIES[name](spark, sf_small).first()
