@@ -612,6 +612,12 @@ def main() -> None:
                             old.get("burst_retries", {}).values()
                         ),
                         "provenance": old.get("provenance"),
+                        # Per-query timings for EVERY considered run
+                        # (VERDICT r13 #2): cross-run per-query noise
+                        # is quantifiable from the committed artifact
+                        # alone — no fresh worktree A/B needed to
+                        # decide whether a vs_prev red is host burst.
+                        "queries": old.get("queries"),
                     }
                 )
         except (OSError, json.JSONDecodeError, ValueError):

