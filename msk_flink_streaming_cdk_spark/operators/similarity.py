@@ -1084,6 +1084,8 @@ def nndescent_knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     unit_df: DataFrame | None = None,
+    int_planes: bool = False,
+    span: int = 7,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus via NN-Descent
     (Dong et al., WWW'11) — the graph-refined ANN tier the similarity
@@ -1192,9 +1194,21 @@ def nndescent_knn_graph(
     if n_bits is None:
         n = corpus.count()  # bounded scalar job, sizes the buckets
         n_bits = min(16, max(1, int(np.ceil(np.log2(max(n, 2) / 64)))))
-    bucket_udf = _bucket_udf(
-        [hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
-    )
+    if int_planes:
+        # md5-derived integer planes (round-14): the init bucketing
+        # becomes engine-reproducible, so an init-tier (n_rounds=0)
+        # graph replays bit-for-bit in SQL — the hash-checked
+        # graph-search pair is built on this.
+        bucket_udf = _int8_bucket_udf(
+            int_lsh_planes(dim, n_bits, n_tables, span)
+        )
+    else:
+        bucket_udf = _bucket_udf(
+            [
+                hyperplanes(dim, n_bits, seed + 1000 * t)
+                for t in range(n_tables)
+            ]
+        )
     hashed = vecs.select(
         "vec_id",
         F.posexplode(bucket_udf(F.col("embedding"))).alias(
@@ -1275,6 +1289,8 @@ def graph_search_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     unit_df: DataFrame | None = None,
+    int_planes: bool = False,
+    span: int = 7,
 ) -> DataFrame:
     """Query-time top-k over a maintained NN-Descent k-NN graph —
     the greedy graph-descent consumer the graph tier exists for (the
@@ -1320,9 +1336,21 @@ def graph_search_topk(
         else unit_vectors(vecs).transform(materialize_once)
     )
     bits = _auto_bits(corpus, n_bits)
-    bucket_udf = _bucket_udf(
-        [hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
-    )
+    if int_planes:
+        # md5-derived integer planes: seeding becomes
+        # engine-reproducible, so with an int-plane init-tier graph
+        # the WHOLE search (seed + hops + re-rank) replays in SQL —
+        # the hash-checked variant (round-14, VERDICT r13 #9).
+        bucket_udf = _int8_bucket_udf(
+            int_lsh_planes(dim, bits, n_tables, span)
+        )
+    else:
+        bucket_udf = _bucket_udf(
+            [
+                hyperplanes(dim, bits, seed + 1000 * t)
+                for t in range(n_tables)
+            ]
+        )
     hashed = vecs.select(
         "vec_id",
         F.posexplode(bucket_udf(F.col("embedding"))).alias(

@@ -108,6 +108,8 @@ NEXT_TRANCHE: list[str] = [
     # round-15 window per the rotation policy.
     "similarity_int8_ivfpq_topk",
     "similarity_int8_ivfpq_recall",
+    "similarity_graph_search_int8_topk",
+    "similarity_graph_search_int8_recall",
     # round-13 window-overflow leftovers (round-9-stale, pinned order)
     "join_broadcast_region_suppliers",
     "window_top3_orders_per_customer",

@@ -2944,6 +2944,191 @@ def similarity_graph_search_recall(spark, sf_dir):
     return _pair_metrics(brute, approx, ["query_id", "nbr"])
 
 
+def _int8_gs_ctes(
+    k: int = 5, n_hops: int = 2, n_bits: int = 6, n_tables: int = 8,
+    span: int = 7, dim: int = 64,
+) -> str:
+    """CTE fragment replaying the int8-plane graph-search pipeline
+    bit-for-bit (round-14, VERDICT r13 #9 — lifts the graph tier into
+    the hash-checked family): the md5-derived integer planes build an
+    init-tier k-NN graph (the proven ie_bk bucket shapes, self-join +
+    9dp unit-dot top-k), queries seed from their own bucket
+    collisions, and each of the ``n_hops`` beam expansions is
+    unrolled as top-k -> out-edge join -> anti-join -> score ->
+    union. Every stage is a proven parent shape (int8 buckets from
+    the ilsh/ie CTEs, unit-dot from ie_un), so the whole search —
+    graph build included — replays exactly. Ends with ``igs_topk``."""
+    from ..operators.similarity import int_lsh_planes
+
+    planes = int_lsh_planes(dim, n_bits, n_tables, span)
+    vals = ",\n      ".join(
+        f"({t}, {b}, {planes[t][b]})"
+        for t in range(n_tables)
+        for b in range(n_bits)
+    )
+    out = f"""
+    igsp(t, b, c) AS (VALUES {vals}),
+    igs_qv AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                    x -> greatest(-127.0, least(127.0,
+                         floor(CAST(x AS DOUBLE) / scale + 0.5))))
+             END AS q
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+            FROM embeddings)),
+    igs_bk AS MATERIALIZED (
+      SELECT vec_id, t, CAST(sum(bitval) AS INT) AS bucket
+      FROM (SELECT v.vec_id, p.t, p.b,
+                   CASE WHEN list_dot_product(v.q, CAST(p.c AS DOUBLE[]))
+                             >= 0
+                        THEN 1 << p.b ELSE 0 END AS bitval
+            FROM igs_qv v CROSS JOIN igsp p)
+      GROUP BY vec_id, t),
+    igs_un AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS u
+      FROM embeddings),
+    igs_graph AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT c.src, c.dst,
+               row_number() OVER (PARTITION BY c.src
+                 ORDER BY round(list_dot_product(ua.u, ub.u), 9) DESC,
+                          c.dst) AS rn
+        FROM (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+              FROM igs_bk a JOIN igs_bk b
+                ON a.t = b.t AND a.bucket = b.bucket
+              WHERE a.vec_id <> b.vec_id) c
+        JOIN igs_un ua ON ua.vec_id = c.src
+        JOIN igs_un ub ON ub.vec_id = c.dst)
+      WHERE rn <= {k}),
+    igs_s0 AS MATERIALIZED (
+      SELECT s.query_id, s.vec_id,
+             round(list_dot_product(ua.u, ub.u), 9) AS cosine
+      FROM (SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM igs_bk q JOIN igs_bk c
+              ON q.t = c.t AND q.bucket = c.bucket
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) s
+      JOIN igs_un ua ON ua.vec_id = s.vec_id
+      JOIN igs_un ub ON ub.vec_id = s.query_id)"""
+    prev = "igs_s0"
+    for h in range(1, n_hops + 1):
+        out += f""",
+    igs_b{h} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id) AS rn
+        FROM {prev})
+      WHERE rn <= {k}),
+    igs_f{h} AS (
+      SELECT DISTINCT b.query_id, g.dst AS vec_id
+      FROM igs_b{h} b JOIN igs_graph g ON g.src = b.vec_id
+      WHERE g.dst <> b.query_id
+        AND NOT EXISTS (SELECT 1 FROM {prev} s
+                        WHERE s.query_id = b.query_id
+                          AND s.vec_id = g.dst)),
+    igs_s{h} AS MATERIALIZED (
+      SELECT query_id, vec_id, cosine FROM {prev}
+      UNION ALL
+      SELECT f.query_id, f.vec_id,
+             round(list_dot_product(ua.u, ub.u), 9) AS cosine
+      FROM igs_f{h} f
+      JOIN igs_un ua ON ua.vec_id = f.vec_id
+      JOIN igs_un ub ON ub.vec_id = f.query_id)"""
+        prev = f"igs_s{h}"
+    out += f""",
+    igs_topk AS (
+      SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) AS rank
+            FROM {prev})
+      WHERE rank <= {k})"""
+    return out
+
+
+@register(
+    "similarity_graph_search_int8_topk",
+    oracle=f"WITH {_int8_gs_ctes()}\n"
+    "    SELECT query_id, vec_id, cosine, rank FROM igs_topk",
+)
+def similarity_graph_search_int8_topk(spark, sf_dir):
+    """REPRODUCIBLE graph-search ANN (round-14): the
+    ``similarity_graph_search_topk`` pipeline with the gaussian
+    hyperplanes swapped for md5-derived integer planes in BOTH the
+    graph init (init-tier build, the engine-portable maintained
+    index) and the query seeding — every stage (buckets, graph
+    top-k, seeds, 2 unrolled beam hops, 9dp unit-dot re-rank)
+    replays bit-for-bit in SQL, lifting the graph tier into the
+    hash-checked family alongside int8 LSH/IVF/PQ/IVF-PQ. The float
+    variant (descended graph, gaussian seeds) stays registered as
+    the recall-grade leg."""
+    from ..operators.similarity import graph_search_topk, nndescent_knn_graph
+
+    emb = _emb(spark, sf_dir)
+    unit = shared_unit_embeddings(spark, sf_dir)
+    graph = nndescent_knn_graph(
+        emb, k=5, n_rounds=0, n_bits=6, int_planes=True, unit_df=unit
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return graph_search_topk(
+        emb,
+        queries,
+        graph,
+        k=5,
+        n_hops=2,
+        n_bits=6,
+        int_planes=True,
+        unit_df=unit,
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
+@register(
+    "similarity_graph_search_int8_recall",
+    oracle=f"WITH {_int8_gs_ctes()}, exact5 AS ({_COSINE_SQL})\n"
+    + _pair_metrics_sql("exact5", "igs_topk", ("query_id", "vec_id")),
+)
+def similarity_graph_search_int8_recall(spark, sf_dir):
+    """Recall@5 of the reproducible int8 graph search against
+    brute-force cosine — HASH-CHECKED like the rest of the int8
+    family: both sides replay exactly in SQL, so the driver
+    value-compares the metrics; the pytest floor pins the quality."""
+    from ..operators.similarity import graph_search_topk, nndescent_knn_graph
+
+    emb = _emb(spark, sf_dir)
+    unit = shared_unit_embeddings(spark, sf_dir)
+    graph = nndescent_knn_graph(
+        emb, k=5, n_rounds=0, n_bits=6, int_planes=True, unit_df=unit
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return _pair_metrics(
+        cosine_topk_bruteforce(emb, queries, k=5),
+        graph_search_topk(
+            emb,
+            queries,
+            graph,
+            k=5,
+            n_hops=2,
+            n_bits=6,
+            int_planes=True,
+            unit_df=unit,
+        ),
+        ["query_id", "vec_id"],
+    )
+
+
 @register("similarity_incremental_knn_merge")  # equality audit → rows-only
 def similarity_incremental_knn_merge(spark, sf_dir):
     """Incremental k-NN graph maintenance audit (VERDICT r11 #6):
