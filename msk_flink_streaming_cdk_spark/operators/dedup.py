@@ -101,8 +101,12 @@ def ngram_jaccard_pairs(
     join touches ~77k shared-shingle rows (1.0s, same 256 pairs).
     Growth on the r13 3x disjoint-vocabulary corpus collapses from
     the ~m^2 bucket-occupancy bound to ~linear — cross-replica pairs
-    share no shingles, so densification no longer creates candidates
-    (``tools/heavy_growth_r14.log``).
+    share no shingles, so densification no longer creates candidates.
+    MEASURED (``tools/heavy_growth_r14.log``): the recall/audit
+    replays that embed this pair set dropped from x4.61/x4.73 (r13)
+    to x3.96/x3.96 — exactly the no-pairs MinHash replay's x4.08
+    hash-chain constant, i.e. zero residual verification term — and
+    their 1x oracle times fell ~35% (156->101s / 156->94s).
 
     The r13 verdict suggested log2 length-RATIO bands instead;
     measured on the sf0.1 corpus (lengths 44-577, ~4 log2 buckets)

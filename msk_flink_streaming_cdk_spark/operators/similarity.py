@@ -478,7 +478,13 @@ def int8_lsh_ann_topk(
     SQL-oracle-checkable end-to-end. Same scale shape as
     ``lsh_ann_topk``: corpus hashed in one projection, Hamming-1
     multi-probe, (table, bucket) equi-join, exact float cosine
-    re-rank — no all-pairs product at any corpus size."""
+    re-rank — no all-pairs product at any corpus size
+
+    MEASURED growth (r14, ``tools/heavy_growth_r14.log``): 3x corpus,
+    fixed 10-query batch -> spark x0.67 / oracle x2.21 (~linear:
+    candidates are |Q| x occupancy x probes, linear in n at fixed
+    bits; the bits dial holds occupancy at real scale).
+    """
     bucket_udf = _int8_bucket_udf(
         int_lsh_planes(dim, n_bits, n_tables, span)
     )
@@ -585,6 +591,10 @@ def int8_ivf_ann_topk(
     id); assignment is one scan; the join fans out |Q| * n_probe
     lists * (n/n_lists) rows — dial ``n_lists`` up with corpus size
     exactly like the float IVF's docstring prescribes.
+
+    MEASURED growth (r14, ``tools/heavy_growth_r14.log``): 3x corpus,
+    fixed 10-query batch -> spark x0.89 / oracle x2.62 (~linear:
+    candidates are |Q| x n_probe x n/n_lists).
     """
     cent_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -1820,6 +1830,12 @@ def int8_pq_ann_topk(
     makes the index fit); ADC joins the code frame against a
     broadcast per-query LUT — no all-pairs float work, and the exact
     re-rank touches k*rerank rows per query.
+
+    MEASURED growth (r14, ``tools/heavy_growth_r14.log``): 3x corpus,
+    fixed 10-query batch -> spark x1.20 / oracle x2.42 — linear, but
+    with the LARGEST slope of the int8 family because flat ADC scans
+    ALL n codes per query; ``int8_ivfpq_ann_topk`` is the documented
+    scale path (probe-fraction slope).
     """
     # All m per-subspace codebook picks in ONE job: explode each
     # corpus row to its m subspace lanes, rank within each lane by the
@@ -1997,6 +2013,12 @@ def int8_ivfpq_ann_topk(
     ADC join fans out |Q| * n_probe * (n/n_lists) rows — dial
     ``n_lists`` up with corpus size so the probed fraction stays
     constant, exactly the IVFADC recipe.
+
+    MEASURED growth (r14, ``tools/heavy_growth_r14.log``): 3x corpus,
+    fixed 10-query batch -> spark x1.16 / oracle x2.85 — linear with
+    the probe-fraction (n_probe/n_lists) ADC slope; already ahead of
+    flat PQ at 6k vectors (2.4 vs 2.6s spark, 3.2 vs 3.4s oracle)
+    despite paying both the centroid and codebook picks.
     """
     cent_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))

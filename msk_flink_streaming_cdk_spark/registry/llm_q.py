@@ -878,16 +878,17 @@ def _minhash_ctes(
     shingle sets — the unsigned view here, bijective to Spark's
     signed longs, so set sizes match exactly.
 
-    MEASURED growth (round-13, ``tools/heavy_growth_r13.log``): on a
-    3x structure-identical corpus the replay runs 99->392s
-    (lsh_pairs, x3.96) / 156->722s (recall, x4.61) / 156->737s
-    (estimate audit, x4.73) — between the linear shingle-hash bound
-    (3.0x; the per-shingle xxh64 chains dominate) and the ~m^2
-    banded-verification bound (9x candidates: length bands are
-    absolute-width, so bucket occupancy grows with corpus density —
-    equally true of the Spark side and a real sf0.3). Nothing
-    super-quadratic; at real scale the documented band/stride dial
-    caps verification fan-out.
+    MEASURED growth (round-14, ``tools/heavy_growth_r14.log``; r13
+    baseline in ``heavy_growth_r13.log``): on a 3x
+    structure-identical corpus the replays run 112->459s (lsh_pairs,
+    x4.08) / 101->401s (recall, x3.96) / 94->370s (estimate audit,
+    x3.96). Round-13's banded-verify m^2 term (recall/audit at
+    x4.61-4.73 with the old length-bucket pairs CTE) is GONE: after
+    the round-14 inverted-index pairs rewrite all three replays grow
+    at the SAME ~x4 rate — the per-shingle xxh64 hash-chain
+    constant, identical in the no-pairs lsh_pairs replay — i.e. no
+    residual candidate-densification term. Nothing super-quadratic;
+    the Spark sides grow at x0.2-3.0.
 
     The hash CTEs are MATERIALIZED: DuckDB inlines plain CTEs per
     reference, and re-optimizing the ~60-level hash chain once per
@@ -9553,5 +9554,12 @@ def dedup_span_floor_profile(spark, sf_dir):
     both measured slower — the A/B lives in
     ``operators.dedup.span_floor_profile``'s docstring); pytest pins
     the two strategies row-identical.
+
+    Growth (r14, ``tools/heavy_growth_r14.log``): spark x1.09 at 3x
+    data; the DuckDB replay x5.66 but at trivial absolute cost
+    (0.5->2.7s — gram-class hash tables, not a candidate blow-up;
+    the r13 probe measured the same oracle at x4.2, so ~1.4x of it
+    is run noise at these magnitudes). Watch row if the oracle ever
+    reaches double-digit seconds.
     """
     return span_floor_profile(_docs(spark, sf_dir), floors=(16, 24, 40))
