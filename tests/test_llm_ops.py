@@ -137,6 +137,12 @@ def test_quality_audit_queries_pin_floors(spark, sf_small):
         # the point, the float descended-graph leg keeps the
         # recall-grade role.
         "similarity_graph_search_int8_recall": 0.35,
+        # quantizer-staleness drift (r14): overlap@5 of the
+        # pinned-books (base = 80% of corpus) index vs a fresh
+        # retrain — 0.72/0.68/0.62 measured at the three SFs; a
+        # production pipeline alerts when this decays, here the
+        # floor just pins the audit keeps producing sane overlap.
+        "similarity_int8_ivfpq_drift": 0.5,
     }
     for name, floor in floors.items():
         row = QUERIES[name](spark, sf_small).first()
@@ -1948,3 +1954,52 @@ def test_xxh64_sql_matches_spark(spark):
     for s, h in con.sql(f"SELECT s, h1 FROM ({qs})").fetchall():
         signed = h - (1 << 64) if h >= (1 << 63) else h
         assert signed == expect_s[s], f"str {s!r}"
+
+
+def test_int8_ivfpq_full_probe_equals_flat_pq(spark):
+    """IVFADC composition exactness (r14): probing ALL lists makes
+    the list gate a no-op — every (query, vec) pair reaches the ADC
+    exactly once (each vector lives in one list, the query probes
+    them all), with the same integer LUT, selfdot, and ordering as
+    flat PQ — so int8_ivfpq(n_probe=n_lists) must equal int8_pq
+    row-for-row. Pins the composition against both parents; the
+    probed-subset behavior is covered by the recall floor."""
+    from msk_flink_streaming_cdk_spark.operators.similarity import (
+        int8_ivfpq_ann_topk,
+        int8_pq_ann_topk,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+        for i in range(24)
+    ]
+    rows.append((24, [0.0] * 8))  # zero vector: all-zero codes,
+    #                               selfdot 0 -> NULL acos (guarded
+    #                               divide in BOTH engines)
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    kw = dict(k=3, m=2, ksub=4, rerank=2)
+    flat = sorted(
+        tuple(r)
+        for r in int8_pq_ann_topk(corpus, queries, **kw).collect()
+    )
+    full_probe = sorted(
+        tuple(r)
+        for r in int8_ivfpq_ann_topk(
+            corpus, queries, n_lists=4, n_probe=4, **kw
+        ).collect()
+    )
+    assert flat == full_probe and len(flat) == 9
+    # determinism: a rerun is bit-identical
+    again = sorted(
+        tuple(r)
+        for r in int8_ivfpq_ann_topk(
+            corpus, queries, n_lists=4, n_probe=4, **kw
+        ).collect()
+    )
+    assert again == full_probe
