@@ -1445,6 +1445,8 @@ def nndescent_merge_batch(
     vec_col: str = "embedding",
     unit_df: DataFrame | None = None,
     expand_hops: int = 0,
+    int_planes: bool = False,
+    span: int = 7,
 ) -> DataFrame:
     """Merge a new-vector batch into a maintained NN-Descent k-NN
     graph WITHOUT rebuilding it — the similarity-family analogue of
@@ -1509,9 +1511,17 @@ def nndescent_merge_batch(
         else unit_vectors(full).transform(materialize_once)
     )
     bits = _auto_bits(full, n_bits)
-    bucket_udf = _bucket_udf(
-        [hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
-    )
+    if int_planes:
+        # md5-derived integer planes (round-14): with an int-plane
+        # maintained graph the merged result is SQL-replayable —
+        # see similarity_int8_knn_merge.
+        bucket_udf = _int8_bucket_udf(
+            int_lsh_planes(dim, bits, n_tables, span)
+        )
+    else:
+        bucket_udf = _bucket_udf(
+            [hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
+        )
 
     def hash_side(df: DataFrame) -> DataFrame:
         return df.select(
@@ -1624,6 +1634,8 @@ def nndescent_forget_compact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     unit_df: DataFrame | None = None,
+    int_planes: bool = False,
+    span: int = 7,
 ) -> DataFrame:
     """Compact a maintained NN-Descent k-NN graph after a deletion
     batch — the forget-side counterpart of ``nndescent_merge_batch``
@@ -1688,9 +1700,17 @@ def nndescent_forget_compact(
         .transform(materialize_once)
     )
     bits = _auto_bits(survivors, n_bits)
-    bucket_udf = _bucket_udf(
-        [hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
-    )
+    if int_planes:
+        # md5-derived integer planes (round-14): with an int-plane
+        # maintained graph the compacted result is SQL-replayable —
+        # see similarity_int8_knn_forget.
+        bucket_udf = _int8_bucket_udf(
+            int_lsh_planes(dim, bits, n_tables, span)
+        )
+    else:
+        bucket_udf = _bucket_udf(
+            [hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
+        )
     hashed = survivors.select(
         "vec_id",
         F.posexplode(bucket_udf(F.col("embedding"))).alias(

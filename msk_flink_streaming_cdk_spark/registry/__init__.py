@@ -112,6 +112,8 @@ NEXT_TRANCHE: list[str] = [
     "similarity_graph_search_int8_recall",
     "similarity_int8_ivfpq_incremental",
     "similarity_int8_ivfpq_drift",
+    "similarity_int8_knn_merge",
+    "similarity_int8_knn_forget",
     # round-13 window-overflow leftovers (round-9-stale, pinned order)
     "join_broadcast_region_suppliers",
     "window_top3_orders_per_customer",

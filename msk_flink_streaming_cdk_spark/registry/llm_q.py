@@ -3124,6 +3124,144 @@ def _int8_gs_ctes(
     return out
 
 
+def _int8_knn_graph_ctes(
+    prefix: str = "ikg_", k: int = 5, n_bits: int = 3,
+    n_tables: int = 8, span: int = 7, dim: int = 64,
+    corpus_filter: str = "TRUE",
+) -> str:
+    """CTE fragment building an init-tier k-NN graph over the int8
+    integer planes in SQL — the maintained-graph rebuild both
+    lifecycle audits compare against (round-14): bucket self-join
+    over ``corpus_filter`` rows, exact 9dp unit-dot top-k per node.
+    Ends with ``{prefix}graph`` (vec_id, nbr_id, cosine, rank)."""
+    from ..operators.similarity import int_lsh_planes
+
+    planes = int_lsh_planes(dim, n_bits, n_tables, span)
+    vals = ",\n      ".join(
+        f"({t}, {b}, {planes[t][b]})"
+        for t in range(n_tables)
+        for b in range(n_bits)
+    )
+    p = prefix
+    return f"""
+    {p}pl(t, b, c) AS (VALUES {vals}),
+    {p}qv AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                    x -> greatest(-127.0, least(127.0,
+                         floor(CAST(x AS DOUBLE) / scale + 0.5))))
+             END AS q
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+            FROM embeddings
+            WHERE {corpus_filter})),
+    {p}bk AS MATERIALIZED (
+      SELECT vec_id, t, CAST(sum(bitval) AS INT) AS bucket
+      FROM (SELECT v.vec_id, p.t, p.b,
+                   CASE WHEN list_dot_product(v.q, CAST(p.c AS DOUBLE[]))
+                             >= 0
+                        THEN 1 << p.b ELSE 0 END AS bitval
+            FROM {p}qv v CROSS JOIN {p}pl p)
+      GROUP BY vec_id, t),
+    {p}un AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS u
+      FROM embeddings
+      WHERE {corpus_filter}),
+    {p}graph AS (
+      SELECT vec_id, nbr_id, cosine, CAST(rn AS BIGINT) AS rank
+      FROM (
+        SELECT c.src AS vec_id, c.dst AS nbr_id,
+               round(list_dot_product(ua.u, ub.u), 9) AS cosine,
+               row_number() OVER (PARTITION BY c.src
+                 ORDER BY round(list_dot_product(ua.u, ub.u), 9) DESC,
+                          c.dst) AS rn
+        FROM (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+              FROM {p}bk a JOIN {p}bk b
+                ON a.t = b.t AND a.bucket = b.bucket
+              WHERE a.vec_id <> b.vec_id) c
+        JOIN {p}un ua ON ua.vec_id = c.src
+        JOIN {p}un ub ON ub.vec_id = c.dst)
+      WHERE rn <= {k})"""
+
+
+@register(
+    "similarity_int8_knn_merge",
+    oracle=f"WITH {_int8_knn_graph_ctes()}\n"
+    "    SELECT vec_id, nbr_id, cosine, rank FROM ikg_graph",
+)
+def similarity_int8_knn_merge(spark, sf_dir):
+    """HASH-CHECKED incremental k-NN merge (round-14 — converts the
+    rows-only ``similarity_incremental_knn_merge`` equality audit
+    into a value-compared one): the maintained init-tier graph over
+    80% of the corpus (int8 integer planes, fixed 3 bits) merges the
+    remaining 20% via ``nndescent_merge_batch``, and the RESULT
+    EDGES are returned. The oracle independently rebuilds the
+    init-tier graph over the FULL corpus in SQL — the merge-equals-
+    rebuild exactness guarantee means a hash match proves the
+    incremental path bit-for-bit against a second engine, not just
+    against Spark's own rebuild. The float-plane audit stays
+    registered (gaussian planes exercise the production default)."""
+    from ..operators.similarity import (
+        nndescent_knn_graph,
+        nndescent_merge_batch,
+    )
+
+    emb = _emb(spark, sf_dir)
+    unit = shared_unit_embeddings(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    g_old = nndescent_knn_graph(
+        old, k=5, n_rounds=0, n_bits=3, int_planes=True, unit_df=unit
+    )
+    return nndescent_merge_batch(
+        g_old, old, batch, k=5, n_bits=3, int_planes=True, unit_df=unit
+    ).select("vec_id", "nbr_id", "cosine", "rank")
+
+
+@register(
+    "similarity_int8_knn_forget",
+    oracle=f"WITH {_int8_knn_graph_ctes(corpus_filter='vec_id % 7 <> 0')}\n"
+    "    SELECT vec_id, nbr_id, cosine, rank FROM ikg_graph",
+)
+def similarity_int8_knn_forget(spark, sf_dir):
+    """HASH-CHECKED forget-compaction (round-14 — the deletion twin
+    of ``similarity_int8_knn_merge``): the int8-plane init-tier graph
+    over the full corpus compacts a deletion batch (every 7th vector)
+    via ``nndescent_forget_compact``, and the COMPACTED EDGES are
+    returned. The oracle rebuilds the survivors' graph in SQL; the
+    compaction-equals-rebuild guarantee makes the hash match a
+    cross-engine proof that no ghost edge survives and every touched
+    node was repaired. The float-plane audit
+    (``similarity_knn_forget_compact``) stays registered."""
+    from ..operators.similarity import (
+        nndescent_forget_compact,
+        nndescent_knn_graph,
+    )
+
+    emb = _emb(spark, sf_dir)
+    unit = shared_unit_embeddings(spark, sf_dir)
+    graph = nndescent_knn_graph(
+        emb, k=5, n_rounds=0, n_bits=3, int_planes=True, unit_df=unit
+    )
+    forget = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    surv_unit = unit.join(
+        F.broadcast(forget.withColumnRenamed("vec_id", "fid")),
+        F.col("vec_id") == F.col("fid"),
+        "left_anti",
+    )
+    return nndescent_forget_compact(
+        graph, emb, forget, k=5, n_bits=3, int_planes=True,
+        unit_df=surv_unit,
+    ).select("vec_id", "nbr_id", "cosine", "rank")
+
+
 @register(
     "similarity_graph_search_int8_topk",
     oracle=f"WITH {_int8_gs_ctes()}\n"
