@@ -10,23 +10,23 @@ each round, while long-proven shapes rotate to the tail (they remain
 fully covered by ``tests/test_reference_queries.py``, which checks ALL
 oracle-backed queries).
 
-Round-14 rotation (the round-13 verdict's #1 item, prevalidated at
-current HEAD in ``tools/driver_sim_r14_window.log``): the window keeps
-the 4 reference queries, then takes the leading 46 keys of the
-round-13 ``NEXT_TRANCHE`` verbatim — FIRST-EVER driver rows for all
-seven round-13 additions (int8-IVF topk/recall, int8-PQ topk/recall,
-int8 embedding dedup, incremental embedding dedup, k-NN
-forget-compaction), then the round-12 window-overflow leftovers, the
-remaining round-8-stale keys in registry order, then the oldest
-round-9-stale keys (staleness computed from the committed
+Round-15 rotation (the round-14 verdict's #1 item, prevalidated at
+round-14 HEAD in ``tools/driver_sim_r15_prevalidate.log``, 50/50):
+the window keeps the 4 reference queries, then takes the leading 46
+keys of the round-14 ``NEXT_TRANCHE`` verbatim — FIRST-EVER driver
+rows for all eight round-14 int8-lifecycle additions (IVF-PQ
+topk/recall, graph-search topk/recall, encode-on-ingest + drift,
+hash-checked k-NN merge/forget), then the round-13 window-overflow
+leftovers, the remaining round-9-stale keys in registry order, then
+the oldest round-10-stale keys (staleness computed from the committed
 ``CORRECTNESS_r0*.json`` history). ``ROTATION_WINDOW`` pins the first
 ``ROTATION_WINDOW_SIZE`` keys explicitly and a test asserts the
 ordering, so the planned rotation is enforced by code, not a comment;
-the round-15 tranche (round-14 additions at its head as they land,
-then the round-13 window-overflow leftovers, the remaining
-round-9-stale keys in registry order, then the oldest round-10-stale
-keys) is kept IN ORDER at the tail of ``PRIORITY`` and holds a full
-46-key window so the round-15 rotation is fully determined.
+the round-16 tranche (round-15 additions at its head as they land,
+then the round-14 window-overflow leftovers and the remaining
+round-10-stale keys in registry order) is kept IN ORDER at the tail
+of ``PRIORITY`` and holds a full 46-key window so the round-16
+rotation is fully determined.
 """
 
 from ._core import ORACLES, QUERIES, register
@@ -44,68 +44,10 @@ ROTATION_WINDOW: list[str] = [
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
-    # Round-13 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows
-    # for the seven round-13 additions, then the round-12
-    # window-overflow leftovers, the remaining round-8-stale keys and
-    # the oldest round-9-stale keys in staleness order.
-    "similarity_int8_ivf_topk",
-    "similarity_int8_ivf_recall",
-    "similarity_int8_pq_topk",
-    "similarity_int8_pq_recall",
-    "dedup_int8_embedding_pairs",
-    "dedup_embedding_incremental",
-    "similarity_knn_forget_compact",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprint_md5",
-    "text_rolling_fingerprints",
-    "text_stratified_sample",
-    "text_repetition_ratio",
-    "text_doc_frequency_idf",
-    "embedding_label_centroids",
-    "text_top_tfidf_term_per_doc",
-    "dedup_exact_text",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_incremental_components",
-    "dedup_cluster_stats",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "embedding_matryoshka_recall",
-    "pipeline_admission_decisions",
-    "text_dsir_importance_weights",
-    "multimodal_resize_dims",
-    "text_duplicate_passages",
-    "embedding_norm_stats",
-    "text_sample_per_source",
-    "text_bigram_perplexity",
-    "embedding_kmeans_lloyd2",
-    "text_rolling_md5_fingerprints",
-    "dq_split_leakage",
-    "text_seeded_shuffle",
-    "text_char_entropy",
-    "multimodal_audio_segments",
-    "agg_pricing_summary",
-    "distinct_suppliers_per_brand",
-    "rollup_status_priority",
-    "cube_status_priority",
-    "case_when_price_buckets",
-    "join_orders_per_segment",
-    "q3_shipping_priority",
-    "join_left_order_counts",
-    "join_semi_open_order_customers",
-    "join_anti_customers_without_orders",
-]
-
-# Next tranche (round 15): any round-14 additions are registered at
-# the head of this list as they land, then the round-13
-# window-overflow leftovers (round-9-stale), the remaining
-# round-9-stale keys in registry order, then the oldest
-# round-10-stale keys — staleness derived from the committed
-# CORRECTNESS_r0*.json history. Keeping them HERE (not just in a
-# comment) makes the plan part of the ordered registry.
-NEXT_TRANCHE: list[str] = [
-    # round-14 additions (never driver-checked) — head of the
-    # round-15 window per the rotation policy.
+    # Round-14 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows
+    # for the eight round-14 int8-lifecycle additions, then the
+    # round-13 window-overflow leftovers, the remaining round-9-stale
+    # keys and the oldest round-10-stale keys in staleness order.
     "similarity_int8_ivfpq_topk",
     "similarity_int8_ivfpq_recall",
     "similarity_graph_search_int8_topk",
@@ -114,7 +56,6 @@ NEXT_TRANCHE: list[str] = [
     "similarity_int8_ivfpq_drift",
     "similarity_int8_knn_merge",
     "similarity_int8_knn_forget",
-    # round-13 window-overflow leftovers (round-9-stale, pinned order)
     "join_broadcast_region_suppliers",
     "window_top3_orders_per_customer",
     "window_running_total",
@@ -128,8 +69,6 @@ NEXT_TRANCHE: list[str] = [
     "window_percent_rank_cume_dist",
     "agg_monthly_revenue",
     "histogram_price_buckets",
-    # remaining round-9-stale keys (last driver row round 9),
-    # registry order
     "scalar_null_handling",
     "orders_cohort_ltv",
     "dq_schema_drift_events",
@@ -153,10 +92,18 @@ NEXT_TRANCHE: list[str] = [
     "text_ngram_heaps_curve",
     "timeseries_lttb_downsample",
     "text_naive_bayes_lang",
-    # oldest round-10-stale keys (last driver row round 10),
-    # registry order
     "setop_except_rich_without_open_orders",
     "setop_union_all_order_events",
+]
+
+# Next tranche (round 16): any round-15 additions are registered at
+# the head of this list as they land, then the round-14
+# window-overflow leftovers (round-10-stale), then the remaining
+# round-10-stale keys in registry order — staleness derived from the
+# committed CORRECTNESS_r0*.json history. Keeping them HERE (not
+# just in a comment) makes the plan part of the ordered registry.
+NEXT_TRANCHE: list[str] = [
+    # round-14 window-overflow leftovers (round-10-stale, pinned order)
     "explode_top_words",
     "scalar_string_functions",
     "scalar_date_math",
@@ -165,6 +112,44 @@ NEXT_TRANCHE: list[str] = [
     "sliding_window_event_counts",
     "session_window_user_sessions",
     "grouped_map_price_trend",
+    # remaining round-10-stale keys (last driver row round 10),
+    # registry order
+    "approx_distinct_parts",
+    "approx_quantiles_prices",
+    "asof_join_prev_signup",
+    "stats_by_returnflag",
+    "grouping_sets_status_priority",
+    "array_agg_order_keys",
+    "in_subquery_suppliers",
+    "scalar_subquery_price_ratio",
+    "histogram_equidepth_prices",
+    "dq_column_profile",
+    "dq_key_skew_profile",
+    "attribution_last_touch",
+    "text_contamination_bloom",
+    "text_bm25_topk",
+    "embedding_pca_project",
+    "text_zscore_by_source",
+    "text_temperature_mixture",
+    "dedup_graph_triangle_count",
+    "text_ngram_novelty",
+    "text_prefix_boilerplate_groups",
+    "quality_logistic_fit",
+    "dedup_graph_pagerank",
+    "pipeline_near_dedup_keep_central",
+    "timeseries_ewma_kernel",
+    "timeseries_ohlc_hourly",
+    "timeseries_rolling_zscore",
+    "text_weighted_sample_topk",
+    "text_bpe_pair_counts",
+    "text_pmi_pairs",
+    "dq_gini_doclen_by_source",
+    "dq_duplicate_rate_by_source",
+    "text_repeated_ngram_loops",
+    "text_zipf_rank_slope",
+    "dq_mad_outlier_docs",
+    "text_bpe_encode_tokens",
+    "dq_psi_doclen_by_source",
 ]
 
 PRIORITY: list[str] = ROTATION_WINDOW + NEXT_TRANCHE
