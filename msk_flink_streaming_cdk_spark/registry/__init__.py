@@ -103,6 +103,12 @@ ROTATION_WINDOW: list[str] = [
 # committed CORRECTNESS_r0*.json history. Keeping them HERE (not
 # just in a comment) makes the plan part of the ordered registry.
 NEXT_TRANCHE: list[str] = [
+    # round-15 additions (never driver-checked) — head of the
+    # round-16 window per the rotation policy.
+    "similarity_clustered_fixture_stats",
+    "similarity_clustered_ivf_recall",
+    "similarity_clustered_ivfpq_recall",
+    "similarity_clustered_graph_recall",
     # round-14 window-overflow leftovers (round-10-stale, pinned order)
     "explode_top_words",
     "scalar_string_functions",
