@@ -2369,3 +2369,198 @@ def incremental_embedding_near_dup(
             "cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-checked integer PCA (round-15, VERDICT r14 #9)
+# ---------------------------------------------------------------------------
+
+INT_PCA_SCALE = 4096  # 2^12 fixed-point eigenvector scale
+INT_PCA_ITERS = 24
+
+
+def int_pca_power(M, n_components: int = 2,
+                  iters: int = INT_PCA_ITERS,
+                  scale: int = INT_PCA_SCALE):
+    """Deterministic INTEGER power iteration with projected deflation
+    on an integer symmetric PSD matrix ``M`` (list-of-lists of Python
+    ints) — the int8-family trick applied to the last float-iterative
+    fit. Exact arbitrary-precision arithmetic; the DuckDB oracle
+    replays every step in BIGINT/HUGEINT, so both engines land on the
+    IDENTICAL integer eigenvector approximations.
+
+    Per component: v0 = [scale]*d; each iteration computes w = M v,
+    rescales to ``tdiv(w*scale, max|w|)``, then projects out the
+    previously-found components with integer Gram-Schmidt
+    ``w -= tdiv(dot(w,u)*u, dot(u,u))``. ``tdiv`` is division
+    TRUNCATED TOWARD ZERO — DuckDB's ``//`` and Spark SQL's ``div``
+    both truncate (measured: ``-7 // 2 = -3`` in DuckDB), while
+    Python's ``//`` floors, so the Python side implements truncation
+    explicitly (divisors here are always positive). Final sign is
+    fixed so the largest-|coordinate| (lowest index on ties) is
+    positive. M is PSD (n^2 * covariance), so the iterate cannot
+    oscillate in sign.
+
+    12-bit component precision bounds the direction error at ~2^-12 —
+    invisible to the explained-variance audit — while keeping every
+    intermediate in the oracle's BIGINT range for corpora up to
+    ~20k vectors (|M| <= 2 n^2 127^2; the rescale multiply is the one
+    HUGEINT step). The Spark side uses Python ints: no bound at all."""
+    def tdiv(a: int, b: int) -> int:  # truncation-toward-zero, b > 0
+        return a // b if a >= 0 else -((-a) // b)
+
+    d = len(M)
+    comps = []
+    for _ in range(n_components):
+        v = [scale] * d
+        for _ in range(iters):
+            w = [sum(M[i][j] * v[j] for j in range(d)) for i in range(d)]
+            mx = max(abs(x) for x in w) or 1
+            w = [tdiv(x * scale, mx) for x in w]
+            for u in comps:
+                uu = sum(a * a for a in u) or 1
+                wu = sum(a * b for a, b in zip(w, u))
+                w = [a - tdiv(wu * b, uu) for a, b in zip(w, u)]
+            v = w
+        mi = max(range(d), key=lambda i: (abs(v[i]), -i))
+        if v[mi] < 0:
+            v = [-x for x in v]
+        comps.append(v)
+    return comps
+
+
+def int8_codes_col(vec_col: str = "embedding"):
+    """JVM-side symmetric int8 quantization (the exact IEEE op chain
+    of ``_int8_codes`` / the ilsh oracle CTE): per-vector max-abs
+    scale, code = clamp(floor(x/scale + 0.5), -127, 127), zero
+    vectors -> all-zero codes. Returns an array<double> of
+    integer-valued doubles."""
+    maxabs = F.array_max(
+        F.transform(vec_col, lambda x: F.abs(x.cast("double")))
+    )
+    qv = F.transform(
+        vec_col,
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(x.cast("double") / (maxabs / 127) + 0.5),
+            ),
+        ),
+    )
+    return F.when(
+        maxabs == 0, F.transform(vec_col, lambda x: F.lit(0.0))
+    ).otherwise(qv)
+
+
+def int_pca_project(
+    corpus: DataFrame,
+    n_components: int = 2,
+    iters: int = INT_PCA_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hash-checked PCA projection: int8-quantize the corpus, compute
+    the EXACT integer scatter matrix M = n * X'X - s s' (covariance
+    times n^2 — scale-free for power iteration, and integer, so no
+    centering division ever happens), run ``int_pca_power`` on the
+    driver, and project each quantized row onto the integer
+    components — every output value is derived from exact integer
+    arithmetic plus one final IEEE normalize/round, so a DuckDB
+    oracle replays it bit-for-bit (``registry/llm_q.py::
+    _int_pca_ctes``). The float sibling (``pca_power_project``) keeps
+    the numpy-pinned exact-eigendecomposition quality story; this
+    variant is the reproducibility story.
+
+    Distributed shape is IDENTICAL to the float version: one
+    mapInPandas scan reduces each partition to (count, sum, Gram) —
+    int64 numpy accumulation, exact — the driver solves the tiny
+    d x d problem in Python ints, components broadcast back as array
+    literals, projection is a JVM HOF dot (integer-valued doubles,
+    |dot| <= 64 * 127 * 4096 ~ 2^25, exactly representable). Two
+    scans + an O(partitions * d^2) collect at any corpus size.
+
+    Output: vec_id; per component the raw integer dot ``ipc_raw{i}``
+    (BIGINT — the hash anchor) and ``ipc{i}`` = raw / (127 * |v_i|),
+    the unit-direction projection in code units, rounded 9dp."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    probe_row = corpus.select(F.size(vec_col).alias("d")).first()
+    if probe_row is None:
+        return corpus.select(
+            F.col(id_col).alias("vec_id"),
+            *[
+                c
+                for i in range(n_components)
+                for c in (
+                    F.lit(None).cast("long").alias(f"ipc_raw{i + 1}"),
+                    F.lit(None).cast("double").alias(f"ipc{i + 1}"),
+                )
+            ],
+        )
+    d_probe = probe_row["d"]
+    stats_schema = StructType(
+        [
+            StructField("cnt", LongType()),
+            StructField("s", ArrayType(LongType())),
+            StructField("g", ArrayType(LongType())),
+        ]
+    )
+
+    def partial_stats(batches):
+        cnt, s, g = 0, None, None
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = _int8_codes(X).astype(np.int64)
+            cnt += len(Q)
+            s = Q.sum(0) if s is None else s + Q.sum(0)
+            g = Q.T @ Q if g is None else g + Q.T @ Q
+        if cnt:
+            yield pd.DataFrame(
+                {"cnt": [cnt], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = corpus.select(vec_col).mapInPandas(
+        partial_stats, stats_schema
+    ).collect()  # bounded: one row per partition
+    if not rows:
+        return int_pca_project(
+            corpus.limit(0), n_components, iters, id_col, vec_col
+        )
+    n = sum(int(r["cnt"]) for r in rows)
+    s = [sum(int(r["s"][j]) for r in rows) for j in range(d_probe)]
+    G = [
+        [
+            sum(int(r["g"][i * d_probe + j]) for r in rows)
+            for j in range(d_probe)
+        ]
+        for i in range(d_probe)
+    ]
+    M = [
+        [n * G[i][j] - s[i] * s[j] for j in range(d_probe)]
+        for i in range(d_probe)
+    ]
+    comps = int_pca_power(M, n_components=n_components, iters=iters)
+
+    out = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        int8_codes_col(vec_col).alias("_q"),
+    )
+    cols = []
+    for i, v in enumerate(comps):
+        norm = float(sum(x * x for x in v)) ** 0.5 or 1.0
+        raw = dot_product_col(
+            F.col("_q"), F.array(*[F.lit(float(x)) for x in v])
+        )
+        cols.append(raw.cast("long").alias(f"ipc_raw{i + 1}"))
+        cols.append(
+            F.round(raw / F.lit(127.0 * norm), 9).alias(f"ipc{i + 1}")
+        )
+    return out.select("vec_id", *cols)

@@ -173,3 +173,102 @@ def rolling_hash_col(text: Column, window: int = 8) -> Column:
     projection boundary (see ``word_hashes_col``) so word hashing
     runs once per document."""
     return rolling_hash_from_words(word_hashes_col(text), window=window)
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (round-15, VERDICT r14 #8)
+# ---------------------------------------------------------------------------
+# The one common LLM-pipeline pre-step that had no operator: web-crawl
+# ingest arrives as HTML; before any quality gate or dedup runs, the
+# pipeline must strip tags/script/style, decode entities, and gate on
+# the main-content-to-boilerplate ratio (trafilatura/jusText-style,
+# reduced to its regex-expressible core so the whole stage stays
+# JVM-side and DuckDB-replayable). The sandbox has no HTML corpus, so
+# ``html_wrap_fixture_col`` derives one deterministically from the
+# documents table — md5-variant nav menus, 0-2 script blocks, a style
+# block, entity-bearing footer — exactly the clustered-embeddings
+# fixture trick applied to text: fixture AND extraction replay
+# bit-for-bit in SQL, so extraction correctness is hash-checked, not
+# eyeballed.
+
+# Three nav variants of different lengths so the boilerplate share
+# (and therefore the gate) varies across documents.
+HTML_NAVS = (
+    "Home | About | Contact",
+    "Index | Archive | Tags | Search | RSS feed",
+    "Top",
+)
+HTML_FOOTER = "Copyright &amp; links &lt;here&gt; 2024"
+HTML_SCRIPT = '<script type="text/javascript">var t=0;</script>'
+HTML_STYLE = "<style>body{margin:0;padding:0}</style>"
+_WS_RE = r"[\t\n\f\r ]+"
+
+
+def html_variant_col(doc_id: Column) -> Column:
+    """md5-derived template variant in {0,1,2}: picks the nav menu and
+    doubles as the script-block count. Pure digest arithmetic — any
+    engine regenerates it (DuckDB: ``('0x' || substr(md5(..), 1, 6))::
+    BIGINT % 3``)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hv:"), doc_id.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+
+
+def html_wrap_fixture_col(doc_id: Column, text: Column) -> Column:
+    """Deterministic HTML-shaped document: title + style + variant
+    script blocks + variant nav + the real text inside
+    ``<div id="main">`` + an entity-bearing footer. One concat per
+    row, no UDF — at 100 TB this fixture column IS the scan."""
+    v = html_variant_col(doc_id)
+    nav = (
+        F.when(v == 0, F.lit(HTML_NAVS[0]))
+        .when(v == 1, F.lit(HTML_NAVS[1]))
+        .otherwise(F.lit(HTML_NAVS[2]))
+    )
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        doc_id.cast("string"),
+        F.lit("</title>" + HTML_STYLE),
+        F.repeat(F.lit(HTML_SCRIPT), v.cast("int")),
+        F.lit("</head><body><nav>"),
+        nav,
+        F.lit("</nav><div id=\"main\"><p>"),
+        text,
+        F.lit("</p></div><footer>" + HTML_FOOTER + "</footer></body></html>"),
+    )
+
+
+def _decode_entities(c: Column) -> Column:
+    # &lt;/&gt; BEFORE &amp; so a literal "&amp;lt;" decodes to "&lt;"
+    # (single pass), never to "<".
+    c = F.replace(c, F.lit("&lt;"), F.lit("<"))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    c = F.replace(c, F.lit("&quot;"), F.lit('"'))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
+def html_to_text_col(html: Column) -> Column:
+    """Tag-strip pipeline: drop script/style blocks (separate passes —
+    RE2 in the DuckDB twin has no backreferences), strip remaining
+    tags, decode the four core entities, collapse whitespace. All
+    Java-regex constructs used ((?s), .*?, [^>]+) behave identically
+    in RE2, so the oracle replays this bit-for-bit."""
+    c = F.regexp_replace(html, r"(?s)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?s)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    c = _decode_entities(c)
+    return F.trim(F.regexp_replace(c, _WS_RE, " "))
+
+
+def html_main_text_col(html: Column) -> Column:
+    """Main-content selector: the ``<div id="main">`` payload (the
+    regex-expressible stand-in for a DOM main-content heuristic),
+    then the same strip/decode/normalize pipeline."""
+    return html_to_text_col(
+        F.regexp_extract(html, r'(?s)<div id="main">(.*?)</div>', 1)
+    )

@@ -109,6 +109,8 @@ NEXT_TRANCHE: list[str] = [
     "similarity_clustered_ivf_recall",
     "similarity_clustered_ivfpq_recall",
     "similarity_clustered_graph_recall",
+    "text_html_extract",
+    "embedding_int_pca_project",
     # round-14 window-overflow leftovers (round-10-stale, pinned order)
     "explode_top_words",
     "scalar_string_functions",

