@@ -1345,11 +1345,19 @@ def nndescent_knn_graph(
 def _auto_bits(corpus: DataFrame, n_bits: int | None) -> int:
     """Count-derived sign-LSH bucket granularity (~64 vectors per
     bucket), shared by the NN-Descent init and the graph-search
-    seeding so both draw candidates from the SAME hash family."""
+    seeding so both draw candidates from the SAME hash family.
+
+    Round 15: the rule is PURE-INTEGER — bit_length((n-1) div 64) —
+    fuzz-proven equal to the previous ceil(log2(n/64)) float rule for
+    all n to 3e5 and all power-of-two neighborhoods to 2^24, but
+    replayable in a SQL oracle as an exact CASE ladder with no libm
+    log2 at the tier boundary (the 10x growth probe made auto-bits
+    load-bearing for the hash-checked int8 graph family, see
+    ``auto_bits_sql``)."""
     if n_bits is not None:
         return n_bits
     n = corpus.count()  # bounded scalar job, sizes the buckets
-    return min(16, max(1, int(np.ceil(np.log2(max(n, 2) / 64)))))
+    return min(16, max(1, ((max(n, 2) - 1) // 64).bit_length()))
 
 
 def graph_search_topk(

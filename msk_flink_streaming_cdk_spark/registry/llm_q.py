@@ -3146,7 +3146,11 @@ def similarity_nnd_recall(spark, sf_dir):
     sf0.1 measured rounds=1 at ~3.1s / recall 0.632 vs rounds=2 at
     ~4.3s / recall 0.648 (25-query sample, near-uniform fixture —
     NN-Descent's worst case): the round buys real recall, so the
-    build keeps 2 rounds rather than hitting ~3s at LOWER recall."""
+    build keeps 2 rounds rather than hitting ~3s at LOWER recall.
+
+    Growth at 10x (r15, ``tools/heavy_growth_r15.log``): spark
+    x2.46 against linear 10 — the auto-bits build plus the
+    fixed-size audit amortize comfortably sublinear."""
     emb = _emb(spark, sf_dir)
     graph = nndescent_knn_graph(
         emb, k=5, n_rounds=2, unit_df=shared_unit_embeddings(spark, sf_dir)
@@ -3195,7 +3199,11 @@ def similarity_graph_search_recall(spark, sf_dir):
     """Recall@5 of graph-search ANN against brute-force cosine top-5
     on a deterministic 25-query sample (the brute side is the audit
     tool, never the data path) — the query-time twin of
-    ``similarity_nnd_recall``'s graph-build audit."""
+    ``similarity_nnd_recall``'s graph-build audit.
+
+    Growth at 10x (r15, ``tools/heavy_growth_r15.log``): spark
+    x1.51 against linear 10 — beam cost is per-query and the
+    auto-bits graph build is linear."""
     from ..operators.similarity import graph_search_topk
 
     emb = _emb(spark, sf_dir)
@@ -3218,7 +3226,7 @@ def similarity_graph_search_recall(spark, sf_dir):
 
 
 def _int8_gs_ctes(
-    k: int = 5, n_hops: int = 2, n_bits: int = 6, n_tables: int = 8,
+    k: int = 5, n_hops: int = 2, n_tables: int = 8,
     span: int = 7, dim: int = 64, src: str = "embeddings",
 ) -> str:
     """CTE fragment replaying the int8-plane graph-search pipeline
@@ -3230,17 +3238,31 @@ def _int8_gs_ctes(
     unrolled as top-k -> out-edge join -> anti-join -> score ->
     union. Every stage is a proven parent shape (int8 buckets from
     the ilsh/ie CTEs, unit-dot from ie_un), so the whole search —
-    graph build included — replays exactly. Ends with ``igs_topk``."""
-    from ..operators.similarity import int_lsh_planes
+    graph build included — replays exactly. Ends with ``igs_topk``.
 
-    planes = int_lsh_planes(dim, n_bits, n_tables, span)
-    vals = ",\n      ".join(
-        f"({t}, {b}, {planes[t][b]})"
-        for t in range(n_tables)
-        for b in range(n_bits)
+    Round 15: bits COUNT-DERIVED over ``{src}`` and the planes
+    generated in SQL from the md5 digest formula (the
+    ``_int8_knn_graph_ctes`` fix applied here too): the r15 10x
+    growth probe proved any FIXED bit-width makes the graph-build
+    self-join quadratic in corpus size (x83 measured on the 3-bit
+    forget audit); ~64/bucket auto-sizing holds the build linear at
+    every SF while staying engine-reproducible."""
+    plane_c = (
+        f"CAST(('0x' || substr(md5(CAST(t.t AS VARCHAR) || ':' || "
+        f"CAST(b.b AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 16))"
+        f"::UBIGINT % {2 * span + 1} AS BIGINT) - {span}"
     )
     out = f"""
-    igsp(t, b, c) AS (VALUES {vals}),
+    igs_nb AS (
+      SELECT {auto_bits_case_sql(f'SELECT count(*) FROM {src}')}
+             AS n_bits),
+    igsp AS MATERIALIZED (
+      SELECT t.t, b.b, list({plane_c} ORDER BY d.d) AS cl
+      FROM (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) t
+      CROSS JOIN (SELECT unnest(generate_series(0,
+                    (SELECT n_bits FROM igs_nb) - 1)) AS b) b
+      CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS d) d
+      GROUP BY t.t, b.b),
     igs_qv AS (
       SELECT vec_id,
              CASE WHEN scale = 0
@@ -3256,7 +3278,7 @@ def _int8_gs_ctes(
     igs_bk AS MATERIALIZED (
       SELECT vec_id, t, CAST(sum(bitval) AS INT) AS bucket
       FROM (SELECT v.vec_id, p.t, p.b,
-                   CASE WHEN list_dot_product(v.q, CAST(p.c AS DOUBLE[]))
+                   CASE WHEN list_dot_product(v.q, CAST(p.cl AS DOUBLE[]))
                              >= 0
                         THEN 1 << p.b ELSE 0 END AS bitval
             FROM igs_qv v CROSS JOIN igsp p)
@@ -3326,8 +3348,22 @@ def _int8_gs_ctes(
     return out
 
 
+def auto_bits_case_sql(count_sql: str) -> str:
+    """SQL scalar replaying ``operators.similarity._auto_bits`` with
+    ZERO float ops: bits = clamp(bit_length((n-1) div 64), 1, 16) as
+    an exact integer CASE ladder (``count_sql`` is a scalar count
+    expression). Fuzz-proven equal to the float ceil(log2(n/64)) rule
+    for all n to 3e5 — no libm log2 at a tier boundary can ever make
+    the two engines disagree on the hash family."""
+    m = f"((greatest(({count_sql}), 2) - 1) // 64)"
+    ladder = " ".join(
+        f"WHEN {m} >= {1 << (b - 1)} THEN {b}" for b in range(16, 1, -1)
+    )
+    return f"(CASE {ladder} ELSE 1 END)"
+
+
 def _int8_knn_graph_ctes(
-    prefix: str = "ikg_", k: int = 5, n_bits: int = 3,
+    prefix: str = "ikg_", k: int = 5,
     n_tables: int = 8, span: int = 7, dim: int = 64,
     corpus_filter: str = "TRUE",
 ) -> str:
@@ -3335,18 +3371,36 @@ def _int8_knn_graph_ctes(
     integer planes in SQL — the maintained-graph rebuild both
     lifecycle audits compare against (round-14): bucket self-join
     over ``corpus_filter`` rows, exact 9dp unit-dot top-k per node.
-    Ends with ``{prefix}graph`` (vec_id, nbr_id, cosine, rank)."""
-    from ..operators.similarity import int_lsh_planes
+    Ends with ``{prefix}graph`` (vec_id, nbr_id, cosine, rank).
 
-    planes = int_lsh_planes(dim, n_bits, n_tables, span)
-    vals = ",\n      ".join(
-        f"({t}, {b}, {planes[t][b]})"
-        for t in range(n_tables)
-        for b in range(n_bits)
-    )
+    Round 15: ``n_bits`` is no longer a fixed literal — the r15 10x
+    growth probe measured the fixed-3-bit family at x83 spark-side
+    (8 buckets/table -> occupancy, and therefore scored pairs, grow
+    quadratically with the corpus). Bits are now COUNT-DERIVED
+    (``auto_bits_case_sql`` over the FULL embeddings table — the
+    full-corpus family both lifecycle stages share, matching the
+    Spark side's ``_auto_bits(emb, None)``), and the md5 planes are
+    generated IN SQL from the same digest formula
+    (``int_lsh_planes``), so the oracle replays any tier without
+    literal plane tables. ~64/bucket occupancy at every SF restores
+    the linear growth band while keeping the family deterministic."""
     p = prefix
+    plane_c = (
+        f"CAST(('0x' || substr(md5(CAST(t.t AS VARCHAR) || ':' || "
+        f"CAST(b.b AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 16))"
+        f"::UBIGINT % {2 * span + 1} AS BIGINT) - {span}"
+    )
     return f"""
-    {p}pl(t, b, c) AS (VALUES {vals}),
+    {p}nb AS (
+      SELECT {auto_bits_case_sql('SELECT count(*) FROM embeddings')}
+             AS n_bits),
+    {p}pl AS MATERIALIZED (
+      SELECT t.t, b.b, list({plane_c} ORDER BY d.d) AS cl
+      FROM (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) t
+      CROSS JOIN (SELECT unnest(generate_series(0,
+                    (SELECT n_bits FROM {p}nb) - 1)) AS b) b
+      CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS d) d
+      GROUP BY t.t, b.b),
     {p}qv AS (
       SELECT vec_id,
              CASE WHEN scale = 0
@@ -3363,7 +3417,7 @@ def _int8_knn_graph_ctes(
     {p}bk AS MATERIALIZED (
       SELECT vec_id, t, CAST(sum(bitval) AS INT) AS bucket
       FROM (SELECT v.vec_id, p.t, p.b,
-                   CASE WHEN list_dot_product(v.q, CAST(p.c AS DOUBLE[]))
+                   CASE WHEN list_dot_product(v.q, CAST(p.cl AS DOUBLE[]))
                              >= 0
                         THEN 1 << p.b ELSE 0 END AS bitval
             FROM {p}qv v CROSS JOIN {p}pl p)
@@ -3402,28 +3456,41 @@ def similarity_int8_knn_merge(spark, sf_dir):
     """HASH-CHECKED incremental k-NN merge (round-14 — converts the
     rows-only ``similarity_incremental_knn_merge`` equality audit
     into a value-compared one): the maintained init-tier graph over
-    80% of the corpus (int8 integer planes, fixed 3 bits) merges the
-    remaining 20% via ``nndescent_merge_batch``, and the RESULT
-    EDGES are returned. The oracle independently rebuilds the
-    init-tier graph over the FULL corpus in SQL — the merge-equals-
-    rebuild exactness guarantee means a hash match proves the
-    incremental path bit-for-bit against a second engine, not just
-    against Spark's own rebuild. The float-plane audit stays
-    registered (gaussian planes exercise the production default)."""
+    80% of the corpus (int8 integer planes) merges the remaining 20%
+    via ``nndescent_merge_batch``, and the RESULT EDGES are
+    returned. The oracle independently rebuilds the init-tier graph
+    over the FULL corpus in SQL — the merge-equals-rebuild exactness
+    guarantee means a hash match proves the incremental path
+    bit-for-bit against a second engine, not just against Spark's
+    own rebuild. The float-plane audit stays registered (gaussian
+    planes exercise the production default).
+
+    Round 15: bits are COUNT-DERIVED from the full corpus
+    (``_auto_bits``, ~64/bucket; the oracle replays the rule and the
+    md5 planes in SQL — ``auto_bits_case_sql``). The r14 fixed
+    3-bit family measured x83 at the 10x growth probe
+    (``tools/heavy_growth_r15.log``): 8 buckets/table makes
+    occupancy — and the scored-pair volume — quadratic in corpus
+    size. Both lifecycle stages share the ONE full-corpus family,
+    exactly like the float twin. Post-fix
+    (``tools/heavy_growth_r15_after.log``): spark x1.92
+    (8.2 -> 15.8s cold-count), oracle x10.9 — the linear band."""
     from ..operators.similarity import (
+        _auto_bits,
         nndescent_knn_graph,
         nndescent_merge_batch,
     )
 
     emb = _emb(spark, sf_dir)
     unit = shared_unit_embeddings(spark, sf_dir)
+    bits = _auto_bits(emb, None)
     old = emb.filter(F.col("vec_id") % 5 != 0)
     batch = emb.filter(F.col("vec_id") % 5 == 0)
     g_old = nndescent_knn_graph(
-        old, k=5, n_rounds=0, n_bits=3, int_planes=True, unit_df=unit
+        old, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit
     )
     return nndescent_merge_batch(
-        g_old, old, batch, k=5, n_bits=3, int_planes=True, unit_df=unit
+        g_old, old, batch, k=5, n_bits=bits, int_planes=True, unit_df=unit
     ).select("vec_id", "nbr_id", "cosine", "rank")
 
 
@@ -3441,16 +3508,29 @@ def similarity_int8_knn_forget(spark, sf_dir):
     compaction-equals-rebuild guarantee makes the hash match a
     cross-engine proof that no ghost edge survives and every touched
     node was repaired. The float-plane audit
-    (``similarity_knn_forget_compact``) stays registered."""
+    (``similarity_knn_forget_compact``) stays registered.
+
+    Round 15: bits COUNT-DERIVED from the full corpus (the family
+    the maintained graph was built with; survivors only shrink it).
+    The r15 10x probe caught the fixed 3-bit family at x83
+    spark-side (8.9s -> 744s), and the oracle's survivors-rebuild
+    DNF'd — it spilled DuckDB temp until the DISK filled
+    (``tools/heavy_growth_r15.log``). After auto-bits
+    (``tools/heavy_growth_r15_after.log``): spark x1.48
+    (20.2 -> 29.8 cold-count; bench-protocol 3.6s at sf0.1,
+    unchanged vs the r14 record), oracle x15 (10.6 -> 159.5s) —
+    the quadratic term is gone from both engines."""
     from ..operators.similarity import (
+        _auto_bits,
         nndescent_forget_compact,
         nndescent_knn_graph,
     )
 
     emb = _emb(spark, sf_dir)
     unit = shared_unit_embeddings(spark, sf_dir)
+    bits = _auto_bits(emb, None)
     graph = nndescent_knn_graph(
-        emb, k=5, n_rounds=0, n_bits=3, int_planes=True, unit_df=unit
+        emb, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit
     )
     forget = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
     surv_unit = unit.join(
@@ -3459,7 +3539,7 @@ def similarity_int8_knn_forget(spark, sf_dir):
         "left_anti",
     )
     return nndescent_forget_compact(
-        graph, emb, forget, k=5, n_bits=3, int_planes=True,
+        graph, emb, forget, k=5, n_bits=bits, int_planes=True,
         unit_df=surv_unit,
     ).select("vec_id", "nbr_id", "cosine", "rank")
 
@@ -3479,13 +3559,24 @@ def similarity_graph_search_int8_topk(spark, sf_dir):
     replays bit-for-bit in SQL, lifting the graph tier into the
     hash-checked family alongside int8 LSH/IVF/PQ/IVF-PQ. The float
     variant (descended graph, gaussian seeds) stays registered as
-    the recall-grade leg."""
-    from ..operators.similarity import graph_search_topk, nndescent_knn_graph
+    the recall-grade leg.
+
+    Plan-weight measurement (r15, VERDICT r14 #6 — the 57-broadcast-
+    join watch note): timed at sf0.1, Catalyst analysis+optimization+
+    physical planning of the 1480-line plan is 0.14s vs 9.8s
+    execution — planning is noise, no lineage cut needed at this
+    unroll depth. Re-measure if n_hops ever grows past ~4."""
+    from ..operators.similarity import (
+        _auto_bits,
+        graph_search_topk,
+        nndescent_knn_graph,
+    )
 
     emb = _emb(spark, sf_dir)
     unit = shared_unit_embeddings(spark, sf_dir)
+    bits = _auto_bits(emb, None)
     graph = nndescent_knn_graph(
-        emb, k=5, n_rounds=0, n_bits=6, int_planes=True, unit_df=unit
+        emb, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit
     )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -3497,7 +3588,7 @@ def similarity_graph_search_int8_topk(spark, sf_dir):
         graph,
         k=5,
         n_hops=2,
-        n_bits=6,
+        n_bits=bits,
         int_planes=True,
         unit_df=unit,
     ).select("query_id", "vec_id", "cosine", "rank")
@@ -3513,12 +3604,17 @@ def similarity_graph_search_int8_recall(spark, sf_dir):
     brute-force cosine — HASH-CHECKED like the rest of the int8
     family: both sides replay exactly in SQL, so the driver
     value-compares the metrics; the pytest floor pins the quality."""
-    from ..operators.similarity import graph_search_topk, nndescent_knn_graph
+    from ..operators.similarity import (
+        _auto_bits,
+        graph_search_topk,
+        nndescent_knn_graph,
+    )
 
     emb = _emb(spark, sf_dir)
     unit = shared_unit_embeddings(spark, sf_dir)
+    bits = _auto_bits(emb, None)
     graph = nndescent_knn_graph(
-        emb, k=5, n_rounds=0, n_bits=6, int_planes=True, unit_df=unit
+        emb, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit
     )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -3532,7 +3628,7 @@ def similarity_graph_search_int8_recall(spark, sf_dir):
             graph,
             k=5,
             n_hops=2,
-            n_bits=6,
+            n_bits=bits,
             int_planes=True,
             unit_df=unit,
         ),
@@ -3554,13 +3650,14 @@ def similarity_clustered_graph_recall(spark, sf_dir):
     neighbors — the structure-following behavior a graph index is
     for, invisible on uniform vectors. pytest pins the floor at
     0.9."""
-    from ..operators.similarity import graph_search_topk
+    from ..operators.similarity import _auto_bits, graph_search_topk
 
     ce = shared_clustered_embeddings(spark, sf_dir)
     q = _clustered_queries(ce)
     unit = materialize_once(unit_vectors(ce))
+    bits = _auto_bits(ce, None)
     graph = nndescent_knn_graph(
-        ce, k=5, n_rounds=0, n_bits=6, int_planes=True, unit_df=unit
+        ce, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit
     )
     return _pair_metrics(
         cosine_topk_bruteforce(ce, q, k=5),
@@ -3570,7 +3667,7 @@ def similarity_clustered_graph_recall(spark, sf_dir):
             graph,
             k=5,
             n_hops=2,
-            n_bits=6,
+            n_bits=bits,
             int_planes=True,
             unit_df=unit,
         ),
@@ -3599,24 +3696,32 @@ def similarity_incremental_knn_merge(spark, sf_dir):
     record's 3.4-8.0s; tools/ab_ann_r14.log) — host-burst noise, no
     code delta. runs_considered now carries per-query timings so
     future reds are triaged from the artifact alone.
+
+    Round 15: fixed 3 bits -> count-derived ``_auto_bits`` (one
+    full-corpus family shared by all three stages) — the r15 10x
+    probe measured the 3-bit family quadratic on the hash-checked
+    int8 twin (``tools/heavy_growth_r15.log``), and this float leg
+    had the same occupancy term.
     """
     from ..operators.similarity import (
+        _auto_bits,
         nndescent_knn_graph,
         nndescent_merge_batch,
     )
 
     emb = _emb(spark, sf_dir)
     unit = shared_unit_embeddings(spark, sf_dir)
+    bits = _auto_bits(emb, None)
     old = emb.filter(F.col("vec_id") % 5 != 0)
     batch = emb.filter(F.col("vec_id") % 5 == 0)
     g_old = nndescent_knn_graph(
-        old, k=5, n_rounds=0, n_bits=3, unit_df=unit
+        old, k=5, n_rounds=0, n_bits=bits, unit_df=unit
     )
     merged = nndescent_merge_batch(
-        g_old, old, batch, k=5, n_bits=3, unit_df=unit
+        g_old, old, batch, k=5, n_bits=bits, unit_df=unit
     )
     rebuilt = nndescent_knn_graph(
-        emb, k=5, n_rounds=0, n_bits=3, unit_df=unit
+        emb, k=5, n_rounds=0, n_bits=bits, unit_df=unit
     )
     cols = ["vec_id", "nbr_id", "cosine", "rank"]
     m = merged.select(*cols).withColumn("__m", F.lit(1))
@@ -3645,7 +3750,17 @@ def similarity_knn_forget_compact(spark, sf_dir):
     build over the surviving corpus at the same fixed n_bits.
     Returns one row (n_edges_compacted, n_edges_rebuilt, n_diff,
     n_ghost_edges); pytest pins n_diff == 0, ghost-free output, and
-    the descended-graph recall floor."""
+    the descended-graph recall floor.
+
+    Plan-weight measurement (r15, VERDICT r14 #6 — the ~145-
+    broadcast-join watch note): timed at sf0.1, planning the
+    2484-line physical plan costs 0.21s vs 10.4s execution —
+    planning is noise; the existing per-stage lineage cuts are
+    sufficient.
+
+    Growth at 10x (r15, ``tools/heavy_growth_r15_after.log``):
+    spark x3.00 against linear 10 — the double graph build the
+    equality spec demands stays in the linear band under auto-bits."""
     from ..operators.similarity import (
         _auto_bits,
         nndescent_forget_compact,
@@ -10035,6 +10150,12 @@ def dedup_span_floor_profile(spark, sf_dir):
     measures the one uncontended pair at HEAD 3.64s vs r13 3.80s —
     equal. Host noise (the polluted early pairs in the same log
     track the builder's own concurrent Spark sessions, both sides).
+
+    Growth at 10x (r15, ``tools/heavy_growth_r15.log`` — the probe
+    the 3x one was too small to be): spark x3.37, oracle x4.11
+    against linear 10 / n·log n 13.3 — comfortably sublinear (the
+    per-floor gram classes amortize; the r14 3x oracle ratio was
+    hash-table constants, as suspected).
     """
     return span_floor_profile(_docs(spark, sf_dir), floors=(16, 24, 40))
 

@@ -148,12 +148,15 @@ def time_oracle(name, sf_dir):
 
 
 def main():
+    # argv names override the probe set (post-fix re-measurement of a
+    # specific query: python tools/heavy_growth_r15.py <name> ...)
+    probe = sys.argv[1:] or HEAVY
     build_fixture()
     from msk_flink_streaming_cdk_spark import session
 
     spark = session.get_spark()
     rows = []
-    for name in HEAVY:
+    for name in probe:
         s1, n1 = time_spark(spark, name, BASE)
         print(f"  [{name}] spark  1x {s1:.1f}s ({n1} rows)", flush=True)
         s10, n10 = time_spark(spark, name, WORK)
