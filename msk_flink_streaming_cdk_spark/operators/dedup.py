@@ -202,81 +202,93 @@ def incremental_near_dup(
     much larger accumulated corpus instead of self-joining the whole
     world every day.
 
-    Blocking is a length-RATIO band (the standard Jaccard length
-    filter): J(A,B) >= t bounds |A|/|B| >= t, so docs are bucketed by
-    floor(log2(length)) and each incoming doc probes the
-    ceil(log2(1/t)) adjacent buckets each way, with the exact ratio
-    predicate ``min_len >= t * max_len`` on the join. Unlike the
-    round-5 absolute +/-16-char band, a doc and its 2x-length
-    superset at J>=0.5 is always a candidate, at any document length.
-    The wider (correct) candidate set costs measured bench time —
-    1.41s -> 2.09s at sf0.1 (r5 -> r6 full-suite runs) — the price of
-    recall the old band silently dropped; the per-candidate work is
-    unchanged.
+    PRECONDITION: ``threshold > 0`` (asserted) — same contract as
+    ``ngram_jaccard_pairs``: the inverted index can only surface
+    pairs that share >= 1 shingle, and a Jaccard-0 pair by definition
+    matches no positive threshold.
 
-    Scale shape: the corpus side is shingled and bucketed ONCE (at
-    100 TB this frame is the thing you persist between ingests); the
-    incoming batch explodes to its adjacent buckets and equi-joins —
-    cost is O(|incoming| · bucket occupancy), never a corpus
-    self-join. The per-doc argmax is one struct-max hash aggregate
-    (no sort, no window) when the id is numeric; non-numeric ids take
-    a min_by-over-max join (negation of a string is null under ANSI
-    off, which would break ties nondeterministically — ADVICE r5).
+    Blocking is an INVERTED-INDEX token join (optimization round 15,
+    guide §2.3/§3.2 — the round-14 ``ngram_jaccard_pairs`` rewrite
+    applied to the incremental shape): the corpus's distinct shingle
+    hashes are exploded ONCE (at 100 TB this exploded index is the
+    thing you persist between ingests), the incoming batch explodes
+    and equi-joins on the shingle hash with the exact length-RATIO
+    predicate ``min_len >= t * max_len`` on the join, and shared
+    shingles are counted per pair — Jaccard = c / (si + sc - c).
+    Result-identical to the round-6 log2-length-bucket probe join for
+    any positive threshold (a pair at J >= t > 0 shares a shingle,
+    and the ratio predicate is evaluated on the same n_len columns),
+    but candidates are content-anchored: MEASURED at sf0.1 the bucket
+    probe evaluated 2,397,956 array-intersection candidates where the
+    token join touches 4,902 shared-shingle rows — the same ~500x
+    candidate collapse the r14 rewrite bought, now on the ingest
+    path. Per-candidate work drops from O(|A|+|B|) array intersection
+    to a counting aggregate row.
+
+    Skew note for 100 TB (same as ``ngram_jaccard_pairs``): hot
+    boilerplate shingles fan out occ_inc x occ_corp; cap them with
+    the prefix-filter variant (``prefix_filter_jaccard_pairs``) if a
+    corpus produces them. The per-doc argmax is one struct-max hash
+    aggregate (no sort, no window) when the id is numeric;
+    non-numeric ids take a min_by-over-max join (negation of a string
+    is null under ANSI off, which would break ties
+    nondeterministically — ADVICE r5).
 
     Returns (doc_id, matched_doc, jaccard) — one row per incoming doc
     that has a match at or above ``threshold``.
     """
-    import math
-
     from pyspark.sql.types import NumericType
 
-    n_probe = max(1, math.ceil(math.log2(1.0 / threshold)))
+    assert threshold > 0, (
+        "inverted-index blocking requires threshold > 0 (a Jaccard-0 "
+        "pair shares no shingle and cannot be surfaced)"
+    )
 
-    def shingled(df: DataFrame) -> DataFrame:
+    def exploded(df: DataFrame) -> DataFrame:
         # The fixtures are single-file parquet => 1 input partition;
-        # shingling + intersection is the hot loop and must fan out
-        # (same reason ngram_jaccard_pairs parallelizes its scan).
+        # shingling + hashing is the hot loop and must fan out (same
+        # reason ngram_jaccard_pairs parallelizes its scan). Shingles
+        # are compared as xxhash64 longs: set sizes count post-hash
+        # array entries, identical to the array-intersect Jaccard
+        # modulo in-document 64-bit collisions (~1e-9, the documented
+        # family-wide caveat).
         return _parallelize(df).select(
             F.col(id_col).alias("doc_id"),
             F.col(length_col).alias("n_len"),
-            F.floor(
-                F.log2(F.greatest(F.col(length_col), F.lit(1)))
-            ).alias("bucket"),
             F.transform(
                 shingle_col(F.col(text_col), k), lambda s: F.xxhash64(s)
             ).alias("shingles"),
-        )
-
-    corp = shingled(corpus).alias("c")
-    inc = (
-        shingled(incoming)
-        .select(
+        ).select(
             "doc_id",
             "n_len",
-            "shingles",
-            F.explode(
-                F.array(
-                    *[
-                        F.col("bucket") + d
-                        for d in range(-n_probe, n_probe + 1)
-                    ]
-                )
-            ).alias("probe_bucket"),
+            F.size("shingles").alias("sz"),
+            F.explode("shingles").alias("h"),
         )
-        .alias("i")
-    )
+
+    corp = exploded(corpus).alias("c")
+    inc = exploded(incoming).alias("i")
     ratio_ok = F.least(F.col("c.n_len"), F.col("i.n_len")) >= (
         F.lit(threshold) * F.greatest(F.col("c.n_len"), F.col("i.n_len"))
     )
-    cand = inc.join(
-        corp, (F.col("c.bucket") == F.col("i.probe_bucket")) & ratio_ok
+    scored = (
+        inc.join(corp, (F.col("i.h") == F.col("c.h")) & ratio_ok)
+        .groupBy(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("match_id"),
+            F.col("i.sz").alias("si"),
+            F.col("c.sz").alias("sc"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id",
+            "match_id",
+            (
+                F.col("cnt").cast("double")
+                / (F.col("si") + F.col("sc") - F.col("cnt"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
-    j = jaccard_col(F.col("i.shingles"), F.col("c.shingles"))
-    scored = cand.select(
-        F.col("i.doc_id").alias("doc_id"),
-        F.col("c.doc_id").alias("match_id"),
-        j.alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
     id_type = {f.name: f.dataType for f in corpus.schema}[id_col]
     if isinstance(id_type, NumericType):
         # struct-max argmax: max jaccard first, then max(-match_id) =

@@ -44,7 +44,10 @@ def main() -> None:
     QUERIES["q1_alerts_daily"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     import gc
 
-    tracker = spark.sparkContext.statusTracker
+    def next_job_id(sc):
+        v = sc._jsc.sc().dagScheduler().nextJobId()
+        return v if isinstance(v, int) else v.get()
+
     print(f"{'query':44s} {'build':>6s} {'plan':>6s} {'exec1':>6s} {'exec2':>6s} {'jobs':>5s}")
     for name in names:
         if name not in QUERIES:
@@ -52,17 +55,17 @@ def main() -> None:
             continue
         bench_warm(name, spark, SF_DIR)
         sc = spark.sparkContext
-        j0 = sc._jsc.sc().dagScheduler().nextJobId().get()
+        j0 = next_job_id(sc)
         t0 = time.perf_counter()
         df = QUERIES[name](spark, SF_DIR)
         t1 = time.perf_counter()
         # force optimization + physical planning without execution
         df._jdf.queryExecution().executedPlan()
         t2 = time.perf_counter()
-        j1 = sc._jsc.sc().dagScheduler().nextJobId().get()
+        j1 = next_job_id(sc)
         df.write.format("noop").mode("overwrite").save()
         t3 = time.perf_counter()
-        j2 = sc._jsc.sc().dagScheduler().nextJobId().get()
+        j2 = next_job_id(sc)
         df2 = QUERIES[name](spark, SF_DIR)
         df2.write.format("noop").mode("overwrite").save()
         t4 = time.perf_counter()
