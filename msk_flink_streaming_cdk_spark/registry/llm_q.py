@@ -6550,7 +6550,15 @@ def quality_logistic_fit(spark, sf_dir):
     to a 3x3 normal-equations block; the driver solves k=3 linear
     systems, coefficients broadcast back and scoring stays in
     Catalyst. Rows-only for the driver; pytest pins coefficients
-    against a single-node numpy IRLS and accuracy >= 0.8."""
+    against a single-node numpy IRLS and accuracy >= 0.8.
+
+    Optimization r15 (guide §5 caching rule: reused AND expensive to
+    recompute): the narrow feature frame (3 doubles/row) was
+    re-derived from the text column — two regex splits + a
+    regexp_replace per row — on every one of the 8 IRLS scans plus
+    the accuracy pass. Persisting it beats recomputation in every
+    interleaved A/B pair at sf0.1 (15.4->2.9 / 6.0->4.6 / 2.5->2.2s),
+    beta and accuracy bit-identical; unpersisted before return."""
     from ..operators.mlfit import logistic_irls, logistic_score_col
 
     d = _docs(spark, sf_dir).select(
@@ -6564,6 +6572,7 @@ def quality_logistic_fit(spark, sf_dir):
         ).alias("mean_wl"),
         (F.col("n_chars") > 300).cast("double").alias("y"),
     )
+    d = materialize_once(d)
     beta, n = logistic_irls(d, ["log_words", "mean_wl"], "y")
     score = logistic_score_col(
         beta, [F.col("log_words"), F.col("mean_wl")]
@@ -6577,6 +6586,7 @@ def quality_logistic_fit(spark, sf_dir):
         .agg(F.avg("hit"))
         .first()[0]
     )
+    d.unpersist()
     acc = 0.0 if acc is None else acc  # empty corpus
     rows = [
         ("intercept", round(float(beta[0]), 6)),
