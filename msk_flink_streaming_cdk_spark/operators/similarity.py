@@ -1308,7 +1308,16 @@ def nndescent_knn_graph(
     )
     g = topk(score(init)).transform(materialize_once)
     for _ in range(int(n_rounds)):
-        g = cut_lineage(g, eager=True)
+        # LAZY lineage cut (optimization round 15; guide §5): the
+        # plan truncation (LogicalRDD) is identical either way; eager
+        # additionally ran one separate driver action per round, so a
+        # fresh 2-round build scheduled 3 driver-synchronized jobs.
+        # Lazy materializes each round inside its first consumer's
+        # job (the block store serves the round's other consumers).
+        # Local A/B: parity (4.7-5.3s warm both ways — candidate
+        # scoring dominates, not the barriers); kept for the cluster
+        # posture, where each extra action is a full-fleet barrier.
+        g = cut_lineage(g)
         rev_w = Window.partitionBy("dst").orderBy(
             F.col("cosine").desc(), F.col("src")
         )
@@ -2146,43 +2155,50 @@ def int8_ivfpq_ann_topk(
     maintained-index retrieval remains SQL-replayable.
     """
     books_src = book_corpus if book_corpus is not None else corpus
-    cent_rows = (
-        books_src.select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-        )
-        .orderBy(
-            F.md5(F.concat(F.lit("ivf:"), F.col("cid").cast("string"))),
-            "cid",
-        )
-        .limit(n_lists)
-        .collect()
-    )  # bounded: n_lists rows via TakeOrderedAndProject
-    C = _int8_codes(np.asarray([r.cv for r in cent_rows], dtype=np.float64))
-
-    # PQ codebooks: the parent's one-job lanes pick (all m subspaces
-    # ranked in a single WindowGroupLimit job, one bounded collect).
+    # Quantizer training, ONE corpus scan (optimization round 15;
+    # guide §1.2/§2.4): the IVF centroid pick used to be its own
+    # TakeOrdered job over books_src next to the codebook lanes job —
+    # two full training scans per index build. The centroid lane now
+    # rides the SAME lanes explode as sentinel subspace j = -1
+    # (ranked by md5('ivf:' || cid) exactly as before, capped at
+    # n_lists), so one WindowGroupLimit job + one bounded collect
+    # yields both quantizers. Picks are bit-identical: each lane keeps
+    # its own md5 ranking; orderBy+limit and row_number-over-the-same-
+    # order agree on both membership and order.
     lanes = books_src.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cv"),
-        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j"),
+        F.explode(F.array(*[F.lit(j) for j in range(-1, m)])).alias("j"),
     )
     wj = Window.partitionBy("j").orderBy(
-        F.md5(
-            F.concat(
-                F.lit("pq:"),
-                F.col("j").cast("string"),
-                F.lit(":"),
-                F.col("cid").cast("string"),
+        F.when(
+            F.col("j") == -1,
+            F.md5(F.concat(F.lit("ivf:"), F.col("cid").cast("string"))),
+        ).otherwise(
+            F.md5(
+                F.concat(
+                    F.lit("pq:"),
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("cid").cast("string"),
+                )
             )
         ),
         "cid",
     )
     picked = (
         lanes.withColumn("crank", F.row_number().over(wj) - 1)
-        .filter(F.col("crank") < ksub)
+        .filter(
+            F.col("crank")
+            < F.when(F.col("j") == -1, F.lit(n_lists)).otherwise(F.lit(ksub))
+        )
         .select("j", "crank", "cid", "cv")
         .collect()
     )
+    cent_rows = sorted(
+        (x for x in picked if x.j == -1), key=lambda x: x.crank
+    )
+    C = _int8_codes(np.asarray([r.cv for r in cent_rows], dtype=np.float64))
     cent_lists = [
         [
             (r.cid, r.cv)
