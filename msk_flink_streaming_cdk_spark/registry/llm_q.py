@@ -2203,6 +2203,28 @@ def shared_clustered_embeddings(spark, sf_dir: str):
     return df
 
 
+def shared_clustered_unit(spark, sf_dir: str):
+    """Session-memoized (vec_id, u) unit frame OF the clustered
+    fixture — ``shared_unit_embeddings`` for the planted-cluster
+    family (optimization round 15): the uniform graph-search twin
+    reads its session-shared unit frame while the clustered twin
+    re-derived and re-persisted one per call. In production both are
+    maintained tables next to their corpus."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir, "unit")
+    df = _CLUSTERED_MEMO.get(key)
+    if df is None:
+        df = materialize_once(
+            unit_vectors(shared_clustered_embeddings(spark, sf_dir))
+        )
+        _CLUSTERED_MEMO[key] = df
+    elif df.storageLevel == StorageLevel.NONE:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _CLUSTERED_MEMO[key] = df
+    return df
+
+
 def _clustered_queries(ce):
     return ce.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -3654,7 +3676,7 @@ def similarity_clustered_graph_recall(spark, sf_dir):
 
     ce = shared_clustered_embeddings(spark, sf_dir)
     q = _clustered_queries(ce)
-    unit = materialize_once(unit_vectors(ce))
+    unit = shared_clustered_unit(spark, sf_dir)
     bits = _auto_bits(ce, None)
     graph = nndescent_knn_graph(
         ce, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit
