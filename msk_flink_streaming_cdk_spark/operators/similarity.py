@@ -1158,6 +1158,7 @@ def nndescent_knn_graph(
     unit_df: DataFrame | None = None,
     int_planes: bool = False,
     span: int = 7,
+    hashed_df: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus via NN-Descent
     (Dong et al., WWW'11) — the graph-refined ANN tier the similarity
@@ -1272,27 +1273,22 @@ def nndescent_knn_graph(
     if n_bits is None:
         n = corpus.count()  # bounded scalar job, sizes the buckets
         n_bits = min(16, max(1, int(np.ceil(np.log2(max(n, 2) / 64)))))
-    if int_planes:
-        # md5-derived integer planes (round-14): the init bucketing
-        # becomes engine-reproducible, so an init-tier (n_rounds=0)
-        # graph replays bit-for-bit in SQL — the hash-checked
-        # graph-search pair is built on this.
-        bucket_udf = _int8_bucket_udf(
-            int_lsh_planes(dim, n_bits, n_tables, span)
-        )
-    else:
-        bucket_udf = _bucket_udf(
-            [
-                hyperplanes(dim, n_bits, seed + 1000 * t)
-                for t in range(n_tables)
-            ]
-        )
-    hashed = vecs.select(
-        "vec_id",
-        F.posexplode(bucket_udf(F.col("embedding"))).alias(
-            "table_id", "bucket"
-        ),
-    ).transform(materialize_once)
+    # ``hashed_df``: caller-persisted maintained (vec_id, table_id,
+    # bucket) frame for exactly ``corpus``'s rows under the SAME
+    # plane family (``lsh_hashed_frame``) — skips the hashing pass.
+    hashed = (
+        hashed_df
+        if hashed_df is not None
+        else lsh_hashed_frame(
+            vecs,
+            n_bits,
+            n_tables=n_tables,
+            seed=seed,
+            dim=dim,
+            int_planes=int_planes,
+            span=span,
+        ).transform(materialize_once)
+    )
     a, b = hashed.alias("a"), hashed.alias("b")
     init = (
         a.join(
@@ -1351,6 +1347,44 @@ def nndescent_knn_graph(
     )
 
 
+def lsh_hashed_frame(
+    corpus: DataFrame,
+    n_bits: int,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    int_planes: bool = False,
+    span: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table_id, bucket) sign-LSH frame of ``corpus`` — the
+    maintained table the graph-family docstrings describe
+    (optimization round 15): buckets are a per-row deterministic
+    function of (embedding, plane family), so ONE hashing pass can
+    feed a build, a query-time seeding, and a merge/compact repair
+    that previously each re-hashed the corpus themselves. Callers
+    pass the result (or an id-filtered subset — filtering commutes
+    with per-row hashing) as ``hashed_df`` to
+    ``nndescent_knn_graph`` / ``graph_search_topk`` /
+    ``nndescent_merge_batch`` / ``nndescent_forget_compact`` built
+    with the SAME (n_bits, n_tables, seed/int_planes, span) family."""
+    if int_planes:
+        bucket_udf = _int8_bucket_udf(
+            int_lsh_planes(dim, n_bits, n_tables, span)
+        )
+    else:
+        bucket_udf = _bucket_udf(
+            [hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
+        )
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(bucket_udf(F.col(vec_col))).alias(
+            "table_id", "bucket"
+        ),
+    )
+
+
 def _auto_bits(corpus: DataFrame, n_bits: int | None) -> int:
     """Count-derived sign-LSH bucket granularity (~64 vectors per
     bucket), shared by the NN-Descent init and the graph-search
@@ -1386,6 +1420,7 @@ def graph_search_topk(
     unit_df: DataFrame | None = None,
     int_planes: bool = False,
     span: int = 7,
+    hashed_df: DataFrame | None = None,
 ) -> DataFrame:
     """Query-time top-k over a maintained NN-Descent k-NN graph —
     the greedy graph-descent consumer the graph tier exists for (the
@@ -1452,11 +1487,18 @@ def graph_search_topk(
                 for t in range(n_tables)
             ]
         )
-    hashed = vecs.select(
-        "vec_id",
-        F.posexplode(bucket_udf(F.col("embedding"))).alias(
-            "table_id", "bucket"
-        ),
+    # ``hashed_df``: the maintained corpus hash frame (the docstring's
+    # production posture — optimization round 15); the queries below
+    # are still hashed here (a bounded batch).
+    hashed = (
+        hashed_df
+        if hashed_df is not None
+        else vecs.select(
+            "vec_id",
+            F.posexplode(bucket_udf(F.col("embedding"))).alias(
+                "table_id", "bucket"
+            ),
+        )
     )
     q_unit = unit_vectors(
         queries, id_col=query_id_col, vec_col=query_vec_col
@@ -1538,6 +1580,7 @@ def nndescent_merge_batch(
     expand_hops: int = 0,
     int_planes: bool = False,
     span: int = 7,
+    hashed_df: DataFrame | None = None,
 ) -> DataFrame:
     """Merge a new-vector batch into a maintained NN-Descent k-NN
     graph WITHOUT rebuilding it — the similarity-family analogue of
@@ -1628,7 +1671,11 @@ def nndescent_merge_batch(
             ),
         )
 
-    h_old = hash_side(old_vecs)
+    # ``hashed_df``: caller-persisted hash frame of exactly
+    # ``old_corpus``'s rows under the same family — the maintained
+    # table this docstring prescribes (optimization round 15); the
+    # batch is always hashed here (batch-sized work).
+    h_old = hashed_df if hashed_df is not None else hash_side(old_vecs)
     h_new = hash_side(new_vecs).transform(materialize_once)
     ob = (
         h_old.alias("o")
@@ -1733,6 +1780,7 @@ def nndescent_forget_compact(
     unit_df: DataFrame | None = None,
     int_planes: bool = False,
     span: int = 7,
+    hashed_df: DataFrame | None = None,
 ) -> DataFrame:
     """Compact a maintained NN-Descent k-NN graph after a deletion
     batch — the forget-side counterpart of ``nndescent_merge_batch``
@@ -1814,12 +1862,19 @@ def nndescent_forget_compact(
         bucket_udf = _bucket_udf(
             [hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
         )
-    hashed = survivors.select(
-        "vec_id",
-        F.posexplode(bucket_udf(F.col("embedding"))).alias(
-            "table_id", "bucket"
-        ),
-    ).transform(materialize_once)
+    # ``hashed_df``: caller-persisted hash frame of exactly the
+    # SURVIVING rows under the graph's family — the maintained table
+    # the 100 TB note below prescribes (optimization round 15).
+    hashed = (
+        hashed_df
+        if hashed_df is not None
+        else survivors.select(
+            "vec_id",
+            F.posexplode(bucket_udf(F.col("embedding"))).alias(
+                "table_id", "bucket"
+            ),
+        ).transform(materialize_once)
+    )
     h_touched = hashed.join(touched, "vec_id", "left_semi")
     cand = (
         h_touched.alias("a")

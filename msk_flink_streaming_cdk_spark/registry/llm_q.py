@@ -55,6 +55,7 @@ from ..operators.similarity import (
     int8_lsh_ann_topk,
     int8_pq_ann_topk,
     lsh_ann_topk,
+    lsh_hashed_frame,
     nndescent_knn_graph,
     unit_vectors,
 )
@@ -3508,11 +3509,20 @@ def similarity_int8_knn_merge(spark, sf_dir):
     bits = _auto_bits(emb, None)
     old = emb.filter(F.col("vec_id") % 5 != 0)
     batch = emb.filter(F.col("vec_id") % 5 == 0)
+    # ONE hashing pass for the old corpus, shared by the maintained
+    # build and the merge's repair side (optimization r15; buckets
+    # are per-row deterministic, so filtering the persisted frame is
+    # identical to re-hashing the filtered corpus).
+    h_old = materialize_once(
+        lsh_hashed_frame(old, bits, int_planes=True)
+    )
     g_old = nndescent_knn_graph(
-        old, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit
+        old, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit,
+        hashed_df=h_old,
     )
     return nndescent_merge_batch(
-        g_old, old, batch, k=5, n_bits=bits, int_planes=True, unit_df=unit
+        g_old, old, batch, k=5, n_bits=bits, int_planes=True, unit_df=unit,
+        hashed_df=h_old,
     ).select("vec_id", "nbr_id", "cosine", "rank")
 
 
@@ -3551,8 +3561,15 @@ def similarity_int8_knn_forget(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     unit = shared_unit_embeddings(spark, sf_dir)
     bits = _auto_bits(emb, None)
+    # ONE hashing pass: the maintained build reads the full frame,
+    # the compaction repair reads its survivor filter (buckets are
+    # per-row deterministic — optimization r15).
+    hashed = materialize_once(
+        lsh_hashed_frame(emb, bits, int_planes=True)
+    )
     graph = nndescent_knn_graph(
-        emb, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit
+        emb, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit,
+        hashed_df=hashed,
     )
     forget = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
     surv_unit = unit.join(
@@ -3563,6 +3580,7 @@ def similarity_int8_knn_forget(spark, sf_dir):
     return nndescent_forget_compact(
         graph, emb, forget, k=5, n_bits=bits, int_planes=True,
         unit_df=surv_unit,
+        hashed_df=hashed.filter(F.col("vec_id") % 7 != 0),
     ).select("vec_id", "nbr_id", "cosine", "rank")
 
 
@@ -3597,8 +3615,15 @@ def similarity_graph_search_int8_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     unit = shared_unit_embeddings(spark, sf_dir)
     bits = _auto_bits(emb, None)
+    # ONE hashing pass (optimization round 15): build and seeding
+    # share the maintained (vec_id, table_id, bucket) frame instead
+    # of each re-hashing the corpus with the same planes.
+    hashed = materialize_once(
+        lsh_hashed_frame(emb, bits, int_planes=True)
+    )
     graph = nndescent_knn_graph(
-        emb, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit
+        emb, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit,
+        hashed_df=hashed,
     )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -3613,6 +3638,7 @@ def similarity_graph_search_int8_topk(spark, sf_dir):
         n_bits=bits,
         int_planes=True,
         unit_df=unit,
+        hashed_df=hashed,
     ).select("query_id", "vec_id", "cosine", "rank")
 
 
@@ -3635,8 +3661,13 @@ def similarity_graph_search_int8_recall(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     unit = shared_unit_embeddings(spark, sf_dir)
     bits = _auto_bits(emb, None)
+    # ONE hashing pass shared by build + seeding (optimization r15).
+    hashed = materialize_once(
+        lsh_hashed_frame(emb, bits, int_planes=True)
+    )
     graph = nndescent_knn_graph(
-        emb, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit
+        emb, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit,
+        hashed_df=hashed,
     )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -3653,6 +3684,7 @@ def similarity_graph_search_int8_recall(spark, sf_dir):
             n_bits=bits,
             int_planes=True,
             unit_df=unit,
+            hashed_df=hashed,
         ),
         ["query_id", "vec_id"],
     )
@@ -3678,8 +3710,13 @@ def similarity_clustered_graph_recall(spark, sf_dir):
     q = _clustered_queries(ce)
     unit = shared_clustered_unit(spark, sf_dir)
     bits = _auto_bits(ce, None)
+    # ONE hashing pass shared by build + seeding (optimization r15).
+    hashed = materialize_once(
+        lsh_hashed_frame(ce, bits, int_planes=True)
+    )
     graph = nndescent_knn_graph(
-        ce, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit
+        ce, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit,
+        hashed_df=hashed,
     )
     return _pair_metrics(
         cosine_topk_bruteforce(ce, q, k=5),
@@ -3692,6 +3729,7 @@ def similarity_clustered_graph_recall(spark, sf_dir):
             n_bits=bits,
             int_planes=True,
             unit_df=unit,
+            hashed_df=hashed,
         ),
         ["query_id", "vec_id"],
     )
@@ -3736,14 +3774,20 @@ def similarity_incremental_knn_merge(spark, sf_dir):
     bits = _auto_bits(emb, None)
     old = emb.filter(F.col("vec_id") % 5 != 0)
     batch = emb.filter(F.col("vec_id") % 5 == 0)
+    # ONE full-corpus hashing pass feeds the maintained build (old
+    # filter), the merge's repair side (old filter), and the
+    # from-scratch rebuild — previously four passes (optimization
+    # r15; per-row buckets commute with id filters).
+    hashed = materialize_once(lsh_hashed_frame(emb, bits))
+    h_old = hashed.filter(F.col("vec_id") % 5 != 0)
     g_old = nndescent_knn_graph(
-        old, k=5, n_rounds=0, n_bits=bits, unit_df=unit
+        old, k=5, n_rounds=0, n_bits=bits, unit_df=unit, hashed_df=h_old
     )
     merged = nndescent_merge_batch(
-        g_old, old, batch, k=5, n_bits=bits, unit_df=unit
+        g_old, old, batch, k=5, n_bits=bits, unit_df=unit, hashed_df=h_old
     )
     rebuilt = nndescent_knn_graph(
-        emb, k=5, n_rounds=0, n_bits=bits, unit_df=unit
+        emb, k=5, n_rounds=0, n_bits=bits, unit_df=unit, hashed_df=hashed
     )
     cols = ["vec_id", "nbr_id", "cosine", "rank"]
     m = merged.select(*cols).withColumn("__m", F.lit(1))
@@ -3800,14 +3844,21 @@ def similarity_knn_forget_compact(spark, sf_dir):
     # made this the suite's slowest query at sf0.1: 8 tables x 625-row
     # buckets ~= 25M scored pairs).
     bits = _auto_bits(emb, None)
+    # ONE full-corpus hashing pass feeds the maintained build, the
+    # compaction repair (survivor filter), and the from-scratch
+    # survivor rebuild — previously three passes (optimization r15).
+    hashed = materialize_once(lsh_hashed_frame(emb, bits))
+    h_surv = hashed.filter(F.col("vec_id") % 7 != 0)
     g_full = nndescent_knn_graph(
-        emb, k=5, n_rounds=0, n_bits=bits, unit_df=unit
+        emb, k=5, n_rounds=0, n_bits=bits, unit_df=unit, hashed_df=hashed
     )
     compacted = nndescent_forget_compact(
-        g_full, emb, forget, k=5, n_bits=bits, unit_df=unit
+        g_full, emb, forget, k=5, n_bits=bits, unit_df=unit,
+        hashed_df=h_surv,
     )
     rebuilt = nndescent_knn_graph(
-        survivors, k=5, n_rounds=0, n_bits=bits, unit_df=unit
+        survivors, k=5, n_rounds=0, n_bits=bits, unit_df=unit,
+        hashed_df=h_surv,
     )
     cols = ["vec_id", "nbr_id", "cosine", "rank"]
     c = compacted.select(*cols).withColumn("__c", F.lit(1))
