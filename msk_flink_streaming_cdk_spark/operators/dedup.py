@@ -420,7 +420,12 @@ def minhash_lsh_pairs(
     # Band join on (band_id, band_hash) carries only ids — the heavy
     # shingle arrays are re-joined per UNIQUE candidate pair afterwards
     # (at 100 TB the band shuffle is the dominant cost; keep it narrow).
-    banded = minhash_bands(sh, num_perm, bands)
+    # Persisted (optimization round 15, guide §2.4/§5): BOTH self-join
+    # sides read this frame, and without the persist each side re-ran
+    # the 16-permutation signature projection over the cached shingles
+    # (the plan showed the array_min(transform(...)) block twice); one
+    # signature pass now feeds both sides.
+    banded = materialize_once(minhash_bands(sh, num_perm, bands))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -930,7 +935,11 @@ def containment_pairs(
         .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
         .select("s")
     )
-    rex = ex.join(rare, "s")
+    # Persisted (optimization round 15, guide §2.4/§5): both candidate
+    # self-join sides read rex; unpersisted, each side re-ran the
+    # explode + document-frequency aggregate + rare-filter join (two
+    # extra shuffles and a second full aggregate in the plan).
+    rex = materialize_once(ex.join(rare, "s"))
     cand = (
         rex.alias("a")
         .join(
@@ -1618,6 +1627,13 @@ def prefix_filter_jaccard_pairs(
             F.explode(F.slice("ts", 1, plen)).alias("t"),
         )
         .select("doc_id", F.col("t.h").alias("h"))
+        # Persisted (optimization round 15, guide §2.4/§5): both
+        # candidate self-join sides read ptok; unpersisted, each side
+        # re-ran the whole prefix derivation — explode, the
+        # vocabulary-frequency aggregate, the per-doc collect_list +
+        # array_sort, and the prefix slice-explode (the plan showed
+        # the subtree, including the df aggregate's exchange, twice).
+        .transform(materialize_once)
     )
     cand = (
         ptok.alias("a")

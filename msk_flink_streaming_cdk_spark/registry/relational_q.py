@@ -4001,6 +4001,11 @@ def dedup_edit_distance1_names(spark, sf_dir):
             )
         ).alias("variant"),
     ).distinct()
+    # Persisted (optimization round 15, guide §2.4/§5): both candidate
+    # self-join sides read variants; unpersisted, each side re-ran the
+    # deletion-variant explode and its distinct aggregate (a second
+    # full shuffle of the variant table).
+    variants = materialize_once(variants)
     a = variants.select(
         F.col("c_name").alias("name_a"), "variant"
     )
