@@ -3864,10 +3864,17 @@ def dq_schema_drift_events(spark, sf_dir):
         .alias("v_micro"),
         F.when(F.col("value").isNull(), 1).otherwise(0).alias("is_null"),
     )
-    s = h.groupBy("event_type", "half").agg(
-        F.count("*").alias("n"),
-        F.sum("v_micro").alias("sv"),
-        F.sum("is_null").alias("nn"),
+    # Persisted (optimization round 15, guide §2.4/§5): the k-row
+    # summary feeds BOTH sides of the half-vs-half self-join;
+    # unpersisted, each side re-ran the midpoint aggregate AND the
+    # full event projection+aggregate — four scans of the fact stream
+    # where two suffice (one for the midpoint, one for the grain).
+    s = materialize_once(
+        h.groupBy("event_type", "half").agg(
+            F.count("*").alias("n"),
+            F.sum("v_micro").alias("sv"),
+            F.sum("is_null").alias("nn"),
+        )
     )
     a = s.filter(F.col("half") == 0).alias("a")
     c = s.filter(F.col("half") == 1).alias("c")
