@@ -827,11 +827,16 @@ def kmeans_lloyd_int(emb: DataFrame, n_iters: int = 2) -> DataFrame:
         (F.col("dim0") + 1).alias("dim"),
         iv8(F.col("v")).alias("iv"),
     )
-    points = exi.select("vec_id", "dim", "iv")
+    # Loop-invariant frames, persisted once (optimization round 15,
+    # guide §2.4/§5): every iteration's centroid update re-reads
+    # ``points`` and every re-assignment re-reads ``varr``; unpersisted
+    # they re-ran the posexplode / quantize transform from the source
+    # per round (plan: 5 scans of embeddings -> 2).
+    points = materialize_once(exi.select("vec_id", "dim", "iv"))
     # the quantized vector as an array, straight from the source row —
     # no explode/collect round-trip (posexplode only feeds centroids)
-    varr = emb.select(
-        "vec_id", F.transform("embedding", iv8).alias("vec")
+    varr = materialize_once(
+        emb.select("vec_id", F.transform("embedding", iv8).alias("vec"))
     )
 
     assign = exi.select("vec_id", "cluster").distinct()

@@ -4606,8 +4606,15 @@ def text_bigram_perplexity(spark, sf_dir):
             lambda t: F.xxhash64(t),
         ).alias("hs"),
     )
-    uni = w.select(F.explode("hs").alias("h1")).groupBy("h1").agg(
-        F.count("*").alias("c1")
+    # Persisted (optimization round 15, guide §2.4/§5): uni feeds the
+    # vocab aggregate AND the score join; bgf feeds the bigram model
+    # AND the per-doc scoring — unpersisted, each consumer re-ran the
+    # tokenize+hash pass and the bigram explode+count shuffle (4 scans
+    # of documents -> 2). Both frames are narrow count tables.
+    uni = materialize_once(
+        w.select(F.explode("hs").alias("h1")).groupBy("h1").agg(
+            F.count("*").alias("c1")
+        )
     )
     bgf = (
         w.filter(F.size("hs") >= 2)
@@ -4627,6 +4634,7 @@ def text_bigram_perplexity(spark, sf_dir):
             F.col("bg.h2").alias("h2"),
         )
         .agg(F.count("*").alias("k"))
+        .transform(materialize_once)
     )
     bc = bgf.groupBy("h1", "h2").agg(F.sum("k").alias("c12"))
     v = uni.agg(F.count("*").alias("vocab"))
@@ -5086,7 +5094,12 @@ def text_source_cap_rebalance(spark, sf_dir):
     divide, floor-truncated at 4 decimals so no half-way digit splits
     the engines. Shape: one partial-agg scan to source grain, two
     one-row broadcasts — the fact scan never shuffles."""
-    s = (
+    # Persisted (optimization round 15, guide §2.4/§5): the
+    # |sources|-row token-count frame feeds the total, the cap
+    # projection and (through it) the capped-total — unpersisted, each
+    # consumer re-ran the grouped corpus scan (4 scans of documents
+    # -> 1).
+    s = materialize_once(
         _docs(spark, sf_dir)
         .groupBy("source")
         .agg(F.sum("n_chars").alias("n_tokens"))
@@ -6078,7 +6091,14 @@ def _bm25_scored(spark, sf_dir):
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), r"[\t\n\f\r ]+").alias("w"),
     )
-    dl = w.select("doc_id", F.size("w").cast("long").alias("dl"))
+    # Persisted (optimization round 15, guide §2.4/§5): dl feeds the
+    # corpus-stats aggregate AND the score join; tf feeds the df
+    # aggregate AND the score join — unpersisted, each consumer re-ran
+    # the corpus tokenization (4 scans of documents -> 2). Both frames
+    # are narrow (ids + a few longs), never the token arrays.
+    dl = materialize_once(
+        w.select("doc_id", F.size("w").cast("long").alias("dl"))
+    )
     stats = dl.agg(
         F.count("*").alias("n"), F.sum("dl").alias("total_dl")
     )
@@ -6098,14 +6118,14 @@ def _bm25_scored(spark, sf_dir):
             )
         ).alias("e"),
     ).select("doc_id", "e.term", "e.tf")
+    tf = materialize_once(tf.filter(F.col("tf") > 0))
     df_ = (
-        tf.filter(F.col("tf") > 0)
+        tf
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
     scored = (
-        tf.filter(F.col("tf") > 0)
-        .join(F.broadcast(df_), "term")
+        tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -6408,8 +6428,15 @@ def text_temperature_mixture(spark, sf_dir):
     prefix, identical hex arithmetic in both engines. One grouped
     scan + two scalar broadcasts + an md5-filtered scan — the fact
     table never shuffles."""
-    s = _docs(spark, sf_dir).groupBy("source").agg(
-        F.sum("n_chars").alias("n_tokens")
+    # Persisted (optimization round 15, guide §2.4/§5): the |sources|-row
+    # token-count frame feeds the corpus total, the weight projection
+    # and (through it) the normalizer — unpersisted, each consumer
+    # re-ran the grouped corpus scan (plan: 4 aggregate scans of
+    # documents -> 1, plus the final admission scan).
+    s = materialize_once(
+        _docs(spark, sf_dir).groupBy("source").agg(
+            F.sum("n_chars").alias("n_tokens")
+        )
     )
     tot = s.agg(F.sum("n_tokens").alias("tot"))
     w = s.crossJoin(F.broadcast(tot)).select(
@@ -7373,12 +7400,23 @@ def text_pmi_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(
         F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
     )
-    t = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.trim("text")), r"[\t\n\f\r ]+"))
-        ).alias("term"),
-    ).filter(F.col("term").rlike("^[a-z]{3,}$")).distinct()
+    # Persisted (optimization round 15, guide §2.4/§5): the tokenized
+    # (doc_id, term) frame feeds THREE consumers — the term-count
+    # aggregate and both sides of the per-doc pair self-join;
+    # unpersisted, the corpus tokenization (split + regex + distinct)
+    # ran three times (plan: 5 scans of documents -> 2).
+    t = materialize_once(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim("text")), r"[\t\n\f\r ]+")
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("term").rlike("^[a-z]{3,}$"))
+        .distinct()
+    )
     cnt = t.groupBy("term").agg(F.count("*").alias("c"))
     # Top-50 via orderBy+limit -> TakeOrderedAndProject (per-partition
     # heap + driver merge), NOT an unpartitioned row_number() window,
@@ -7581,6 +7619,11 @@ def dq_source_overlap_matrix(spark, sf_dir):
             ).alias("f"),
         )
         .distinct()
+        # Persisted (optimization round 15, guide §2.4/§5): feeds the
+        # per-source size aggregate AND both sides of the fingerprint
+        # self-join; unpersisted, the tokenize+md5+distinct pass over
+        # the corpus ran three times (plan: 4 scans of documents -> 1).
+        .transform(materialize_once)
     )
     sz = fp.groupBy("source").agg(F.count("*").alias("n"))
     a = fp.select(F.col("source").alias("source_a"), "f")
@@ -8185,6 +8228,17 @@ def dq_ks_drift_by_source(spark, sf_dir):
     distinct values, bin first — the statistic then bounds the true
     D by the bin width."""
     d = _docs(spark, sf_dir)
+    # Examined and REVERTED (optimization round 15): persisting the
+    # (source, length) count grid and deriving vals/srcs/tot/gc from
+    # it collapses 5 scans of documents to 1 — but the interleaved
+    # worktree A/B measured a consistent ~2x LOCAL pessimization
+    # (6/6 pairs, base run-min 0.71-0.97s vs 1.34-2.9s): the cache
+    # boundary pins the grid's shuffle layout, blocking the
+    # end-to-end AQE planning of the window chain downstream
+    # (canChangeCachedPlanOutputPartitioning=false). Each aggregate
+    # below is one narrow pass over a pruned scan; at 100 TB the
+    # single-scan form wins on I/O and SHOULD be revisited with an
+    # explicit post-cache repartition — rejected here by measurement.
     vals = d.select(F.col("n_chars").alias("x")).distinct()
     srcs = d.groupBy("source").agg(F.count("*").alias("n_s"))
     tot = d.agg(F.count("*").alias("n"))

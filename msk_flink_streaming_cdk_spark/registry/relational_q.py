@@ -828,9 +828,16 @@ def sketch_hll_users_by_type(spark, sf_dir):
     production; they exist so the driver's rows-only check sees real
     accuracy numbers — floors pinned in tests/test_approx_aggs.py)."""
     ev = _t(spark, sf_dir, "events")
-    sk = ev.groupBy("event_type").agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sk"),
-        F.countDistinct("user_id").alias("exact_users"),
+    # Persisted (optimization round 15, guide §2.4/§5): the per-type
+    # sketch frame feeds the per-group rows AND the ALL union-row
+    # re-aggregation; unpersisted, the sketch-building scan ran twice.
+    # (Sketches being mergeable is the point — the union row must
+    # come from these sketches, not a second pass.)
+    sk = materialize_once(
+        ev.groupBy("event_type").agg(
+            F.expr("hll_sketch_agg(user_id)").alias("sk"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
     )
     per = sk.select(
         "event_type",
@@ -4919,10 +4926,12 @@ def dq_expectation_suite(spark, sf_dir):
     Scale shape: all same-table rules share ONE scan via conditional
     aggregation then stack() to rows (orders scanned once for rules
     1-3, lineitem once for 4-5), uniqueness is a two-level count
-    distinct, and the two join rules are plain equi-joins (anti shape
-    for referential, inner for cross-column) the optimizer is free to
-    broadcast or shuffle by size. Eight rules cost 3 scans + 2 joins
-    at any scale.
+    distinct, and the two join rules share ONE left equi-join
+    (optimization round 15: a null match IS the referential violation,
+    and the cross-column comparison evaluates only on matched rows —
+    count-identical to the old anti + inner pair) the optimizer is
+    free to broadcast or shuffle by size. Eight rules cost 3 scans +
+    1 join at any scale.
 
     Bench A/B (r12, the r11 vs_prev watch row ~0.95->1.50s): code
     UNCHANGED since r10; alternating HEAD-vs-r10-worktree subset runs
@@ -4953,18 +4962,14 @@ def dq_expectation_suite(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").agg(
         (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("r6")
     )
-    ref = (
-        _t(spark, sf_dir, "lineitem")
-        .join(
-            _t(spark, sf_dir, "orders").select(
-                F.col("o_orderkey").alias("l_orderkey")
-            ),
-            "l_orderkey",
-            "left_anti",
-        )
-        .agg(F.count(F.lit(1)).alias("r7"))
-    )
-    shp = (
+    # Rules 7 and 8 share ONE left join (optimization round 15, guide
+    # §2.4): the referential violation is a null match (exactly the
+    # rows the anti join returned — unmatched rows survive a left join
+    # once regardless of right-side multiplicity) and the cross-column
+    # rule only evaluates on matched rows (its old inner join), so one
+    # lineitem+orders join replaces two — one fewer scan of EACH table
+    # and one fewer join at any scale. Counts are identical.
+    refshp = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_shipdate")
         .join(
@@ -4972,13 +4977,17 @@ def dq_expectation_suite(spark, sf_dir):
                 F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
             ),
             "l_orderkey",
+            "left",
         )
         .agg(
+            F.sum(
+                F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)
+            ).alias("r7"),
             F.sum(
                 F.when(
                     F.col("l_shipdate") < F.col("o_orderdate"), 1
                 ).otherwise(0)
-            ).alias("r8")
+            ).alias("r8"),
         )
     )
     stacked = (
@@ -5009,21 +5018,13 @@ def dq_expectation_suite(spark, sf_dir):
             )
         )
         .unionAll(
-            ref.select(
-                F.lit(7).alias("rule_id"),
-                F.lit("lineitem.l_orderkey REFERENCES orders").alias(
-                    "rule"
-                ),
-                F.col("r7").alias("violations"),
-            )
-        )
-        .unionAll(
-            shp.select(
-                F.lit(8).alias("rule_id"),
-                F.lit(
-                    "lineitem.l_shipdate >= orders.o_orderdate"
-                ).alias("rule"),
-                F.col("r8").alias("violations"),
+            refshp.select(
+                F.expr(
+                    "stack(2,"
+                    " 7, 'lineitem.l_orderkey REFERENCES orders', r7,"
+                    " 8, 'lineitem.l_shipdate >= orders.o_orderdate', r8)"
+                    " as (rule_id, rule, violations)"
+                )
             )
         )
     )
