@@ -357,6 +357,21 @@ def _streaming_rate(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _loadavg() -> float | None:
+    """1-minute /proc/loadavg sample — recorded per query into the
+    FULL record (round 16, VERDICT r15 #6): the r15 32-core driver run
+    showed 3-5x phantom inflations on untouched queries while its own
+    8-core run reproduced r14, and triaging that required a fresh
+    worktree A/B. With a load sample next to every per-query second, a
+    contaminated window is diagnosable from the committed artifact
+    alone. Additive field; the compact driver line is unchanged."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -414,6 +429,7 @@ def main() -> None:
         else HEADLINE
     )
     timings: dict[str, float] = {}
+    load_per_query: dict[str, float] = {}
     import gc
 
     from msk_flink_streaming_cdk_spark.registry.llm_q import bench_warm
@@ -463,6 +479,9 @@ def main() -> None:
         if extra:
             burst_retries[name] = extra
         timings[name] = round(best, 3)
+        la = _loadavg()
+        if la is not None:
+            load_per_query[name] = la
         # Per-query isolation, outside the timed region: drop this
         # query's persisted frames and let the JVM reclaim
         # localCheckpoint RDD blocks — otherwise storage from 70+
@@ -577,6 +596,10 @@ def main() -> None:
     )
     full = dict(out)
     full["round_guess"] = max_n + 1
+    if load_per_query:
+        # Contamination forensics (VERDICT r15 #6): the 1-min host
+        # load sampled right after each query's timing window.
+        full["loadavg_per_query"] = load_per_query
     # Who ran this record (VERDICT r11 #5): the builder session exports
     # SPARK_GRAFT_BENCH_PROVENANCE=builder around its own runs; any
     # other invocation (the external driver's per-round pass in

@@ -1164,6 +1164,7 @@ def nndescent_knn_graph(
     int_planes: bool = False,
     span: int = 7,
     hashed_df: DataFrame | None = None,
+    scored_df: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus via NN-Descent
     (Dong et al., WWW'11) — the graph-refined ANN tier the similarity
@@ -1278,36 +1279,33 @@ def nndescent_knn_graph(
     if n_bits is None:
         n = corpus.count()  # bounded scalar job, sizes the buckets
         n_bits = min(16, max(1, int(np.ceil(np.log2(max(n, 2) / 64)))))
-    # ``hashed_df``: caller-persisted maintained (vec_id, table_id,
-    # bucket) frame for exactly ``corpus``'s rows under the SAME
-    # plane family (``lsh_hashed_frame``) — skips the hashing pass.
-    hashed = (
-        hashed_df
-        if hashed_df is not None
-        else lsh_hashed_frame(
-            vecs,
-            n_bits,
-            n_tables=n_tables,
-            seed=seed,
-            dim=dim,
-            int_planes=int_planes,
-            span=span,
-        ).transform(materialize_once)
-    )
-    a, b = hashed.alias("a"), hashed.alias("b")
-    init = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+    # ``scored_df``: caller-persisted SCORED init-candidate frame
+    # (src, dst, cosine) — exactly ``lsh_scored_candidates`` of this
+    # corpus's hashed frame under the same family (or an id-filtered
+    # view of a superset's, which is bit-identical because buckets and
+    # cosines are per-row/per-pair functions). Skips BOTH the hashing
+    # and the init scoring pass (optimization round 16).
+    if scored_df is not None:
+        init_scored = scored_df
+    else:
+        # ``hashed_df``: caller-persisted maintained (vec_id, table_id,
+        # bucket) frame for exactly ``corpus``'s rows under the SAME
+        # plane family (``lsh_hashed_frame``) — skips the hashing pass.
+        hashed = (
+            hashed_df
+            if hashed_df is not None
+            else lsh_hashed_frame(
+                vecs,
+                n_bits,
+                n_tables=n_tables,
+                seed=seed,
+                dim=dim,
+                int_planes=int_planes,
+                span=span,
+            ).transform(materialize_once)
         )
-        .select(
-            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
-        )
-        .dropDuplicates(["src", "dst"])
-    )
-    g = topk(score(init)).transform(materialize_once)
+        init_scored = lsh_scored_candidates(hashed, unit)
+    g = topk(init_scored).transform(materialize_once)
     for _ in range(int(n_rounds)):
         # LAZY lineage cut (optimization round 15; guide §5): the
         # plan truncation (LogicalRDD) is identical either way; eager
@@ -1387,6 +1385,60 @@ def lsh_hashed_frame(
         F.posexplode(bucket_udf(F.col(vec_col))).alias(
             "table_id", "bucket"
         ),
+    )
+
+
+def lsh_scored_candidates(
+    hashed: DataFrame,
+    unit: DataFrame,
+) -> DataFrame:
+    """(src, dst, cosine) — the SCORED init-tier candidate frame: every
+    distinct ordered sign-LSH self-collision pair of ``hashed``
+    (``lsh_hashed_frame`` layout), exact-unit-dot scored at the
+    family's 9dp rounding. This is precisely the frame
+    ``nndescent_knn_graph(n_rounds=0)`` ranks, factored out
+    (optimization round 16) so the audit queries that build TWO graphs
+    over overlapping corpora (merge/forget lifecycle: maintained build
+    + from-scratch rebuild + repair) can compute the scoring subtree
+    ONCE and feed each leg an id-filtered view — per-row buckets and
+    per-pair cosines are corpus-independent, so filtering the persisted
+    frame is bit-identical to re-scoring the filtered corpus's
+    collisions. Callers persist the result (``materialize_once``) and
+    pass slices via the ``scored_df`` params of the graph functions.
+
+    At 100 TB the scoring pass (|collisions| x O(dim) dots) dominates
+    these audits; sharing it halves the dominant term the same way the
+    round-15 ``lsh_hashed_frame`` sharing halved the hashing passes.
+    """
+    a, b = hashed.alias("a"), hashed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    return (
+        pairs.join(
+            unit.select(F.col("vec_id").alias("src"), F.col("u").alias("us")),
+            "src",
+        )
+        .join(
+            unit.select(F.col("vec_id").alias("dst"), F.col("u").alias("ud")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.round(dot_product_col(F.col("us"), F.col("ud")), 9).alias(
+                "cosine"
+            ),
+        )
     )
 
 
@@ -1586,6 +1638,7 @@ def nndescent_merge_batch(
     int_planes: bool = False,
     span: int = 7,
     hashed_df: DataFrame | None = None,
+    scored_cand_df: DataFrame | None = None,
 ) -> DataFrame:
     """Merge a new-vector batch into a maintained NN-Descent k-NN
     graph WITHOUT rebuilding it — the similarity-family analogue of
@@ -1655,100 +1708,126 @@ def nndescent_merge_batch(
         if unit_df is not None
         else unit_vectors(full).transform(materialize_once)
     )
-    bits = _auto_bits(full, n_bits)
-    if int_planes:
-        # md5-derived integer planes (round-14): with an int-plane
-        # maintained graph the merged result is SQL-replayable —
-        # see similarity_int8_knn_merge.
-        bucket_udf = _int8_bucket_udf(
-            int_lsh_planes(dim, bits, n_tables, span)
-        )
-    else:
-        bucket_udf = _bucket_udf(
-            [hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
-        )
-
-    def hash_side(df: DataFrame) -> DataFrame:
-        return df.select(
-            "vec_id",
-            F.posexplode(bucket_udf(F.col("embedding"))).alias(
-                "table_id", "bucket"
-            ),
-        )
-
-    # ``hashed_df``: caller-persisted hash frame of exactly
-    # ``old_corpus``'s rows under the same family — the maintained
-    # table this docstring prescribes (optimization round 15); the
-    # batch is always hashed here (batch-sized work).
-    h_old = hashed_df if hashed_df is not None else hash_side(old_vecs)
-    h_new = hash_side(new_vecs).transform(materialize_once)
-    ob = (
-        h_old.alias("o")
-        .join(h_new.alias("n"), ["table_id", "bucket"])
-        .filter(F.col("o.vec_id") != F.col("n.vec_id"))
-        .select(
-            F.col("o.vec_id").alias("src"), F.col("n.vec_id").alias("dst")
-        )
-    )
-    nn_pairs = (
-        h_new.alias("a")
-        .join(h_new.alias("b"), ["table_id", "bucket"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
-        )
-    )
-    cand = (
-        ob.unionByName(ob.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst")))
-        .unionByName(nn_pairs)
-        .dropDuplicates(["src", "dst"])
-        .transform(materialize_once)
-    )
     g_edges = graph.select(
         F.col("vec_id").alias("src"),
         F.col("nbr_id").alias("dst"),
         "cosine",
     )
-    for _ in range(int(expand_hops)):
-        nbrs = g_edges.select(
-            F.col("src").alias("via"), F.col("dst").alias("nbr")
+    if scored_cand_df is not None:
+        # ``scored_cand_df``: caller-persisted SCORED candidate frame
+        # — the batch-involving slice of ``lsh_scored_candidates``
+        # over the FULL (old ∪ batch) corpus under the graph's family
+        # (optimization round 16). Set-equal to the hashed path below:
+        # the full collision set restricted to pairs with a batch
+        # endpoint is exactly ob ∪ reverse(ob) ∪ nn_pairs (the
+        # collision self-join emits both directions), and the cosines
+        # come from the same unit frame at the same 9dp rounding.
+        # ``expand_hops`` walks the graph beyond the collision set, so
+        # this fast path only applies to the init-tier merge.
+        assert int(expand_hops) == 0, (
+            "scored_cand_df covers bucket collisions only; "
+            "expand_hops > 0 must score its own expansion pairs"
         )
-        ext = (
-            cand.join(nbrs, cand["dst"] == nbrs["via"])
-            .select("src", F.col("nbr").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
+        scored_fresh = scored_cand_df.join(
+            g_edges.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).transform(materialize_once)
+    else:
+        bits = _auto_bits(full, n_bits)
+        if int_planes:
+            # md5-derived integer planes (round-14): with an int-plane
+            # maintained graph the merged result is SQL-replayable —
+            # see similarity_int8_knn_merge.
+            bucket_udf = _int8_bucket_udf(
+                int_lsh_planes(dim, bits, n_tables, span)
+            )
+        else:
+            bucket_udf = _bucket_udf(
+                [
+                    hyperplanes(dim, bits, seed + 1000 * t)
+                    for t in range(n_tables)
+                ]
+            )
+
+        def hash_side(df: DataFrame) -> DataFrame:
+            return df.select(
+                "vec_id",
+                F.posexplode(bucket_udf(F.col("embedding"))).alias(
+                    "table_id", "bucket"
+                ),
+            )
+
+        # ``hashed_df``: caller-persisted hash frame of exactly
+        # ``old_corpus``'s rows under the same family — the maintained
+        # table this docstring prescribes (optimization round 15); the
+        # batch is always hashed here (batch-sized work).
+        h_old = hashed_df if hashed_df is not None else hash_side(old_vecs)
+        h_new = hash_side(new_vecs).transform(materialize_once)
+        ob = (
+            h_old.alias("o")
+            .join(h_new.alias("n"), ["table_id", "bucket"])
+            .filter(F.col("o.vec_id") != F.col("n.vec_id"))
+            .select(
+                F.col("o.vec_id").alias("src"), F.col("n.vec_id").alias("dst")
+            )
         )
-        rext = ext.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
+        nn_pairs = (
+            h_new.alias("a")
+            .join(h_new.alias("b"), ["table_id", "bucket"])
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+            )
         )
         cand = (
-            cand.unionByName(ext)
-            .unionByName(rext)
+            ob.unionByName(ob.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+            .unionByName(nn_pairs)
             .dropDuplicates(["src", "dst"])
             .transform(materialize_once)
         )
-    fresh = cand.join(
-        g_edges.select("src", "dst"), ["src", "dst"], "left_anti"
-    )
-    scored_fresh = (
-        fresh.join(
-            unit.select(F.col("vec_id").alias("src"), F.col("u").alias("us")),
-            "src",
+        for _ in range(int(expand_hops)):
+            nbrs = g_edges.select(
+                F.col("src").alias("via"), F.col("dst").alias("nbr")
+            )
+            ext = (
+                cand.join(nbrs, cand["dst"] == nbrs["via"])
+                .select("src", F.col("nbr").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+            )
+            rext = ext.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+            cand = (
+                cand.unionByName(ext)
+                .unionByName(rext)
+                .dropDuplicates(["src", "dst"])
+                .transform(materialize_once)
+            )
+        fresh = cand.join(
+            g_edges.select("src", "dst"), ["src", "dst"], "left_anti"
         )
-        .join(
-            unit.select(F.col("vec_id").alias("dst"), F.col("u").alias("ud")),
-            "dst",
+        scored_fresh = (
+            fresh.join(
+                unit.select(
+                    F.col("vec_id").alias("src"), F.col("u").alias("us")
+                ),
+                "src",
+            )
+            .join(
+                unit.select(
+                    F.col("vec_id").alias("dst"), F.col("u").alias("ud")
+                ),
+                "dst",
+            )
+            .select(
+                "src",
+                "dst",
+                F.round(dot_product_col(F.col("us"), F.col("ud")), 9).alias(
+                    "cosine"
+                ),
+            )
+            .transform(materialize_once)
         )
-        .select(
-            "src",
-            "dst",
-            F.round(dot_product_col(F.col("us"), F.col("ud")), 9).alias(
-                "cosine"
-            ),
-        )
-        .transform(materialize_once)
-    )
     touched = scored_fresh.select("src").distinct()
     kept = graph.join(
         touched.select(F.col("src").alias("vec_id")), "vec_id", "left_anti"
@@ -1786,6 +1865,7 @@ def nndescent_forget_compact(
     int_planes: bool = False,
     span: int = 7,
     hashed_df: DataFrame | None = None,
+    scored_df: DataFrame | None = None,
 ) -> DataFrame:
     """Compact a maintained NN-Descent k-NN graph after a deletion
     batch — the forget-side counterpart of ``nndescent_merge_batch``
@@ -1855,64 +1935,87 @@ def nndescent_forget_compact(
         .distinct()
         .transform(materialize_once)
     )
-    bits = _auto_bits(survivors, n_bits)
-    if int_planes:
-        # md5-derived integer planes (round-14): with an int-plane
-        # maintained graph the compacted result is SQL-replayable —
-        # see similarity_int8_knn_forget.
-        bucket_udf = _int8_bucket_udf(
-            int_lsh_planes(dim, bits, n_tables, span)
-        )
-    else:
-        bucket_udf = _bucket_udf(
-            [hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
-        )
-    # ``hashed_df``: caller-persisted hash frame of exactly the
-    # SURVIVING rows under the graph's family — the maintained table
-    # the 100 TB note below prescribes (optimization round 15).
-    hashed = (
-        hashed_df
-        if hashed_df is not None
-        else survivors.select(
-            "vec_id",
-            F.posexplode(bucket_udf(F.col("embedding"))).alias(
-                "table_id", "bucket"
-            ),
-        ).transform(materialize_once)
-    )
-    h_touched = hashed.join(touched, "vec_id", "left_semi")
-    cand = (
-        h_touched.alias("a")
-        .join(hashed.alias("b"), ["table_id", "bucket"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
-        )
-        .dropDuplicates(["src", "dst"])
-    )
     kept_edges = kept.select(
         F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"), "cosine"
     )
-    fresh = cand.join(
-        kept_edges.select("src", "dst"), ["src", "dst"], "left_anti"
-    )
-    scored_fresh = (
-        fresh.join(
-            unit.select(F.col("vec_id").alias("src"), F.col("u").alias("us")),
-            "src",
+    if scored_df is not None:
+        # ``scored_df``: caller-persisted SCORED survivor-collision
+        # frame (``lsh_scored_candidates`` of the surviving corpus's
+        # hashed frame under the graph's family — optimization round
+        # 16): the repair's candidates are its touched-source slice,
+        # already scored, so the repair SHARES the rebuild leg's one
+        # scoring pass instead of re-scoring its candidate subset.
+        # Set-equal to the hashed path below: per-node buckets are
+        # corpus-independent, so the touched slice of the survivor
+        # collision set IS h_touched x hashed, and the cosine values
+        # come from the same unit frame at the same 9dp rounding.
+        scored_fresh = scored_df.join(
+            touched.select(F.col("vec_id").alias("src")), "src", "left_semi"
+        ).join(kept_edges.select("src", "dst"), ["src", "dst"], "left_anti")
+    else:
+        bits = _auto_bits(survivors, n_bits)
+        if int_planes:
+            # md5-derived integer planes (round-14): with an int-plane
+            # maintained graph the compacted result is SQL-replayable —
+            # see similarity_int8_knn_forget.
+            bucket_udf = _int8_bucket_udf(
+                int_lsh_planes(dim, bits, n_tables, span)
+            )
+        else:
+            bucket_udf = _bucket_udf(
+                [
+                    hyperplanes(dim, bits, seed + 1000 * t)
+                    for t in range(n_tables)
+                ]
+            )
+        # ``hashed_df``: caller-persisted hash frame of exactly the
+        # SURVIVING rows under the graph's family — the maintained
+        # table the 100 TB note below prescribes (optimization r15).
+        hashed = (
+            hashed_df
+            if hashed_df is not None
+            else survivors.select(
+                "vec_id",
+                F.posexplode(bucket_udf(F.col("embedding"))).alias(
+                    "table_id", "bucket"
+                ),
+            ).transform(materialize_once)
         )
-        .join(
-            unit.select(F.col("vec_id").alias("dst"), F.col("u").alias("ud")),
-            "dst",
+        h_touched = hashed.join(touched, "vec_id", "left_semi")
+        cand = (
+            h_touched.alias("a")
+            .join(hashed.alias("b"), ["table_id", "bucket"])
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"),
+            )
+            .dropDuplicates(["src", "dst"])
         )
-        .select(
-            "src",
-            "dst",
-            F.round(dot_product_col(F.col("us"), F.col("ud")), 9).alias(
-                "cosine"
-            ),
+        fresh = cand.join(
+            kept_edges.select("src", "dst"), ["src", "dst"], "left_anti"
         )
-    )
+        scored_fresh = (
+            fresh.join(
+                unit.select(
+                    F.col("vec_id").alias("src"), F.col("u").alias("us")
+                ),
+                "src",
+            )
+            .join(
+                unit.select(
+                    F.col("vec_id").alias("dst"), F.col("u").alias("ud")
+                ),
+                "dst",
+            )
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    dot_product_col(F.col("us"), F.col("ud")), 9
+                ).alias("cosine"),
+            )
+        )
     untouched = kept.join(touched, "vec_id", "left_anti")
     w = Window.partitionBy("src").orderBy(
         F.col("cosine").desc(), F.col("dst")

@@ -56,6 +56,7 @@ from ..operators.similarity import (
     int8_pq_ann_topk,
     lsh_ann_topk,
     lsh_hashed_frame,
+    lsh_scored_candidates,
     nndescent_knn_graph,
     unit_vectors,
 )
@@ -3561,15 +3562,22 @@ def similarity_int8_knn_forget(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     unit = shared_unit_embeddings(spark, sf_dir)
     bits = _auto_bits(emb, None)
-    # ONE hashing pass: the maintained build reads the full frame,
-    # the compaction repair reads its survivor filter (buckets are
-    # per-row deterministic — optimization r15).
-    hashed = materialize_once(
-        lsh_hashed_frame(emb, bits, int_planes=True)
+    # ONE hashing pass AND one scoring pass (optimization r16,
+    # extending the r15 hash-frame sharing): the scored full
+    # collision frame feeds the maintained build directly and the
+    # compaction repair as its survivors slice — previously the
+    # repair re-scored the touched subset the build had already
+    # scored. Buckets and cosines are per-row/per-pair functions, so
+    # the filtered view is bit-identical to re-scoring (the oracle
+    # hash proves it end-to-end).
+    scored = materialize_once(
+        lsh_scored_candidates(
+            lsh_hashed_frame(emb, bits, int_planes=True), unit
+        )
     )
     graph = nndescent_knn_graph(
         emb, k=5, n_rounds=0, n_bits=bits, int_planes=True, unit_df=unit,
-        hashed_df=hashed,
+        scored_df=scored,
     )
     forget = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
     surv_unit = unit.join(
@@ -3580,7 +3588,9 @@ def similarity_int8_knn_forget(spark, sf_dir):
     return nndescent_forget_compact(
         graph, emb, forget, k=5, n_bits=bits, int_planes=True,
         unit_df=surv_unit,
-        hashed_df=hashed.filter(F.col("vec_id") % 7 != 0),
+        scored_df=scored.filter(
+            (F.col("src") % 7 != 0) & (F.col("dst") % 7 != 0)
+        ),
     ).select("vec_id", "nbr_id", "cosine", "rank")
 
 
@@ -3774,20 +3784,32 @@ def similarity_incremental_knn_merge(spark, sf_dir):
     bits = _auto_bits(emb, None)
     old = emb.filter(F.col("vec_id") % 5 != 0)
     batch = emb.filter(F.col("vec_id") % 5 == 0)
-    # ONE full-corpus hashing pass feeds the maintained build (old
-    # filter), the merge's repair side (old filter), and the
-    # from-scratch rebuild — previously four passes (optimization
-    # r15; per-row buckets commute with id filters).
-    hashed = materialize_once(lsh_hashed_frame(emb, bits))
-    h_old = hashed.filter(F.col("vec_id") % 5 != 0)
+    # ONE full-corpus hashing pass AND one scoring pass (optimization
+    # r16, extending the r15 hash-frame sharing): the scored full
+    # collision frame feeds the rebuild directly, the maintained
+    # build as its both-endpoints-old slice, and the merge's fresh
+    # candidates as its batch-involving slice — previously the
+    # old-build + merge pair scored the full collision set once
+    # (disjoint halves) and the rebuild scored it AGAIN (2x total).
+    # Per-row buckets and per-pair cosines are corpus-independent, so
+    # the filtered views are bit-identical to per-leg re-scoring.
+    scored = materialize_once(
+        lsh_scored_candidates(lsh_hashed_frame(emb, bits), unit)
+    )
     g_old = nndescent_knn_graph(
-        old, k=5, n_rounds=0, n_bits=bits, unit_df=unit, hashed_df=h_old
+        old, k=5, n_rounds=0, n_bits=bits, unit_df=unit,
+        scored_df=scored.filter(
+            (F.col("src") % 5 != 0) & (F.col("dst") % 5 != 0)
+        ),
     )
     merged = nndescent_merge_batch(
-        g_old, old, batch, k=5, n_bits=bits, unit_df=unit, hashed_df=h_old
+        g_old, old, batch, k=5, n_bits=bits, unit_df=unit,
+        scored_cand_df=scored.filter(
+            (F.col("src") % 5 == 0) | (F.col("dst") % 5 == 0)
+        ),
     )
     rebuilt = nndescent_knn_graph(
-        emb, k=5, n_rounds=0, n_bits=bits, unit_df=unit, hashed_df=hashed
+        emb, k=5, n_rounds=0, n_bits=bits, unit_df=unit, scored_df=scored
     )
     cols = ["vec_id", "nbr_id", "cosine", "rank"]
     m = merged.select(*cols).withColumn("__m", F.lit(1))
@@ -3844,21 +3866,31 @@ def similarity_knn_forget_compact(spark, sf_dir):
     # made this the suite's slowest query at sf0.1: 8 tables x 625-row
     # buckets ~= 25M scored pairs).
     bits = _auto_bits(emb, None)
-    # ONE full-corpus hashing pass feeds the maintained build, the
-    # compaction repair (survivor filter), and the from-scratch
-    # survivor rebuild — previously three passes (optimization r15).
-    hashed = materialize_once(lsh_hashed_frame(emb, bits))
-    h_surv = hashed.filter(F.col("vec_id") % 7 != 0)
+    # ONE full-corpus hashing pass AND one scoring pass (optimization
+    # r16, extending the r15 hash-frame sharing): the scored
+    # collision frame feeds the maintained build directly, the
+    # survivor rebuild as its both-endpoints-survive slice, and the
+    # compaction repair as its touched-source slice — previously the
+    # build and the rebuild each re-scored their collision set (~1.7x
+    # the pairs) and the repair re-scored its subset a third time.
+    # Per-row buckets and per-pair cosines are corpus-independent, so
+    # the filtered views are bit-identical to per-leg re-scoring.
+    scored = materialize_once(
+        lsh_scored_candidates(lsh_hashed_frame(emb, bits), unit)
+    )
+    scored_surv = scored.filter(
+        (F.col("src") % 7 != 0) & (F.col("dst") % 7 != 0)
+    )
     g_full = nndescent_knn_graph(
-        emb, k=5, n_rounds=0, n_bits=bits, unit_df=unit, hashed_df=hashed
+        emb, k=5, n_rounds=0, n_bits=bits, unit_df=unit, scored_df=scored
     )
     compacted = nndescent_forget_compact(
         g_full, emb, forget, k=5, n_bits=bits, unit_df=unit,
-        hashed_df=h_surv,
+        scored_df=scored_surv,
     )
     rebuilt = nndescent_knn_graph(
         survivors, k=5, n_rounds=0, n_bits=bits, unit_df=unit,
-        hashed_df=h_surv,
+        scored_df=scored_surv,
     )
     cols = ["vec_id", "nbr_id", "cosine", "rank"]
     c = compacted.select(*cols).withColumn("__c", F.lit(1))
@@ -6835,14 +6867,27 @@ def dedup_graph_pagerank(spark, sf_dir):
     )
 
 
-def _pagerank_ranks(pairs):
+def _pagerank_ranks(pairs, und_df=None):
     """(id, r) integer micro-unit ranks for the undirected pair graph —
     the shared core of ``dedup_graph_pagerank`` and the keep-central
-    dedup policy."""
-    und = materialize_once(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionAll(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    dedup policy.
+
+    ``und_df``: optional caller-persisted undirected (u, v) edge frame
+    (both orientations of every pair) — the keep-central composition
+    passes the SAME frame to connected_components and here, so the
+    edge-list derivation is built and persisted once per query
+    (optimization round 16)."""
+    und = (
+        und_df
+        if und_df is not None
+        else materialize_once(
+            pairs.select(
+                F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+            ).unionAll(
+                pairs.select(
+                    F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+                )
+            )
         )
     )
     deg = materialize_once(und.groupBy("u").agg(F.count("*").alias("deg")))
@@ -6961,10 +7006,26 @@ def pipeline_near_dedup_keep_central(spark, sf_dir):
     from ..operators.dedup import connected_components
 
     pairs = shared_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs).select(
+    # ONE undirected edge frame feeds BOTH legs (optimization round
+    # 16): CC consumed a union+distinct+checkpoint edge list and
+    # PageRank its own union+persist — identical content (the pair
+    # graph is distinct with doc_a < doc_b, so the two-orientation
+    # union is already duplicate-free). One derivation, one persist.
+    und = materialize_once(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+    )
+    labels = connected_components(
+        pairs,
+        edges_df=und.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ),
+    ).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
-    ranks = _pagerank_ranks(pairs)
+    ranks = _pagerank_ranks(pairs, und_df=und)
     sized = labels.join(
         ranks.withColumnRenamed("id", "doc_id"), "doc_id"
     )

@@ -180,3 +180,91 @@ def test_burst_retries_recorded_in_committed_record():
             isinstance(v, int) and 1 <= v <= 2 for v in br.values()
         )
         assert set(br) <= set(rec["queries"])
+
+
+def test_committed_record_is_quiet():
+    # VERDICT r15 #1: the r15 snapshot committed a CONTENDED record
+    # (warm spread 5.36, streaming 48.4k eps under the 75k floor) in
+    # violation of the quietest-of-N protocol, making the tree red.
+    # Guard the protocol in the suite itself: the COMMITTED record
+    # must be a quiet run — floor not violated and warm streaming
+    # spread within the band every historical quiet run satisfied
+    # (r14: 1.589, r15 quiet: 1.312; contended runs measured 2.87 and
+    # 5.36). A record that trips this belongs in runs_considered, not
+    # in BENCH_FULL.json.
+    rec = _last_full_record()
+    streaming = rec.get("streaming", {})
+    assert not streaming.get("floor_violated", False), (
+        "committed record has streaming_floor_violated — commit the "
+        "round's quietest run instead"
+    )
+    spread = streaming.get("warm_spread")
+    if spread is not None:
+        assert spread <= 2.5, (
+            f"committed record's warm streaming spread {spread} says "
+            "the run was contended — commit the round's quietest run "
+            "instead"
+        )
+
+
+def test_bench_warm_perimeter_frozen():
+    # VERDICT r15 #7: bench_warm moves maintained-table builds OUT of
+    # the timed region for its consumer sets. That perimeter is part
+    # of the bench contract — any future expansion silently shrinks
+    # what the bench measures and must be argued as a harness change,
+    # not slipped in. Pin the LITERAL membership (sets unchanged since
+    # round 12).
+    from msk_flink_streaming_cdk_spark.registry.llm_q import (
+        KNN_GRAPH_CONSUMERS,
+        PAIR_GRAPH_CONSUMERS,
+        UNIT_EMB_CONSUMERS,
+    )
+
+    assert PAIR_GRAPH_CONSUMERS == frozenset({
+        "dedup_ngram_jaccard_pairs",
+        "dedup_connected_components",
+        "dedup_connected_components_star",
+        "pipeline_near_dedup_corpus",
+        "pipeline_near_dedup_keep_central",
+        "pipeline_admission_decisions",
+        "pipeline_forget_expand",
+        "dedup_incremental_components",
+        "dq_split_leakage",
+        "dedup_cluster_stats",
+        "dedup_minhash_recall",
+        "dedup_minhash_estimate_audit",
+        "dedup_simhash_recall",
+        "dedup_graph_triangle_count",
+        "dedup_graph_pagerank",
+        "graph_label_propagation",
+        "graph_kcore_mirror_clusters",
+    })
+    assert UNIT_EMB_CONSUMERS == frozenset({
+        "similarity_nnd_recall",
+        "similarity_graph_search_topk",
+        "similarity_graph_search_recall",
+        "similarity_incremental_knn_merge",
+        "dedup_embedding_cosine_pairs",
+        "dedup_embedding_recall",
+        "dedup_semantic_prune",
+    })
+    assert KNN_GRAPH_CONSUMERS == frozenset({
+        "similarity_graph_search_topk",
+        "similarity_graph_search_recall",
+    })
+    # The two single-key warms (corpus labels, BPE merge table) are
+    # likewise pinned: bench_warm must mention exactly these names.
+    import inspect
+
+    from msk_flink_streaming_cdk_spark.registry.llm_q import bench_warm
+
+    src = inspect.getsource(bench_warm)
+    assert 'name == "dedup_incremental_components"' in src
+    assert 'name == "text_bpe_encode_tokens"' in src
+    # and no other equality-gated warms exist
+    import re as _re
+
+    gated = _re.findall(r'name == "([a-z0-9_]+)"', src)
+    assert sorted(gated) == [
+        "dedup_incremental_components", "text_bpe_encode_tokens",
+    ]

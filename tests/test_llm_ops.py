@@ -2137,3 +2137,68 @@ def test_int_pca_quality_pins(spark, sf_small):
         / (127.0 * np.linalg.norm(np.array(comps[0], dtype=float))),
         9,
     )
+
+
+def test_scored_candidate_sharing_bit_identical(spark, sf_small):
+    """Optimization r16: the audit queries that build two graphs over
+    overlapping corpora share ONE persisted scored-collision frame
+    (``lsh_scored_candidates``) and feed each leg an id-filtered
+    slice. This must be BYTE-EQUAL to each leg scoring its own
+    collisions: buckets are per-row and cosines per-pair functions,
+    so filtering the shared frame commutes with re-deriving it from
+    the filtered corpus."""
+    from msk_flink_streaming_cdk_spark.operators.similarity import (
+        lsh_hashed_frame,
+        lsh_scored_candidates,
+        nndescent_forget_compact,
+        nndescent_knn_graph,
+        nndescent_merge_batch,
+        unit_vectors,
+    )
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    unit = unit_vectors(emb)
+    scored = lsh_scored_candidates(lsh_hashed_frame(emb, 3), unit)
+
+    # graph build: scored_df slice == per-leg scoring
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    g_plain = nndescent_knn_graph(old, k=5, n_rounds=0, n_bits=3)
+    g_shared = nndescent_knn_graph(
+        old, k=5, n_rounds=0, n_bits=3, unit_df=unit,
+        scored_df=scored.filter(
+            (F.col("src") % 5 != 0) & (F.col("dst") % 5 != 0)
+        ),
+    )
+    assert sorted(tuple(r) for r in g_plain.collect()) == sorted(
+        tuple(r) for r in g_shared.collect()
+    )
+
+    # merge: batch-involving slice == internally hashed+scored cand
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    m_plain = nndescent_merge_batch(g_plain, old, batch, k=5, n_bits=3)
+    m_shared = nndescent_merge_batch(
+        g_plain, old, batch, k=5, n_bits=3, unit_df=unit,
+        scored_cand_df=scored.filter(
+            (F.col("src") % 5 == 0) | (F.col("dst") % 5 == 0)
+        ),
+    )
+    assert sorted(tuple(r) for r in m_plain.collect()) == sorted(
+        tuple(r) for r in m_shared.collect()
+    )
+
+    # forget-compact: survivor slice == internally hashed+scored cand
+    forget = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    g_full = nndescent_knn_graph(emb, k=5, n_rounds=0, n_bits=3)
+    c_plain = nndescent_forget_compact(g_full, emb, forget, k=5, n_bits=3)
+    c_shared = nndescent_forget_compact(
+        g_full, emb, forget, k=5, n_bits=3, unit_df=unit,
+        scored_df=scored.filter(
+            (F.col("src") % 7 != 0) & (F.col("dst") % 7 != 0)
+        ),
+    )
+    assert sorted(tuple(r) for r in c_plain.collect()) == sorted(
+        tuple(r) for r in c_shared.collect()
+    )
