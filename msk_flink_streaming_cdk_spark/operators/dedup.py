@@ -194,6 +194,7 @@ def incremental_near_dup(
     text_col: str = "text",
     id_col: str = "doc_id",
     length_col: str = "n_chars",
+    blocking: str = "auto",
 ) -> DataFrame:
     """Incremental dedup: for each INCOMING document, its best
     near-dup match (max Jaccard, ties to the smaller corpus id)
@@ -234,61 +235,152 @@ def incremental_near_dup(
     is null under ANSI off, which would break ties
     nondeterministically — ADVICE r5).
 
+    ``blocking`` selects the candidate-generation form — both produce
+    IDENTICAL results for any positive threshold (r15 equivalence
+    argument; pinned by ``test_incremental_blocking_forms_identical``):
+
+    - ``"token"``: the r15 inverted-index shingle-hash join above —
+      the 100 TB shape (content-anchored candidates, admission cost
+      scales with shared shingles, never bucket occupancy^2).
+    - ``"probe"``: the round-6 log2-length-bucket probe join — the
+      batch keeps its shingle ARRAYS and probes adjacent length
+      buckets with an exact array-intersection Jaccard. No explode
+      shuffle, so it is FASTER on small corpora, but every replica-
+      scale growth densifies the fixed log2 buckets and the candidate
+      count grows ~corpus^2 (r16 growth probe,
+      ``tools/growth_incnvc_r16.log``, run-min of 2: probe
+      3.45→21.96→134.8s at 1x/3x/10x vs token 5.33→14.07→29.9s —
+      probe wins at 4k corpus docs, loses at 12k, loses 4.5x at 40k).
+    - ``"auto"`` (default): one bounded corpus count() picks probe
+      below ``SPARK_GRAFT_INC_TOKEN_MIN_CORPUS`` docs (default
+      8,000 — between the probe's 4k-doc win and its 12k-doc loss) and token
+      at or above it — the VERDICT r15 #2 size-gated hybrid: local
+      ingests keep the cheap probe join, corpus-scale ingests get the
+      shape that survives growth.
+
     Returns (doc_id, matched_doc, jaccard) — one row per incoming doc
     that has a match at or above ``threshold``.
     """
+    import math
+    import os
+
     from pyspark.sql.types import NumericType
 
     assert threshold > 0, (
         "inverted-index blocking requires threshold > 0 (a Jaccard-0 "
         "pair shares no shingle and cannot be surfaced)"
     )
-
-    def exploded(df: DataFrame) -> DataFrame:
-        # The fixtures are single-file parquet => 1 input partition;
-        # shingling + hashing is the hot loop and must fan out (same
-        # reason ngram_jaccard_pairs parallelizes its scan). Shingles
-        # are compared as xxhash64 longs: set sizes count post-hash
-        # array entries, identical to the array-intersect Jaccard
-        # modulo in-document 64-bit collisions (~1e-9, the documented
-        # family-wide caveat).
-        return _parallelize(df).select(
-            F.col(id_col).alias("doc_id"),
-            F.col(length_col).alias("n_len"),
-            F.transform(
-                shingle_col(F.col(text_col), k), lambda s: F.xxhash64(s)
-            ).alias("shingles"),
-        ).select(
-            "doc_id",
-            "n_len",
-            F.size("shingles").alias("sz"),
-            F.explode("shingles").alias("h"),
+    assert blocking in ("auto", "token", "probe"), blocking
+    if blocking == "auto":
+        gate = int(
+            os.environ.get("SPARK_GRAFT_INC_TOKEN_MIN_CORPUS", "8000")
         )
+        blocking = "probe" if corpus.count() < gate else "token"
 
-    corp = exploded(corpus).alias("c")
-    inc = exploded(incoming).alias("i")
-    ratio_ok = F.least(F.col("c.n_len"), F.col("i.n_len")) >= (
-        F.lit(threshold) * F.greatest(F.col("c.n_len"), F.col("i.n_len"))
-    )
-    scored = (
-        inc.join(corp, (F.col("i.h") == F.col("c.h")) & ratio_ok)
-        .groupBy(
+    if blocking == "token":
+
+        def exploded(df: DataFrame) -> DataFrame:
+            # The fixtures are single-file parquet => 1 input
+            # partition; shingling + hashing is the hot loop and must
+            # fan out (same reason ngram_jaccard_pairs parallelizes
+            # its scan). Shingles are compared as xxhash64 longs: set
+            # sizes count post-hash array entries, identical to the
+            # array-intersect Jaccard modulo in-document 64-bit
+            # collisions (~1e-9, the documented family-wide caveat).
+            return _parallelize(df).select(
+                F.col(id_col).alias("doc_id"),
+                F.col(length_col).alias("n_len"),
+                F.transform(
+                    shingle_col(F.col(text_col), k),
+                    lambda s: F.xxhash64(s),
+                ).alias("shingles"),
+            ).select(
+                "doc_id",
+                "n_len",
+                F.size("shingles").alias("sz"),
+                F.explode("shingles").alias("h"),
+            )
+
+        corp = exploded(corpus).alias("c")
+        inc = exploded(incoming).alias("i")
+        ratio_ok = F.least(F.col("c.n_len"), F.col("i.n_len")) >= (
+            F.lit(threshold)
+            * F.greatest(F.col("c.n_len"), F.col("i.n_len"))
+        )
+        scored = (
+            inc.join(corp, (F.col("i.h") == F.col("c.h")) & ratio_ok)
+            .groupBy(
+                F.col("i.doc_id").alias("doc_id"),
+                F.col("c.doc_id").alias("match_id"),
+                F.col("i.sz").alias("si"),
+                F.col("c.sz").alias("sc"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "doc_id",
+                "match_id",
+                (
+                    F.col("cnt").cast("double")
+                    / (F.col("si") + F.col("sc") - F.col("cnt"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    else:
+        # Length-bucket probe join (round 6): J(A,B) >= t bounds
+        # |A|/|B| >= t, so the batch probes the ceil(log2(1/t))
+        # adjacent log2-length buckets each way with the exact ratio
+        # predicate on the join; per-candidate work is exact
+        # array-intersection Jaccard over the hashed shingle arrays
+        # (xxhash64 longs, same set-size semantics as the token form).
+        n_probe = max(1, math.ceil(math.log2(1.0 / threshold)))
+
+        def shingled(df: DataFrame) -> DataFrame:
+            return _parallelize(df).select(
+                F.col(id_col).alias("doc_id"),
+                F.col(length_col).alias("n_len"),
+                F.floor(
+                    F.log2(F.greatest(F.col(length_col), F.lit(1)))
+                ).alias("bucket"),
+                F.transform(
+                    shingle_col(F.col(text_col), k),
+                    lambda s: F.xxhash64(s),
+                ).alias("shingles"),
+            )
+
+        corp = shingled(corpus).alias("c")
+        inc = (
+            shingled(incoming)
+            .select(
+                "doc_id",
+                "n_len",
+                "shingles",
+                F.explode(
+                    F.array(
+                        *[
+                            F.col("bucket") + d
+                            for d in range(-n_probe, n_probe + 1)
+                        ]
+                    )
+                ).alias("probe_bucket"),
+            )
+            .alias("i")
+        )
+        ratio_ok = F.least(F.col("c.n_len"), F.col("i.n_len")) >= (
+            F.lit(threshold)
+            * F.greatest(F.col("c.n_len"), F.col("i.n_len"))
+        )
+        cand = inc.join(
+            corp,
+            (F.col("c.bucket") == F.col("i.probe_bucket")) & ratio_ok,
+        )
+        scored = cand.select(
             F.col("i.doc_id").alias("doc_id"),
             F.col("c.doc_id").alias("match_id"),
-            F.col("i.sz").alias("si"),
-            F.col("c.sz").alias("sc"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "doc_id",
-            "match_id",
-            (
-                F.col("cnt").cast("double")
-                / (F.col("si") + F.col("sc") - F.col("cnt"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+            jaccard_col(F.col("i.shingles"), F.col("c.shingles")).alias(
+                "jaccard"
+            ),
+        ).filter(F.col("jaccard") >= threshold)
     id_type = {f.name: f.dataType for f in corpus.schema}[id_col]
     if isinstance(id_type, NumericType):
         # struct-max argmax: max jaccard first, then max(-match_id) =

@@ -572,3 +572,56 @@ def test_duplicate_substring_spans_matches_bruteforce(spark, texts):
             ).collect()
         )
         assert got == want, f"strategy={strategy}"
+
+
+def test_incremental_blocking_forms_identical(spark):
+    # Optimization r16 (VERDICT r15 #2): incremental_near_dup carries
+    # BOTH blocking forms behind a size gate — the round-6 length-
+    # bucket probe join (fast at ingest scale) and the r15 inverted-
+    # index token join (the growth-safe shape). They must return
+    # identical rows for any positive threshold; "auto" must resolve
+    # to one of them (gate respected via the env override).
+    import os
+
+    from msk_flink_streaming_cdk_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+
+    import random
+
+    rng = random.Random(16)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(6, 30)))
+        for _ in range(24)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    corpus = df.filter("doc_id % 3 <> 0")
+    incoming = df.filter("doc_id % 3 = 0")
+    for threshold in (0.3, 0.6):
+        out = {
+            form: sorted(
+                tuple(r)
+                for r in incremental_near_dup(
+                    corpus, incoming, threshold=threshold, blocking=form
+                ).collect()
+            )
+            for form in ("token", "probe")
+        }
+        assert out["token"] == out["probe"], threshold
+    # auto honors the gate: force each side via the env override
+    for gate, expect in (("1", "token"), ("1000000000", "probe")):
+        os.environ["SPARK_GRAFT_INC_TOKEN_MIN_CORPUS"] = gate
+        try:
+            rows = sorted(
+                tuple(r)
+                for r in incremental_near_dup(
+                    corpus, incoming, threshold=0.6, blocking="auto"
+                ).collect()
+            )
+        finally:
+            del os.environ["SPARK_GRAFT_INC_TOKEN_MIN_CORPUS"]
+        assert rows == out[expect if expect == "token" else "probe"]
