@@ -137,3 +137,84 @@ def test_q2_output_schema(spark, sf_small):
         "hour",
     ]
     assert df.schema["avg_temp"].dataType.simpleString() == "bigint"
+
+
+def test_rfm_boundary_scores_match_rank_form(spark, sf_small):
+    """Optimization r16: customer_rfm_segments scores via the four
+    boundary tuples per metric (bucket counts + driver binary search
+    on the exact IEEE expression) instead of materializing every
+    row's rank. Must equal the r7-r15 rank-materializing form
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from msk_flink_streaming_cdk_spark.operators.relational import (
+        boundaries_from_sample,
+        partitioned_row_number,
+    )
+    from msk_flink_streaming_cdk_spark.operators.util import (
+        materialize_once,
+    )
+    from msk_flink_streaming_cdk_spark.registry import QUERIES
+    from msk_flink_streaming_cdk_spark.sources.fixtures import load_table
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["customer_rfm_segments"](spark, sf_small).collect()
+    )
+
+    o = load_table(spark, sf_small, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    base = materialize_once(
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            F.datediff("anchor", "last_order").cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            F.col("monetary").cast("double").alias("monetary"),
+        )
+    )
+    ncnt = base.agg(F.count("*").alias("_n"))
+    sample = base.orderBy(F.xxhash64("c_custkey")).limit(1024).collect()
+
+    def quintile(src, metric, descending, out):
+        order = [
+            F.col(metric).desc() if descending else F.col(metric),
+            F.col("c_custkey"),
+        ]
+        ranked = partitioned_row_number(
+            src, metric, descending, order, "_rn",
+            boundaries=boundaries_from_sample(
+                [r[metric] for r in sample], descending
+            ),
+        )
+        pr = F.when(
+            F.col("_n") > 1, (F.col("_rn") - 1) / (F.col("_n") - 1)
+        ).otherwise(F.lit(0.0))
+        return (
+            ranked.crossJoin(F.broadcast(ncnt))
+            .withColumn(out, F.greatest(F.lit(1), F.ceil(pr * 5)))
+            .drop("_rn", "_n")
+        )
+
+    r = quintile(base, "recency_days", False, "r_score")
+    f = quintile(
+        base.select("c_custkey", "frequency"), "frequency", True, "f_score"
+    ).drop("frequency")
+    m = quintile(
+        base.select("c_custkey", "monetary"), "monetary", True, "m_score"
+    ).drop("monetary")
+    want = sorted(
+        tuple(x) for x in r.join(f, "c_custkey").join(m, "c_custkey").collect()
+    )
+    base.unpersist()
+    assert got == want
