@@ -38,80 +38,61 @@ from . import llm_q  # noqa: E402,F401
 ROTATION_WINDOW_SIZE = 50
 
 # The driver-checked leading window for THIS round (first 50 keys).
+# Round-16 policy (VERDICT r15 #3/#4): FRONT-LOAD every key this
+# optimization round's diff touches (the k-NN audit scored-frame
+# sharing, the CC paired-probe rewrite and its consumers, the
+# incremental-dedup hybrid, the RFM boundary rewrite, the
+# dq_expectation_suite rule-7 marker) plus every round-15-touched key
+# the r15 window missed (the persist sweep, scalar_try_arithmetic,
+# the minhash/prefix/containment persists, the IVF-PQ fusion's
+# clustered key, the round-15 additions) — so every semantic-adjacent
+# change of the last two rounds gets a driver oracle row this round.
 ROTATION_WINDOW: list[str] = [
     # Reference pipeline queries (SURVEY §2 P*/A*/W*) — always checked.
     "q1_alerts_30s",
     "q1_alerts_daily",
     "q2_windowed_avg_60s",
     "q2_windowed_avg_hourly",
-    # Round-14 NEXT_TRANCHE head, verbatim — FIRST-EVER driver rows
-    # for the eight round-14 int8-lifecycle additions, then the
-    # round-13 window-overflow leftovers, the remaining round-9-stale
-    # keys and the oldest round-10-stale keys in staleness order.
-    "similarity_int8_ivfpq_topk",
-    "similarity_int8_ivfpq_recall",
-    "similarity_graph_search_int8_topk",
-    "similarity_graph_search_int8_recall",
-    "similarity_int8_ivfpq_incremental",
-    "similarity_int8_ivfpq_drift",
-    "similarity_int8_knn_merge",
+    # --- round-16 touched keys ---
     "similarity_int8_knn_forget",
-    "join_broadcast_region_suppliers",
-    "window_top3_orders_per_customer",
-    "window_running_total",
-    "window_lag_days_between_orders",
-    "window_rank_functions",
-    "top20_orders_by_price",
-    "setop_union_active_or_rich",
-    "setop_intersect_active_and_rich",
-    "agg_mode_disc_percentiles",
-    "window_range_frame_avg30d",
-    "window_percent_rank_cume_dist",
-    "agg_monthly_revenue",
-    "histogram_price_buckets",
-    "scalar_null_handling",
-    "orders_cohort_ltv",
-    "dq_schema_drift_events",
-    "part_skyline_price_size",
-    "dedup_edit_distance1_names",
-    "agg_regr_price_vs_qty",
-    "json_variant_typed_extract",
+    "similarity_knn_forget_compact",
+    "similarity_incremental_knn_merge",
+    "pipeline_near_dedup_keep_central",
+    "pipeline_near_dedup_keep_longest",
+    "dedup_incremental_new_vs_corpus",
+    "customer_rfm_segments",
     "dq_expectation_suite",
-    "sql_recursive_assembly_rollup",
-    "lateral_top2_suppliers_per_nation",
-    "multimodal_arrow_byte_stats",
-    "text_token_fertility_by_lang",
-    "embedding_int8_quant_error",
-    "text_curriculum_stages",
-    "text_source_cap_rebalance",
-    "text_cdc_duplicate_chunks",
-    "text_bpe_learn_merges",
-    "text_winnowing_fingerprints",
-    "dedup_winnowing_pairs",
-    "graph_kcore_mirror_clusters",
-    "text_ngram_heaps_curve",
-    "timeseries_lttb_downsample",
-    "text_naive_bayes_lang",
-    "setop_except_rich_without_open_orders",
-    "setop_union_all_order_events",
-]
-
-# Next tranche (round 16): any round-15 additions are registered at
-# the head of this list as they land, then the round-14
-# window-overflow leftovers (round-10-stale), then the remaining
-# round-10-stale keys in registry order — staleness derived from the
-# committed CORRECTNESS_r0*.json history. Keeping them HERE (not
-# just in a comment) makes the plan part of the ordered registry.
-NEXT_TRANCHE: list[str] = [
-    # round-15 additions (never driver-checked) — head of the
-    # round-16 window per the rotation policy.
+    "dedup_connected_components",
+    "dedup_incremental_components",
+    "dedup_cluster_stats",
+    "pipeline_forget_expand",
+    "pipeline_admission_decisions",
+    "dq_split_leakage",
+    "er_golden_records",
+    # --- round-15 touched, not in the r15 window ---
+    "scalar_try_arithmetic",
+    "quality_logistic_fit",
+    "text_pmi_pairs",
+    "text_bigram_perplexity",
+    "text_bm25_topk",
+    "retrieval_hybrid_rrf",
+    "text_temperature_mixture",
+    "dq_source_overlap_matrix",
+    "sketch_hll_users_by_type",
+    "embedding_kmeans_lloyd2",
+    "dedup_prefix_filter_pairs",
+    "dedup_containment_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_recall",
+    "dedup_minhash_estimate_audit",
+    "similarity_clustered_ivfpq_recall",
+    # --- round-15 additions (never driver-checked) ---
     "similarity_clustered_fixture_stats",
     "similarity_clustered_ivf_recall",
-    "similarity_clustered_ivfpq_recall",
     "similarity_clustered_graph_recall",
     "text_html_extract",
     "embedding_int_pca_project",
-    # round-14 window-overflow leftovers (round-10-stale, pinned order)
+    # --- round-14 window-overflow leftovers (oldest-stale) ---
     "explode_top_words",
     "scalar_string_functions",
     "scalar_date_math",
@@ -120,10 +101,16 @@ NEXT_TRANCHE: list[str] = [
     "sliding_window_event_counts",
     "session_window_user_sessions",
     "grouped_map_price_trend",
-    # remaining round-10-stale keys (last driver row round 10),
-    # registry order
     "approx_distinct_parts",
     "approx_quantiles_prices",
+]
+
+# Next tranche (round 17): the round-16 window-overflow leftovers
+# (the former tranche's stale tail, pinned order), then the remaining
+# oldest-stale keys in registry order — staleness derived from the
+# committed CORRECTNESS_r0*.json history. Keeping them HERE (not
+# just in a comment) makes the plan part of the ordered registry.
+NEXT_TRANCHE: list[str] = [
     "asof_join_prev_signup",
     "stats_by_returnflag",
     "grouping_sets_status_priority",
@@ -135,22 +122,17 @@ NEXT_TRANCHE: list[str] = [
     "dq_key_skew_profile",
     "attribution_last_touch",
     "text_contamination_bloom",
-    "text_bm25_topk",
     "embedding_pca_project",
     "text_zscore_by_source",
-    "text_temperature_mixture",
     "dedup_graph_triangle_count",
     "text_ngram_novelty",
     "text_prefix_boilerplate_groups",
-    "quality_logistic_fit",
     "dedup_graph_pagerank",
-    "pipeline_near_dedup_keep_central",
     "timeseries_ewma_kernel",
     "timeseries_ohlc_hourly",
     "timeseries_rolling_zscore",
     "text_weighted_sample_topk",
     "text_bpe_pair_counts",
-    "text_pmi_pairs",
     "dq_gini_doclen_by_source",
     "dq_duplicate_rate_by_source",
     "text_repeated_ngram_loops",
@@ -158,6 +140,25 @@ NEXT_TRANCHE: list[str] = [
     "dq_mad_outlier_docs",
     "text_bpe_encode_tokens",
     "dq_psi_doclen_by_source",
+    # remaining oldest-stale keys (last driver row <= round 11),
+    # registry order
+    "pipeline_near_dedup_corpus",
+    "graph_label_propagation",
+    "dedup_simhash_recall",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_exact_text",
+    "dedup_fuzzy_name_pairs",
+    "dedup_semantic_prune",
+    "similarity_cosine_topk",
+    "similarity_lsh_ann_topk",
+    "similarity_pq_ann_topk",
+    "similarity_hard_negatives",
+    "similarity_mmr_diversified",
+    "text_quality_scores",
+    "text_contamination_8gram",
+    "text_top_tfidf_term_per_doc",
+    "text_inverted_index",
+    "text_gopher_quality_filter",
 ]
 
 PRIORITY: list[str] = ROTATION_WINDOW + NEXT_TRANCHE

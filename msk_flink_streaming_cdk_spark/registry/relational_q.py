@@ -5066,14 +5066,21 @@ def dq_expectation_suite(spark, sf_dir):
         .select("l_orderkey", "l_shipdate")
         .join(
             _t(spark, sf_dir, "orders").select(
-                F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+                F.col("o_orderkey").alias("l_orderkey"),
+                # carried for rule 7's match test: the JOIN KEY's
+                # nullness is the referential signal (ADVICE r15 —
+                # testing o_orderdate instead would over-count if
+                # orders ever carried a NULL o_orderdate; identical
+                # on the fixture, where it is non-nullable).
+                F.col("o_orderkey"),
+                "o_orderdate",
             ),
             "l_orderkey",
             "left",
         )
         .agg(
             F.sum(
-                F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
             ).alias("r7"),
             F.sum(
                 F.when(

@@ -60,16 +60,35 @@ def main() -> None:
             depth_stack.append((indent, in_cache or is_imr))
             if "Scan parquet" in line and in_cache:
                 cached_ids.add(m.group(2))
+        # ADVICE r15: bound the Location search to the CURRENT
+        # operator's details block (split on the "(id) Operator"
+        # headers) so a scan block without a Location line can't
+        # silently inherit the next operator's location; self-check
+        # that every non-cached tree scan id resolved to a table.
         per_table: dict[str, set[str]] = {}
-        for m in re.finditer(
-            r"\((\d+)\) Scan parquet[^\n]*\n(?:[^\n]*\n)*?Location:[^\[]*\[([^\]]+)\]",
-            plan,
-        ):
-            sid, loc = m.group(1), m.group(2)
+        resolved: set[str] = set()
+        tree_scan_ids = {
+            m.group(1)
+            for m in re.finditer(r"Scan parquet[^(]*\((\d+)\)", tree)
+        }
+        blocks = re.split(r"(?m)^\((\d+)\) ", details)
+        # re.split with one group yields [pre, id1, block1, id2, ...]
+        for sid, block in zip(blocks[1::2], blocks[2::2]):
+            if not block.startswith("Scan parquet"):
+                continue
+            loc = re.search(r"Location:[^\[]*\[([^\]]+)\]", block)
+            if not loc:
+                continue
+            resolved.add(sid)
             if sid in cached_ids:
                 continue
-            table = os.path.basename(loc.rstrip("/"))
+            table = os.path.basename(loc.group(1).rstrip("/"))
             per_table.setdefault(table, set()).add(sid)
+        unresolved = tree_scan_ids - resolved
+        if unresolved:
+            print(
+                f"{name}: WARN unresolved scan ids {sorted(unresolved)}"
+            )
         dups = {t: sorted(ids) for t, ids in per_table.items() if len(ids) > 1}
         if dups:
             print(f"{name}: {dups}")
